@@ -1,0 +1,109 @@
+"""Expression helpers implementing the cross-engine determinism contract.
+
+SURVEY.md §2C: monetary/double aggregations go through exact DECIMAL
+arithmetic so Spark and the DuckDB oracle produce bit-identical results
+regardless of partitioning / aggregation order. Empirically verified on
+this machine (2026-08-13):
+
+- ``ROUND`` on decimals is half-away-from-zero in BOTH engines, but
+  decimal→decimal CAST ties differ (Spark HALF_UP, DuckDB half-even):
+  every decimal cast in a hash-mode query must therefore be *lossless*
+  (widening, or scale-reduction that provably drops only zeros); use
+  ROUND() when actual rounding is intended.
+- decimal→double conversion differs by 1 ulp once the unscaled value
+  exceeds 2^53 (Spark via BigDecimal.doubleValue is correctly rounded;
+  DuckDB divides a converted int by 10^scale) → big sums are returned AS
+  DECIMAL(38,6); doubles are only derived from small-unscaled decimals.
+- Fixture data: prices/balances/values have exactly 2 decimals, rates 2,
+  quantity integral → all products have ≤6 decimal digits, so the final
+  DECIMAL(38,6) cast never rounds at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"  # exact carrier for 2-decimal fixture data
+DEC_OUT = "decimal(38,6)"  # canonical output type for decimal sums
+
+
+def c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dec(col: str | Column) -> Column:
+    """Exact decimal carrier: CAST(x AS DECIMAL(18,4))."""
+    return c(col).cast(DEC)
+
+
+def one_minus(col: str | Column) -> Column:
+    return F.lit(1).cast(DEC) - dec(col)
+
+
+def one_plus(col: str | Column) -> Column:
+    return F.lit(1).cast(DEC) + dec(col)
+
+
+def net_price() -> Column:
+    """l_extendedprice * (1 - l_discount), exact decimal (scale 8, ≤4 real)."""
+    return dec("l_extendedprice") * one_minus("l_discount")
+
+
+def charge() -> Column:
+    """net_price * (1 + l_tax); re-anchored to scale 6 to stay within p=38."""
+    return net_price().cast("decimal(18,6)") * one_plus("l_tax")
+
+
+def dsum(expr: str | Column, alias: str) -> Column:
+    """SUM in exact decimal, emitted as the canonical DECIMAL(38,6)."""
+    e = dec(expr) if isinstance(expr, str) else expr
+    return F.sum(e).cast(DEC_OUT).alias(alias)
+
+
+def davg(expr: str | Column, count_col: Column, alias: str) -> Column:
+    """Average as double, derived from a small-unscaled exact decimal sum.
+
+    CAST(SUM(dec) AS DOUBLE) / COUNT — both engines correctly round the
+    decimal→double conversion below 2^53 unscaled, and IEEE division of
+    identical doubles is identical.
+    """
+    e = dec(expr) if isinstance(expr, str) else expr
+    return (F.sum(e).cast("double") / count_col).alias(alias)
+
+
+# --- SQL-side mirrors (DuckDB oracle text) ------------------------------
+
+SQL_DEC = "CAST({x} AS DECIMAL(18,4))"
+
+
+def sql_dec(x: str) -> str:
+    return SQL_DEC.format(x=x)
+
+
+def sql_net_price() -> str:
+    return f"({sql_dec('l_extendedprice')} * (CAST(1 AS DECIMAL(18,4)) - {sql_dec('l_discount')}))"
+
+
+def sql_charge() -> str:
+    return f"(CAST({sql_net_price()} AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,4)) + {sql_dec('l_tax')}))"
+
+
+def sql_dsum(x: str, alias: str) -> str:
+    return f"CAST(SUM({sql_dec(x)}) AS DECIMAL(38,6)) AS {alias}"
+
+
+def sql_dsum_expr(expr: str, alias: str) -> str:
+    return f"CAST(SUM({expr}) AS DECIMAL(38,6)) AS {alias}"
+
+
+def sql_davg(x: str, count_sql: str, alias: str) -> str:
+    return f"CAST(SUM({sql_dec(x)}) AS DOUBLE) / {count_sql} AS {alias}"
+
+
+# DuckDB view of events with Spark's exact µs truncation applied (the
+# fixture parquet is ns; Spark reads µs — see sources/tables.py).
+EVENTS_US = (
+    "(SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, "
+    "event_type, value, props FROM events)"
+)

@@ -1,0 +1,72 @@
+"""As-of join (Q-JOIN-10) — an operator Spark lacks natively.
+
+Semantics: for each left row, attach values from the *latest* right row
+with the same key and ``right.ts <= left.ts`` (backward as-of; ties
+include the right row).
+
+Implementation is the scale-safe union+running-window form rather than the
+naive ``join ON key AND r.ts <= l.ts`` + ``ROW_NUMBER()=1``: the naive
+form materializes every (left, earlier-right) pair — quadratic per key,
+fatal at 100 TB with hot keys — whereas the union form is ONE shuffle on
+(key) with a linear sequential scan per key, and AQE can split skewed
+keys. Reference precedent: dask-xgboost aligns per-key collections by
+co-partitioning triads (core.py:209); here alignment is a window over a
+single unioned table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    carry: dict[str, str],
+) -> DataFrame:
+    """Backward as-of join.
+
+    Parameters
+    ----------
+    on : key column name present in both frames.
+    left_ts / right_ts : event-time column in each frame.
+    carry : {output_name: right_column} values carried from the matched
+        right row. The carried running value is the per-key maximum of the
+        right column among rows with ts <= left.ts — for monotone-in-ts
+        carries (like the right timestamp itself) this IS the as-of value.
+
+    Returns the left frame plus the carried columns (NULL when no prior
+    right row exists for the key).
+    """
+    lcols = left.columns
+    carry_types = {out: dict(right.dtypes)[src] for out, src in carry.items()}
+
+    l2 = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        *[F.lit(None).cast(t).alias(f"_c_{out}") for out, t in carry_types.items()],
+    )
+    r2 = right.select(
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        *[F.col(src).alias(f"_c_{out}") for out, src in carry.items()],
+    )
+    u = l2.unionByName(r2)
+    # Right rows sort before left rows at equal ts → ties are inclusive.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_asof_ts"), F.col("_asof_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried: list[Column] = [F.max(F.col(f"_c_{out}")).over(w).alias(out) for out in carry]
+    return (
+        u.select(*lcols, F.col("_asof_side"), *carried)
+        .filter(F.col("_asof_side") == 1)
+        .drop("_asof_side")
+    )

@@ -1,0 +1,687 @@
+"""Relational core operators (SURVEY.md §2C: SCAN/PROJ/FIL/JOIN/AGG/SORT/SET).
+
+Each spec pairs an idiomatic DataFrame-API implementation with the DuckDB
+oracle SQL defining its semantics. Spark-first notes per family:
+
+- Scans: native parquet/CSV readers → pushdown + pruning from Catalyst.
+- Joins: declared as equi-joins so Catalyst/AQE picks broadcast vs
+  shuffled-hash vs sort-merge; small dims (nation/region) are explicitly
+  broadcast. The theta self-join carries its equi-key (user_id) so it is
+  NOT a cartesian product at scale.
+- Aggregations: partial (map-side) aggregation is automatic for
+  hash-aggregates; exact-decimal carriers make results order-independent.
+- Reference precedent for this surface: README.rst:37-39 (dd.read_csv →
+  dataframe preprocessing), core.py:301-303 (column select/drop),
+  core.py:562-566 (distinct).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from dask_xgboost_spark.functions import (
+    DEC_OUT,
+    EVENTS_US,
+    dec,
+    dsum,
+    net_price,
+    charge,
+    sql_dec,
+    sql_dsum,
+    sql_dsum_expr,
+    sql_net_price,
+    sql_charge,
+)
+from dask_xgboost_spark.operators.asof import asof_join_backward
+from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.sources import load, read_csv, read_parquet
+
+# --------------------------------------------------------------------------
+# SCAN
+# --------------------------------------------------------------------------
+
+
+@register("Q-SCAN-01", sql="SELECT COUNT(*) AS n FROM lineitem")
+def q_scan_01(spark, sf):
+    """Parquet scan + count (metadata-only at the physical level)."""
+    return load(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+NATION_CSV_SCHEMA = StructType(
+    [
+        StructField("n_nationkey", IntegerType()),
+        StructField("n_name", StringType()),
+        StructField("n_regionkey", IntegerType()),
+    ]
+)
+
+
+@register(
+    "Q-SCAN-02",
+    sql="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+)
+def q_scan_02(spark, sf):
+    """CSV sink + scan roundtrip (reference: dd.read_csv, README.rst:37)."""
+    out = tempfile.mkdtemp(prefix="dxs_csv_")
+    load(spark, sf, "nation").write.mode("overwrite").option("header", "true").csv(out)
+    return read_csv(spark, out, schema=NATION_CSV_SCHEMA).orderBy("n_nationkey")
+
+
+@register(
+    "Q-SCAN-03",
+    sql="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+)
+def q_scan_03(spark, sf):
+    """Parquet write/read roundtrip (sink path)."""
+    out = tempfile.mkdtemp(prefix="dxs_pq_")
+    load(spark, sf, "nation").write.mode("overwrite").parquet(out)
+    return read_parquet(spark, out).orderBy("n_nationkey")
+
+
+# --------------------------------------------------------------------------
+# PROJ
+# --------------------------------------------------------------------------
+
+
+@register(
+    "Q-PROJ-01",
+    sql="SELECT l_orderkey AS k, l_linenumber AS ln, l_quantity AS q "
+    "FROM lineitem ORDER BY k, ln",
+)
+def q_proj_01(spark, sf):
+    """Projection + aliasing (reference: core.py:302 column select)."""
+    return (
+        load(spark, sf, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_quantity").alias("q"),
+        )
+        .orderBy("k", "ln")
+    )
+
+
+@register(
+    "Q-PROJ-02",
+    sql=f"SELECT l_orderkey, l_linenumber, CAST({sql_net_price()} AS DECIMAL(38,6)) AS net_price "
+    "FROM lineitem ORDER BY l_orderkey, l_linenumber",
+)
+def q_proj_02(spark, sf):
+    """Computed column under the exact-decimal contract."""
+    return (
+        load(spark, sf, "lineitem")
+        .withColumn("net_price", net_price().cast(DEC_OUT))
+        .select("l_orderkey", "l_linenumber", "net_price")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# FIL
+# --------------------------------------------------------------------------
+
+
+@register(
+    "Q-FIL-01",
+    sql="SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem "
+    "WHERE l_quantity > 45 AND l_discount BETWEEN 0.05 AND 0.07 "
+    "ORDER BY l_orderkey, l_linenumber",
+)
+def q_fil_01(spark, sf):
+    """Comparison + BETWEEN predicates (pushed to the parquet scan)."""
+    return (
+        load(spark, sf, "lineitem")
+        .filter((F.col("l_quantity") > 45) & F.col("l_discount").between(0.05, 0.07))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "Q-FIL-02",
+    sql="SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+    "WHERE l_returnflag IN ('A','R') GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def q_fil_02(spark, sf):
+    """IN-list predicate."""
+    return (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "Q-FIL-03",
+    sql="SELECT p_partkey, p_type FROM part WHERE p_type LIKE 'PROM%' ORDER BY p_partkey",
+)
+def q_fil_03(spark, sf):
+    """LIKE prefix predicate (pushable as StartsWith)."""
+    return (
+        load(spark, sf, "part")
+        .filter(F.col("p_type").like("PROM%"))
+        .select("p_partkey", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "Q-FIL-04",
+    sql="SELECT event_id, COALESCE(value, -1.0) AS v, value IS NULL AS was_null "
+    "FROM events WHERE value IS NULL OR value > 30 ORDER BY event_id",
+)
+def q_fil_04(spark, sf):
+    """IS NULL / COALESCE null handling over events.value."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.filter(F.col("value").isNull() | (F.col("value") > 30))
+        .select(
+            "event_id",
+            F.coalesce(F.col("value"), F.lit(-1.0)).alias("v"),
+            F.col("value").isNull().alias("was_null"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# JOIN
+# --------------------------------------------------------------------------
+
+
+@register(
+    "Q-JOIN-01",
+    sql="SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey "
+    "ORDER BY o_orderkey",
+)
+def q_join_01(spark, sf):
+    """Inner equi-join; AQE picks broadcast vs shuffle by runtime stats."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+_REVENUE_BY_NATION_SQL = (
+    f"SELECT n_name, {sql_dsum_expr(sql_net_price(), 'revenue')} "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name ORDER BY n_name"
+)
+
+
+def _revenue_by_nation(spark, sf, hint_broadcast: bool):
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    if hint_broadcast:
+        nation = F.broadcast(nation)
+        customer = F.broadcast(customer)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(net_price()).cast(DEC_OUT).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+@register("Q-JOIN-02", sql=_REVENUE_BY_NATION_SQL)
+def q_join_02(spark, sf):
+    """Multi-way (4-table) join: revenue by nation (bench headliner)."""
+    return _revenue_by_nation(spark, sf, hint_broadcast=False)
+
+
+@register("Q-JOIN-08", sql=_REVENUE_BY_NATION_SQL)
+def q_join_08(spark, sf):
+    """Same query with explicit broadcast hints on the dimension tables;
+    the plan assert (tests/test_plans.py) checks BroadcastHashJoin."""
+    return _revenue_by_nation(spark, sf, hint_broadcast=True)
+
+
+@register(
+    "Q-JOIN-03",
+    sql="SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer "
+    "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY c_custkey",
+)
+def q_join_03(spark, sf):
+    """Left outer join preserving customers with zero orders."""
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "Q-JOIN-04",
+    sql="WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer), "
+    "sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier) "
+    "SELECT cn.nk AS c_nk, sn.nk AS s_nk FROM cn FULL JOIN sn ON cn.nk = sn.nk "
+    "ORDER BY c_nk NULLS LAST, s_nk NULLS LAST",
+)
+def q_join_04(spark, sf):
+    """Full outer join (symmetric preservation)."""
+    cn = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    sn = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    return (
+        cn.alias("cn")
+        .join(sn.alias("sn"), F.col("cn.nk") == F.col("sn.nk"), "full")
+        .select(F.col("cn.nk").alias("c_nk"), F.col("sn.nk").alias("s_nk"))
+        .orderBy(F.col("c_nk").asc_nulls_last(), F.col("s_nk").asc_nulls_last())
+    )
+
+
+@register(
+    "Q-JOIN-05",
+    sql="SELECT c_custkey FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+)
+def q_join_05(spark, sf):
+    """Left semi join (EXISTS)."""
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "Q-JOIN-06",
+    sql="SELECT c_custkey FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+)
+def q_join_06(spark, sf):
+    """Left anti join (NOT EXISTS)."""
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "Q-JOIN-07",
+    sql="SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+)
+def q_join_07(spark, sf):
+    """Cross join — declared only for small×small inputs (both dims)."""
+    region = load(spark, sf, "region")
+    nation = load(spark, sf, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@register(
+    "Q-JOIN-09",
+    sql=f"SELECT a.user_id, COUNT(*) AS pairs FROM {EVENTS_US} a JOIN {EVENTS_US} b "
+    "ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR "
+    "GROUP BY a.user_id ORDER BY a.user_id",
+)
+def q_join_09(spark, sf):
+    """Theta/range self-join: event pairs within 1h per user. The equi-key
+    (user_id) keeps this a hash/SMJ join with a range residual — never a
+    cartesian product — so it scales with per-user density, not n²."""
+    ev = load(spark, sf, "events").select("user_id", "ts")
+    a, b = ev.alias("a"), ev.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "Q-JOIN-10",
+    sql="WITH u AS ("
+    "  SELECT o_orderkey, o_custkey AS k, o_orderdate AS ts, 1 AS side, "
+    "         CAST(NULL AS TIMESTAMP) AS ev_ts FROM orders"
+    "  UNION ALL"
+    f"  SELECT CAST(NULL AS BIGINT), user_id, ts, 0, ts FROM {EVENTS_US} e"
+    "), w AS ("
+    "  SELECT o_orderkey, side, MAX(ev_ts) OVER ("
+    "    PARTITION BY k ORDER BY ts, side "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ev_ts"
+    "  FROM u) "
+    "SELECT o_orderkey, last_ev_ts FROM w WHERE side = 1 ORDER BY o_orderkey",
+)
+def q_join_10(spark, sf):
+    """As-of join: latest event (by its user) at or before each order date.
+    Uses the union+running-window operator (operators/asof.py) — one
+    shuffle, no pair explosion."""
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("k"), F.col("o_orderdate")
+    )
+    events = load(spark, sf, "events").select(F.col("user_id").alias("k"), "ts")
+    out = asof_join_backward(
+        orders, events, on="k", left_ts="o_orderdate", right_ts="ts", carry={"last_ev_ts": "ts"}
+    )
+    return out.select("o_orderkey", "last_ev_ts").orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# AGG
+# --------------------------------------------------------------------------
+
+
+@register(
+    "Q-AGG-01",
+    sql="SELECT l_returnflag, l_linestatus, "
+    + sql_dsum("l_quantity", "sum_qty")
+    + ", "
+    + sql_dsum("l_extendedprice", "sum_base_price")
+    + ", "
+    + sql_dsum_expr(sql_net_price(), "sum_disc_price")
+    + ", "
+    + sql_dsum_expr(sql_charge(), "sum_charge")
+    + ", "
+    + f"CAST(SUM({sql_dec('l_quantity')}) AS DOUBLE) / COUNT(*) AS avg_qty, "
+    + f"CAST(SUM({sql_dec('l_extendedprice')}) AS DOUBLE) / COUNT(*) AS avg_price, "
+    + f"CAST(SUM({sql_dec('l_discount')}) AS DOUBLE) / COUNT(*) AS avg_disc, "
+    + "COUNT(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+)
+def q_agg_01(spark, sf):
+    """TPC-H Q1-shape scan-aggregate (bench headliner). Exact decimal sums;
+    averages derived from small-unscaled sums (see functions/ contract)."""
+    li = load(spark, sf, "lineitem")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(net_price()).cast(DEC_OUT).alias("sum_disc_price"),
+            F.sum(charge()).cast(DEC_OUT).alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "Q-AGG-02",
+    sql="SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust FROM orders "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+def q_agg_02(spark, sf):
+    """COUNT(DISTINCT) — expands to a two-phase exact distinct aggregate."""
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "Q-AGG-03",
+    sql="SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey "
+    "HAVING COUNT(*) > 12 ORDER BY o_custkey",
+)
+def q_agg_03(spark, sf):
+    """HAVING = post-aggregation filter."""
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 12)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "Q-AGG-04",
+    sql="SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders "
+    "GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ()) "
+    "ORDER BY o_orderpriority NULLS LAST, o_orderstatus NULLS LAST, n",
+)
+def q_agg_04(spark, sf):
+    """GROUPING SETS (via Spark SQL — the DataFrame API exposes only
+    rollup/cube)."""
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ()) "
+        "ORDER BY o_orderpriority NULLS LAST, o_orderstatus NULLS LAST, n"
+    )
+
+
+@register(
+    "Q-AGG-05",
+    sql="SELECT r_name, n_name, "
+    + sql_dsum("c_acctbal", "bal")
+    + " FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY ROLLUP (r_name, n_name) "
+    "ORDER BY r_name NULLS LAST, n_name NULLS LAST",
+)
+def q_agg_05(spark, sf):
+    """ROLLUP region→nation over customer balances (broadcast dims)."""
+    customer = load(spark, sf, "customer")
+    nation = F.broadcast(load(spark, sf, "nation"))
+    region = F.broadcast(load(spark, sf, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(dsum("c_acctbal", "bal"))
+        .orderBy(F.col("r_name").asc_nulls_last(), F.col("n_name").asc_nulls_last())
+    )
+
+
+@register(
+    "Q-AGG-06",
+    sql="SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
+    "GROUP BY CUBE (l_returnflag, l_linestatus) "
+    "ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST",
+)
+def q_agg_06(spark, sf):
+    """CUBE over returnflag × linestatus."""
+    return (
+        load(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_last(), F.col("l_linestatus").asc_nulls_last())
+    )
+
+
+@register(
+    "Q-AGG-07",
+    sql="SELECT o_orderstatus, MIN(o_orderdate) AS min_d, MAX(o_orderdate) AS max_d, "
+    "MIN(o_orderpriority) AS min_p, MAX(o_orderpriority) AS max_p FROM orders "
+    "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+)
+def q_agg_07(spark, sf):
+    """MIN/MAX over timestamps and strings (binary collation both engines)."""
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min("o_orderdate").alias("min_d"),
+            F.max("o_orderdate").alias("max_d"),
+            F.min("o_orderpriority").alias("min_p"),
+            F.max("o_orderpriority").alias("max_p"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register("Q-AGG-08", sql=None, mode="tol")
+def q_agg_08(spark, sf):
+    """approx_count_distinct (HLL++) next to the exact count; the pytest
+    check asserts rel-err ≤ 5%. No oracle: HLL sketches are
+    engine-specific. At 100 TB the approx path avoids the exact-distinct
+    shuffle entirely."""
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("approx_cust"),
+            F.countDistinct("o_custkey").alias("exact_cust"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_AGG09_S = f"CAST(SUM({sql_dec('l_quantity')}) AS DOUBLE)"
+_AGG09_SS = (
+    f"CAST(SUM(CAST({sql_dec('l_quantity')} * {sql_dec('l_quantity')} AS DECIMAL(18,4))) AS DOUBLE)"
+)
+
+
+@register(
+    "Q-AGG-09",
+    sql=f"SELECT l_returnflag, {_AGG09_S} AS s, {_AGG09_SS} AS ss, COUNT(*) AS n, "
+    f"({_AGG09_SS} - {_AGG09_S} * {_AGG09_S} / COUNT(*)) / (COUNT(*) - 1) AS var_samp, "
+    f"SQRT(({_AGG09_SS} - {_AGG09_S} * {_AGG09_S} / COUNT(*)) / (COUNT(*) - 1)) AS stddev_samp "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def q_agg_09(spark, sf):
+    """Sample variance/stddev from exact decimal Σx, Σx² (hash-checkable:
+    the float formula runs on bit-identical doubles in both engines).
+    l_quantity is integral so the inner DECIMAL(18,4) re-cast is lossless."""
+    li = load(spark, sf, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("s"),
+        F.sum((dec("l_quantity") * dec("l_quantity")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    return g.select(
+        "l_returnflag", "s", "ss", "n", var.alias("var_samp"), F.sqrt(var).alias("stddev_samp")
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "Q-AGG-10",
+    sql="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+)
+def q_agg_10(spark, sf):
+    """DISTINCT rows (reference: class discovery, core.py:561-566)."""
+    return load(spark, sf, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# SORT
+# --------------------------------------------------------------------------
+
+
+@register(
+    "Q-SORT-01",
+    sql="SELECT event_id, ROW_NUMBER() OVER (ORDER BY value DESC NULLS LAST, event_id) AS rn "
+    f"FROM {EVENTS_US} e ORDER BY event_id",
+)
+def q_sort_01(spark, sf):
+    """Multi-key sort with explicit nulls ordering, made hash-observable
+    through a global ROW_NUMBER. (Global window = single-partition sort;
+    fine for a declared-semantics query, not a scale path — the scale
+    path for global ordering is orderBy, which range-partitions.)"""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("value").desc_nulls_last(), F.col("event_id"))
+    return (
+        load(spark, sf, "events")
+        .select("event_id", F.row_number().over(w).alias("rn"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "Q-SORT-02",
+    sql="SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+    "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10",
+)
+def q_sort_02(spark, sf):
+    """Top-k: orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on the driver; no global sort at scale."""
+    return (
+        load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# SET
+# --------------------------------------------------------------------------
+
+
+@register(
+    "Q-SET-01",
+    sql="SELECT src, nk, COUNT(*) AS n FROM ("
+    "SELECT 'c' AS src, c_nationkey AS nk FROM customer "
+    "UNION ALL SELECT 's', s_nationkey FROM supplier) t "
+    "GROUP BY src, nk ORDER BY src, nk",
+)
+def q_set_01(spark, sf):
+    """UNION ALL of tagged key sets."""
+    c = load(spark, sf, "customer").select(F.lit("c").alias("src"), F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf, "supplier").select(F.lit("s").alias("src"), F.col("s_nationkey").alias("nk"))
+    return c.unionAll(s).groupBy("src", "nk").agg(F.count(F.lit(1)).alias("n")).orderBy("src", "nk")
+
+
+@register(
+    "Q-SET-02",
+    sql="SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY nk",
+)
+def q_set_02(spark, sf):
+    """UNION (distinct)."""
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct().orderBy("nk")
+
+
+@register(
+    "Q-SET-03",
+    sql="SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier "
+    "ORDER BY nk",
+)
+def q_set_03(spark, sf):
+    """INTERSECT (distinct semantics)."""
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s).orderBy("nk")
+
+
+@register(
+    "Q-SET-04",
+    sql="SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier "
+    "ORDER BY nk",
+)
+def q_set_04(spark, sf):
+    """EXCEPT (distinct semantics)."""
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s).orderBy("nk")

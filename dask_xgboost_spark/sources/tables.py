@@ -1,0 +1,62 @@
+"""Source layer: parquet/CSV scans over the fixture star schema.
+
+Covers the reference's scan surface (``dd.read_csv`` — README.rst:37,
+core.py:301,352) with Spark's native readers so predicate pushdown and
+column pruning reach the scan (verified by plan asserts in tests/).
+
+``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as int64 under
+``nanosAsLong`` and we convert with integer division to µs — an exact floor
+that the DuckDB oracle mirrors via ``date_trunc('microseconds', ts)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_xgboost_spark.session import ensure_session_confs
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    ensure_session_confs(spark)
+    return spark.read.parquet(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes events.ts ns→µs (exact floor)."""
+    df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views (for spark.sql queries)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
