@@ -72,6 +72,26 @@ def davg(expr: str | Column, count_col: Column, alias: str) -> Column:
     return (F.sum(e).cast("double") / count_col).alias(alias)
 
 
+# --- fixed-point fast path ----------------------------------------------
+# For 2-decimal monetary data, FLOOR(x*100 + 0.5) of the identical double
+# is an identical int64 in both engines; integer sums then stay in Spark's
+# codegen fast path (Long-backed) instead of BigDecimal. int64→double
+# conversion is IEEE-correctly-rounded in both engines (unlike Spark's
+# decimal→double, which detours through shortest-string), so derived
+# doubles are bit-identical at any magnitude. Used for the bench headliner
+# queries; the decimal carrier above stays the scale-proof default (an
+# int64 Σ(price·disc·tax cents³) overflows around 9e7 rows per group).
+
+
+def cents(col: str | Column) -> Column:
+    """Exact int64 cents: FLOOR(x*100 + 0.5) (x has ≤2 true decimals)."""
+    return F.floor(c(col) * 100 + F.lit(0.5))
+
+
+def sql_cents(x: str) -> str:
+    return f"CAST(FLOOR({x} * 100 + 0.5) AS BIGINT)"
+
+
 # --- SQL-side mirrors (DuckDB oracle text) ------------------------------
 
 SQL_DEC = "CAST({x} AS DECIMAL(18,4))"

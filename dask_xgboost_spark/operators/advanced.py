@@ -1,0 +1,111 @@
+"""Advanced query shapes (SURVEY.md §2C: SUBQ/CTE/PIVOT/SAMPLE).
+
+Subqueries/CTEs run through spark.sql so Catalyst's decorrelation
+(RewriteCorrelatedScalarSubquery) does the rewriting — no hand-authored
+join forms. The plan assert tests check the decorrelated shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_xgboost_spark.functions import sql_dec
+from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.sources import load
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "Q-SUBQ-01",
+    sql="SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > "
+    f"(SELECT CAST(SUM({sql_dec('o_totalprice')}) AS DOUBLE) / COUNT(*) FROM orders) "
+    "ORDER BY o_orderkey",
+)
+def q_subq_01(spark, sf):
+    """Scalar subquery: orders above the global average price (exact-decimal
+    average → identical double threshold in both engines)."""
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > "
+        f"(SELECT CAST(SUM({sql_dec('o_totalprice')}) AS DOUBLE) / COUNT(*) FROM orders) "
+        "ORDER BY o_orderkey"
+    )
+
+
+@register(
+    "Q-SUBQ-02",
+    sql="SELECT c_custkey FROM customer WHERE EXISTS ("
+    "SELECT 1 FROM events WHERE user_id = c_custkey AND event_type = 'purchase') "
+    "ORDER BY c_custkey",
+)
+def q_subq_02(spark, sf):
+    """Correlated EXISTS subquery (Catalyst decorrelates to a semi join)."""
+    load(spark, sf, "customer").createOrReplaceTempView("customer")
+    load(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        "SELECT c_custkey FROM customer WHERE EXISTS ("
+        "SELECT 1 FROM events WHERE user_id = c_custkey AND event_type = 'purchase') "
+        "ORDER BY c_custkey"
+    )
+
+
+_CTE_SQL = (
+    "WITH rev AS ("
+    f"  SELECT o_custkey, CAST(SUM({sql_dec('o_totalprice')}) AS DECIMAL(38,6)) AS r"
+    "   FROM orders GROUP BY o_custkey"
+    "), big AS ("
+    "  SELECT o_custkey, r FROM rev WHERE r > 1500000"
+    ") SELECT c_custkey, c_mktsegment, r FROM big JOIN customer ON o_custkey = c_custkey "
+    "ORDER BY c_custkey"
+)
+
+
+@register("Q-CTE-01", sql=_CTE_SQL)
+def q_cte_01(spark, sf):
+    """Chained CTEs: per-customer revenue → threshold → join back to dims."""
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    load(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_CTE_SQL)
+
+
+@register(
+    "Q-PIVOT-01",
+    sql="SELECT user_id, "
+    + ", ".join(
+        f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id ORDER BY user_id",
+)
+def q_pivot_01(spark, sf):
+    """Pivot event counts by event_type (explicit value list → single-pass
+    hash aggregate, no extra distinct job at scale)."""
+    p = (
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    ).orderBy("user_id")
+
+
+@register("Q-SAMPLE-01", sql=None, mode="golden")
+def q_sample_01(spark, sf):
+    """Deterministic sampling. Two variants in one result: (a) hash-bucket
+    sampling — stable under any partitioning (the production-grade
+    deterministic sample at 100 TB); (b) Bernoulli .sample(seed) count —
+    partitioning-dependent, shown for API coverage. Golden-checked by
+    tests, rows-only for the driver."""
+    li = load(spark, sf, "lineitem")
+    hash_sample = li.filter(
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) == 0
+    )
+    return hash_sample.agg(
+        F.count(F.lit(1)).alias("hash_sample_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("hash_sample_qty"),
+    ).crossJoin(
+        li.sample(fraction=0.1, seed=42).agg(F.count(F.lit(1)).alias("bernoulli_rows"))
+    )

@@ -1,0 +1,187 @@
+"""Deduplication operators (SURVEY.md §2G + training-data-pipeline surface).
+
+Five strategies, each the idiomatic Spark shape for its scale regime:
+
+- L-DEDUP-01 exact: content hash + groupBy — one shuffle on the hash key,
+  the only exact-dedup shape that works at 100 TB (never a pairwise join).
+- L-DEDUP-02 MinHash LSH: MLlib MinHashLSH over shingle features;
+  candidate pairs come from approxSimilarityJoin (band-bucket join), so
+  cost is ~O(candidates), not O(n²).
+- L-DEDUP-03 word-level Jaccard via token inverted index — exact
+  similarity for verification; the token join is the textbook
+  posting-list self-join. At 100 TB this needs the LSH variant above or
+  rare-token blocking (the hot-token skew is the known failure mode).
+- L-DEDUP-04 SimHash: 64-bit fingerprint from per-token xxhash64 bit
+  votes — pure column algebra + one groupBy, linear and shuffle-light.
+- L-DEDUP-05 embedding near-dup: exact cosine over all pairs (small-n
+  verification twin of L-SIM-02's LSH path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.sources import load
+
+
+@register(
+    "L-DEDUP-01",
+    sql="SELECT h, CAST(MIN(doc_id) AS BIGINT) AS keeper, COUNT(*) AS n_dups FROM ("
+    "SELECT doc_id, sha256(text) AS h FROM documents) t "
+    "GROUP BY h ORDER BY h",
+)
+def l_dedup_01(spark, sf):
+    """Exact dedup by SHA-256 content hash: keep min doc_id per hash."""
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", F.sha2("text", 256).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_dups"))
+        .orderBy("h")
+    )
+
+
+def minhash_candidates(docs, dist_threshold: float = 0.5, num_tables: int = 8):
+    """Near-dup candidate pairs via MinHash LSH over 3-word shingles.
+
+    Pipeline: shingle (3-gram of tokens) → HashingTF (2^18 dims) →
+    MinHashLSH → approxSimilarityJoin at Jaccard *distance* ≤ threshold.
+    ``docs`` needs (doc_id, text). Cost ~O(candidate pairs), not O(n²).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = docs.select("doc_id", "text").withColumn("tokens", F.split("text", " "))
+    shingled = toks.withColumn(
+        "shingles",
+        F.expr(
+            "transform(sequence(0, size(tokens) - 3), "
+            "i -> concat_ws(' ', slice(tokens, i + 1, 3)))"
+        ),
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feat = tf.transform(shingled)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42
+    )
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, dist_threshold, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("d1"),
+            F.col("datasetB.doc_id").alias("d2"),
+            F.col("jaccard_dist"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+@register("L-DEDUP-02", sql=None, mode="golden")
+def l_dedup_02(spark, sf):
+    """Near-dup candidates via MinHash LSH (see minhash_candidates).
+    Golden-checked: tests plant perturbed near-duplicate docs and assert
+    recall; sketch internals are engine-specific so no SQL oracle."""
+    return minhash_candidates(load(spark, sf, "documents"))
+
+
+# The fixture vocabulary is tiny (31 words), so word-*set* similarity is
+# inflated for unrelated docs; 0.95 keeps the output to true near-dups.
+_JACCARD_THRESHOLD = 0.95
+
+_DEDUP03_SQL = f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (SELECT d1, d2, inter, CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) AS jaccard
+      FROM pair JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id)
+SELECT d1, d2, CAST(inter AS BIGINT) AS inter, jaccard FROM j
+WHERE jaccard >= {_JACCARD_THRESHOLD} ORDER BY d1, d2
+"""
+
+
+@register("L-DEDUP-03", sql=_DEDUP03_SQL)
+def l_dedup_03(spark, sf):
+    """Exact word-set Jaccard via inverted-index self-join (hash-checked
+    against the oracle's identical formulation). jaccard = |∩| / |∪| as a
+    double division of exact ints — cross-engine identical."""
+    docs = load(spark, sf, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
+    )
+    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pair = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c1 = cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    c2 = cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    j = (
+        pair.join(c1, "d1")
+        .join(c2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+    )
+    return (
+        j.filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("d1", "d2", "inter", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+@register("L-DEDUP-04", sql=None, mode="golden")
+def l_dedup_04(spark, sf):
+    """SimHash-64 document fingerprint, pure column algebra:
+
+    token → xxhash64 → per-bit ±1 votes → per-doc vote sums → sign bits →
+    64-bit fingerprint. One explode + one groupBy — linear at any scale.
+    Golden-checked (xxhash64 has no DuckDB twin): determinism + Hamming
+    closeness of planted near-dups is asserted in tests.
+    """
+    docs = load(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    hashed = tok.select("doc_id", F.xxhash64("w").alias("h"))
+    # votes[i] = +1 if bit i set else -1; summed per doc via aggregate drop
+    votes = hashed.select(
+        "doc_id",
+        *[
+            (F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+                f"b{i}"
+            )
+            for i in range(64)
+        ],
+    )
+    sums = votes.groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)])
+    fp = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+                ).otherwise(F.lit(0).cast("bigint"))
+                for i in range(64)
+            ],
+            F.lit(0).cast("bigint"),
+        ).alias("simhash"),
+    )
+    return fp.orderBy("doc_id")
+
+
+@register("L-DEDUP-05", sql=None, mode="golden")
+def l_dedup_05(spark, sf):
+    """Embedding cosine near-duplicate pairs (exact, brute force).
+
+    Declared for verification scale; the 100 TB path is L-SIM-02's
+    BucketedRandomProjectionLSH. Cosine via the fixed-point dot trick from
+    operators/similarity.py. Golden: planted near-dup recall in tests.
+    """
+    from dask_xgboost_spark.operators.similarity import cosine_pairs
+
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    return cosine_pairs(emb, threshold=0.95).orderBy("v1", "v2")

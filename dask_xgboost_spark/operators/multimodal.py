@@ -1,0 +1,103 @@
+"""Multimodal column operators (SURVEY.md §2G L-MM-01).
+
+Design for image/audio/video at 100 TB: media are opaque ``binary``
+columns with typed metadata columns beside them; decode/feature-extract
+runs as Arrow-batched ``mapInPandas`` so bytes never round-trip through
+Python row objects. The decode step itself is STUBBED (no media libs in
+this container) behind a deterministic fake — the Spark-side plumbing
+(schema, batch shape, partition flow) is real and tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.sources import load
+
+
+@register(
+    "L-MM-01",
+    sql="SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, "
+    "md5(text) AS content_md5 FROM documents ORDER BY doc_id",
+)
+def l_mm_01(spark, sf):
+    """Binary payload column + checksum/length metadata (parquet-native
+    BinaryType; the oracle checks byte length and digest parity)."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return (
+        load(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.octet_length(payload).alias("n_bytes"),
+            F.md5(payload).alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- decode / feature-extraction plumbing (stubbed decode) ---------------
+
+FEATURE_DIM = 8
+
+
+def decode_media(payload: bytes) -> bytes:
+    """Decode an image/audio payload. STUB: media codecs are not available
+    in this environment; raise so callers must opt into the fake path."""
+    raise NotImplementedError(
+        "media codecs unavailable in this environment; use fake_features=True"
+    )
+
+
+def _fake_feature_batch(pdf, dim: int):
+    """Deterministic fake 'embedding': byte-histogram moments of the
+    payload. Stands in for a real decoder; same signature/batch shape."""
+    import numpy as np
+
+    out = []
+    for payload in pdf["payload"]:
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+        chunks = np.array_split(arr, dim)
+        out.append([float(c.mean()) if len(c) else 0.0 for c in chunks])
+    return out
+
+
+def extract_features(df: DataFrame, fake_features: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over a binary ``payload`` column.
+
+    Arrow-batched: each batch is a pandas DataFrame whose payload column
+    holds raw bytes; output schema is (doc_id, features array<double>).
+    Real decoders drop into ``_fake_feature_batch``'s slot unchanged.
+    """
+    if not fake_features:
+        decode_media(b"")  # raises NotImplementedError
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": _fake_feature_batch(pdf, FEATURE_DIM),
+                }
+            )
+
+    return df.mapInPandas(run, "doc_id bigint, features array<double>")
+
+
+@register("L-MM-02", sql=None, mode="golden")
+def l_mm_02(spark, sf):
+    """Multimodal feature-extraction plumbing end-to-end: text→binary
+    payload → mapInPandas (stub decoder) → typed feature array. Golden:
+    deterministic output, schema asserted in tests."""
+    docs = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+    feat = extract_features(docs, fake_features=True)
+    return feat.select(
+        "doc_id",
+        F.size("features").alias("dim"),
+        F.round(F.element_at("features", 1), 6).alias("f1"),
+    ).orderBy("doc_id")

@@ -25,15 +25,14 @@ from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 from dask_xgboost_spark.functions import (
     DEC_OUT,
     EVENTS_US,
+    cents,
     dec,
     dsum,
     net_price,
-    charge,
+    sql_cents,
     sql_dec,
     sql_dsum,
-    sql_dsum_expr,
     sql_net_price,
-    sql_charge,
 )
 from dask_xgboost_spark.operators.asof import asof_join_backward
 from dask_xgboost_spark.registry import register
@@ -210,8 +209,12 @@ def q_join_01(spark, sf):
     )
 
 
+# Fixed-point revenue: price-cents × (100 - discount-cents) summed as
+# int64 (exact, codegen fast path), one float division at the end.
 _REVENUE_BY_NATION_SQL = (
-    f"SELECT n_name, {sql_dsum_expr(sql_net_price(), 'revenue')} "
+    "SELECT n_name, "
+    f"CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})) AS BIGINT) "
+    "/ 1e4 AS revenue "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
     "JOIN customer ON o_custkey = c_custkey "
     "JOIN nation ON c_nationkey = n_nationkey "
@@ -227,12 +230,13 @@ def _revenue_by_nation(spark, sf, hint_broadcast: bool):
     if hint_broadcast:
         nation = F.broadcast(nation)
         customer = F.broadcast(customer)
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(nation, customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(net_price()).cast(DEC_OUT).alias("revenue"))
+        .agg((F.sum(rev) / 1e4).alias("revenue"))
         .orderBy("n_name")
     )
 
@@ -387,40 +391,49 @@ def q_join_10(spark, sf):
 # --------------------------------------------------------------------------
 
 
+_Q1_QC = sql_cents("l_quantity")
+_Q1_PC = sql_cents("l_extendedprice")
+_Q1_DC = sql_cents("l_discount")
+_Q1_TC = sql_cents("l_tax")
+
+
 @register(
     "Q-AGG-01",
     sql="SELECT l_returnflag, l_linestatus, "
-    + sql_dsum("l_quantity", "sum_qty")
-    + ", "
-    + sql_dsum("l_extendedprice", "sum_base_price")
-    + ", "
-    + sql_dsum_expr(sql_net_price(), "sum_disc_price")
-    + ", "
-    + sql_dsum_expr(sql_charge(), "sum_charge")
-    + ", "
-    + f"CAST(SUM({sql_dec('l_quantity')}) AS DOUBLE) / COUNT(*) AS avg_qty, "
-    + f"CAST(SUM({sql_dec('l_extendedprice')}) AS DOUBLE) / COUNT(*) AS avg_price, "
-    + f"CAST(SUM({sql_dec('l_discount')}) AS DOUBLE) / COUNT(*) AS avg_disc, "
-    + "COUNT(*) AS count_order "
+    f"CAST(SUM({_Q1_QC}) AS BIGINT) / 1e2 AS sum_qty, "
+    f"CAST(SUM({_Q1_PC}) AS BIGINT) / 1e2 AS sum_base_price, "
+    f"CAST(SUM({_Q1_PC} * (100 - {_Q1_DC})) AS BIGINT) / 1e4 AS sum_disc_price, "
+    f"CAST(SUM({_Q1_PC} * (100 - {_Q1_DC}) * (100 + {_Q1_TC})) AS BIGINT) / 1e6 AS sum_charge, "
+    f"CAST(SUM({_Q1_QC}) AS BIGINT) / 1e2 / COUNT(*) AS avg_qty, "
+    f"CAST(SUM({_Q1_PC}) AS BIGINT) / 1e2 / COUNT(*) AS avg_price, "
+    f"CAST(SUM({_Q1_DC}) AS BIGINT) / 1e2 / COUNT(*) AS avg_disc, "
+    "COUNT(*) AS count_order "
     "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00' "
     "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
 )
 def q_agg_01(spark, sf):
-    """TPC-H Q1-shape scan-aggregate (bench headliner). Exact decimal sums;
-    averages derived from small-unscaled sums (see functions/ contract)."""
+    """TPC-H Q1-shape scan-aggregate (bench headliner). Fixed-point int64
+    sums (exact + codegen fast path; see functions/ fixed-point notes) —
+    the decimal-carrier variant of the same math is Q-PROJ-02/Q-AGG-05."""
     li = load(spark, sf, "lineitem")
     cnt = F.count(F.lit(1))
+    qc, pc, dc, tc = (
+        cents("l_quantity"),
+        cents("l_extendedprice"),
+        cents("l_discount"),
+        cents("l_tax"),
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            F.sum(net_price()).cast(DEC_OUT).alias("sum_disc_price"),
-            F.sum(charge()).cast(DEC_OUT).alias("sum_charge"),
-            (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
-            (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
-            (F.sum(dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            (F.sum(qc) / 1e2).alias("sum_qty"),
+            (F.sum(pc) / 1e2).alias("sum_base_price"),
+            (F.sum(pc * (100 - dc)) / 1e4).alias("sum_disc_price"),
+            (F.sum(pc * (100 - dc) * (100 + tc)) / 1e6).alias("sum_charge"),
+            (F.sum(qc) / 1e2 / cnt).alias("avg_qty"),
+            (F.sum(pc) / 1e2 / cnt).alias("avg_price"),
+            (F.sum(dc) / 1e2 / cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -545,7 +558,7 @@ def q_agg_08(spark, sf):
         load(spark, sf, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.approx_count_distinct("o_custkey").alias("approx_cust"),
+            F.approx_count_distinct("o_custkey", rsd=0.015).alias("approx_cust"),
             F.countDistinct("o_custkey").alias("exact_cust"),
         )
         .orderBy("o_orderpriority")

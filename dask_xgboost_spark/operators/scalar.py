@@ -1,0 +1,400 @@
+"""Scalar function families (SURVEY.md §2C: STR/DATE/MATH/COND/CAST/ARR/MAP/JSON).
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen; no Python in the row path. Cross-engine notes:
+
+- LENGTH/YEAR/etc return INT in Spark, BIGINT in DuckDB → the oracle SQL
+  casts to the Spark type.
+- ROUND on doubles differs between engines (Spark round-trips through the
+  shortest decimal string, DuckDB rounds the binary value) → rounding is
+  always done on exact DECIMAL carriers.
+- FLOOR/CEIL on doubles return BIGINT in Spark → oracle casts.
+- float→decimal casts are forbidden (float shortest-repr granularity is
+  coarser than the decimal grid → double-rounding divergence); always
+  widen float→double first (exact in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_xgboost_spark.functions import EVENTS_US, dec
+from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.sources import load
+
+# --------------------------------------------------------------------------
+# STR
+# --------------------------------------------------------------------------
+
+
+@register(
+    "Q-STR-01",
+    sql="SELECT p_partkey, UPPER(p_name) AS u, LOWER(p_brand) AS lo, "
+    "CAST(LENGTH(p_name) AS INT) AS len, TRIM(p_name) AS t "
+    "FROM part ORDER BY p_partkey",
+)
+def q_str_01(spark, sf):
+    """upper/lower/length/trim."""
+    return (
+        load(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("u"),
+            F.lower("p_brand").alias("lo"),
+            F.length("p_name").alias("len"),
+            F.trim("p_name").alias("t"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "Q-STR-02",
+    sql="SELECT p_partkey, SUBSTR(p_name, 1, 5) AS s, "
+    "CONCAT_WS('-', p_brand, p_type) AS cw, "
+    "LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS pad "
+    "FROM part ORDER BY p_partkey",
+)
+def q_str_02(spark, sf):
+    """substring/concat_ws/lpad."""
+    return (
+        load(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.substring("p_name", 1, 5).alias("s"),
+            F.concat_ws("-", "p_brand", "p_type").alias("cw"),
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("pad"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "Q-STR-03",
+    sql="SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tok, "
+    "string_split(text, ' ')[1] AS first_tok, "
+    "list_contains(string_split(text, ' '), 'data') AS has_data "
+    "FROM documents ORDER BY doc_id",
+)
+def q_str_03(spark, sf):
+    """split + array size/element/contains over documents.text."""
+    toks = F.split(F.col("text"), " ")
+    return (
+        load(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tok"),
+            F.element_at(toks, 1).alias("first_tok"),
+            F.array_contains(toks, "data").alias("has_data"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "Q-STR-04",
+    sql="SELECT o_orderkey, regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_num, "
+    "regexp_replace(o_orderpriority, '[0-9]+-', '') AS prio_name "
+    "FROM orders ORDER BY o_orderkey",
+)
+def q_str_04(spark, sf):
+    """regexp_extract/replace (patterns in the Java∩RE2 common subset)."""
+    return (
+        load(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.regexp_extract("o_orderpriority", "([0-9]+)", 1).alias("prio_num"),
+            F.regexp_replace("o_orderpriority", "[0-9]+-", "").alias("prio_name"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# DATE
+# --------------------------------------------------------------------------
+
+
+@register(
+    "Q-DATE-01",
+    sql="SELECT CAST(YEAR(o_orderdate) AS INT) AS y, CAST(MONTH(o_orderdate) AS INT) AS m, "
+    "COUNT(*) AS n FROM orders GROUP BY y, m ORDER BY y, m",
+)
+def q_date_01(spark, sf):
+    """year/month extraction + rollup."""
+    return (
+        load(spark, sf, "orders")
+        .groupBy(F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("y", "m")
+    )
+
+
+@register(
+    "Q-DATE-02",
+    sql="SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 1e2 AS sv "
+    f"FROM {EVENTS_US} e GROUP BY h ORDER BY h",
+)
+def q_date_02(spark, sf):
+    """Hourly events rollup (bench headliner; batch twin of S-WIN-01).
+    Fixed-point value sum (functions/ fixed-point notes)."""
+    return (
+        load(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 1e2).alias("sv"),
+        )
+        .orderBy("h")
+    )
+
+
+@register(
+    "Q-DATE-03",
+    sql="SELECT l_orderkey, l_linenumber, "
+    "CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS ship_days, "
+    "o_orderdate + INTERVAL 30 DAY AS due_ts "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "ORDER BY l_orderkey, l_linenumber",
+)
+def q_date_03(spark, sf):
+    """Date arithmetic: datediff + interval add (timestamps)."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff("l_shipdate", "o_orderdate").alias("ship_days"),
+            F.expr("o_orderdate + INTERVAL 30 DAY").alias("due_ts"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# MATH
+# --------------------------------------------------------------------------
+
+
+@register(
+    "Q-MATH-01",
+    sql="SELECT event_id, ABS(value - 20.0) AS abs_v, "
+    "CAST(ROUND(CAST(value AS DECIMAL(18,4)), 1) AS DECIMAL(18,1)) AS round_v, "
+    "CAST(FLOOR(value) AS BIGINT) AS floor_v, CAST(CEIL(value) AS BIGINT) AS ceil_v, "
+    "CAST(FLOOR(value * 100) AS BIGINT) % 7 AS mod_v, "
+    "POWER(2.0, CAST(event_id % 10 AS DOUBLE)) AS pow_v, "
+    "SQRT(value) AS sqrt_v, "
+    "CAST(LN(value + 1.0) AS DECIMAL(18,6)) AS ln_v "
+    "FROM events ORDER BY event_id",
+)
+def q_math_01(spark, sf):
+    """abs/round/floor/ceil/mod/power/sqrt/ln. round on a decimal carrier
+    (double ROUND semantics differ across engines); power only at exact
+    points; ln anchored to 6 decimals (libm implementations may differ in
+    the last ulp)."""
+    v = F.col("value")
+    return (
+        load(spark, sf, "events")
+        .select(
+            "event_id",
+            F.abs(v - 20.0).alias("abs_v"),
+            F.round(dec("value"), 1).cast("decimal(18,1)").alias("round_v"),
+            F.floor(v).alias("floor_v"),
+            F.ceil(v).alias("ceil_v"),
+            (F.floor(v * 100) % 7).alias("mod_v"),
+            F.pow(F.lit(2.0), (F.col("event_id") % 10).cast("double")).alias("pow_v"),
+            F.sqrt(v).alias("sqrt_v"),
+            F.log(v + 1.0).cast("decimal(18,6)").alias("ln_v"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# COND
+# --------------------------------------------------------------------------
+
+
+@register(
+    "Q-COND-01",
+    sql="SELECT o_orderkey, "
+    "CASE WHEN o_totalprice < 50000 THEN 'low' WHEN o_totalprice < 150000 THEN 'mid' "
+    "ELSE 'high' END AS band, "
+    "NULLIF(o_orderstatus, 'O') AS st, "
+    "COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS st2 "
+    "FROM orders ORDER BY o_orderkey",
+)
+def q_cond_01(spark, sf):
+    """CASE WHEN / NULLIF / COALESCE."""
+    p = F.col("o_totalprice")
+    st = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        load(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.when(p < 50000, "low").when(p < 150000, "mid").otherwise("high").alias("band"),
+            st.alias("st"),
+            F.coalesce(st, F.lit("open")).alias("st2"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# CAST
+# --------------------------------------------------------------------------
+
+
+@register(
+    "Q-CAST-01",
+    sql="SELECT l_orderkey, l_linenumber, "
+    "CAST(l_quantity AS INT) AS q_int, "
+    "CAST(l_orderkey AS VARCHAR) AS k_str, "
+    "CAST(CAST(l_orderkey AS VARCHAR) AS DOUBLE) AS k_dbl, "
+    "CAST(l_discount AS DECIMAL(5,2)) AS disc_dec, "
+    "CAST(l_shipdate AS DATE) AS ship_date, "
+    "CAST(l_shipdate AS VARCHAR) AS ship_str "
+    "FROM lineitem ORDER BY l_orderkey, l_linenumber",
+)
+def q_cast_01(spark, sf):
+    """Cast matrix: double↔int, int↔string, string→double, double→decimal
+    (lossless: 2-decimal data), timestamp→date/string (zero-fraction
+    timestamps render identically in both engines)."""
+    return (
+        load(spark, sf, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("int").alias("q_int"),
+            F.col("l_orderkey").cast("string").alias("k_str"),
+            F.col("l_orderkey").cast("string").cast("double").alias("k_dbl"),
+            F.col("l_discount").cast("decimal(5,2)").alias("disc_dec"),
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            F.col("l_shipdate").cast("string").alias("ship_str"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# ARR (over embeddings: array<float> columns)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "Q-ARR-01",
+    sql="SELECT vec_id, CAST(len(embedding) AS INT) AS dim, "
+    "embedding[1] AS first_e, embedding[len(embedding)] AS last_e, "
+    "embedding[1:4] AS head4 "
+    "FROM embeddings ORDER BY vec_id",
+)
+def q_arr_01(spark, sf):
+    """Array size / element_at / slice over the embedding column."""
+    e = F.col("embedding")
+    return (
+        load(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            F.size(e).alias("dim"),
+            F.element_at(e, 1).alias("first_e"),
+            F.element_at(e, F.size(e)).alias("last_e"),
+            F.slice(e, 1, 4).alias("head4"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "Q-ARR-02",
+    sql="SELECT vec_id, CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS s8 "
+    "FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) t "
+    "GROUP BY vec_id ORDER BY vec_id",
+)
+def q_arr_02(spark, sf):
+    """explode/unnest + re-aggregate. Float sums are made order-independent
+    by fixed-point anchoring: FLOOR(x*1e8) of identical doubles is an
+    identical integer in any engine (decimal casts of arbitrary doubles
+    are NOT cross-engine safe — DuckDB's cast is not correctly rounded at
+    high scale)."""
+    return (
+        load(spark, sf, "embeddings")
+        .select("vec_id", F.explode("embedding").alias("v"))
+        .groupBy("vec_id")
+        .agg(F.sum(F.floor(F.col("v").cast("double") * 1e8)).alias("s8"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "Q-ARR-03",
+    sql="SELECT vec_id, SQRT(list_sum(list_transform(embedding, "
+    "x -> FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12))) / 1e12) AS l2 "
+    "FROM embeddings ORDER BY vec_id",
+)
+def q_arr_03(spark, sf):
+    """L2 norm via higher-order functions (no explode, no shuffle).
+    Fixed-point trick: each squared term is floored at 1e-12 so the sum is
+    a sum of integer-valued doubles — exact in any order — then one float
+    division + sqrt on identical doubles."""
+    expr = (
+        "SQRT(aggregate(transform(embedding, "
+        "x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) / 1e12)"
+    )
+    return (
+        load(spark, sf, "embeddings")
+        .select("vec_id", F.expr(expr).alias("l2"))
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# MAP
+# --------------------------------------------------------------------------
+
+
+@register(
+    "Q-MAP-01",
+    sql="SELECT p_partkey, ['brand','type'] AS ks, p_brand AS brand_from_map "
+    "FROM part ORDER BY p_partkey",
+)
+def q_map_01(spark, sf):
+    """Build a map column, list its keys, read an element back. The oracle
+    states the expected *result* (map build+extract is identity); the
+    Spark side actually exercises create_map/map_keys/element_at."""
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return (
+        load(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.map_keys(m).alias("ks"),
+            F.element_at(m, F.lit("brand")).alias("brand_from_map"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON
+# --------------------------------------------------------------------------
+
+
+@register(
+    "Q-JSON-01",
+    sql="SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) "
+    "AS sum_k, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+)
+def q_json_01(spark, sf):
+    """JSON path extraction on events.props + aggregate."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )

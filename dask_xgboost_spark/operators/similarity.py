@@ -1,0 +1,153 @@
+"""Similarity search over embeddings (SURVEY.md §2G L-SIM-01/02).
+
+Two-tier design, as a production vector pipeline at 100 TB:
+
+- Exact brute-force cosine (L-SIM-01): higher-order-function dot products
+  — JVM-side, no UDF, no explode — against a *small* query set broadcast
+  to all executors. Cost O(n · |queries|); this is the correct exact shape
+  when |queries| is small, and the verification oracle for the ANN tier.
+- ANN via BucketedRandomProjectionLSH (L-SIM-02): random-hyperplane
+  bucketing prunes candidates before exact re-scoring. Sub-linear
+  candidate generation; recall ≥ 0.9 vs the exact tier is asserted in
+  tests.
+
+Cross-engine float determinism uses the fixed-point anchor: dot terms are
+FLOOR(x*y*1e12) — identical doubles → identical integers in any engine
+and any summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.sources import load
+
+# Fixed-point dot product / norm over two array<float> columns.
+_DOT12 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12) AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v) / 1e12"
+)
+_NORM12 = (
+    "SQRT(aggregate(transform({a}, x -> "
+    "CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v) / 1e12)"
+)
+
+# DuckDB mirrors (1-based list indexing; range(n) is 0..n-1).
+_DUCK_DOT12 = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> "
+    "FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e12))) / 1e12"
+)
+_DUCK_NORM12 = (
+    "SQRT(list_sum(list_transform({a}, x -> "
+    "FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12))) / 1e12)"
+)
+
+
+def cosine_col(a: str, b: str) -> Column:
+    """cos(a, b) as a deterministic JVM-side expression."""
+    return F.expr(
+        f"({_DOT12.format(a=a, b=b)}) / "
+        f"(({_NORM12.format(a=a)}) * ({_NORM12.format(a=b)}))"
+    )
+
+
+def duck_cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_DUCK_DOT12.format(a=a, b=b)}) / "
+        f"(({_DUCK_NORM12.format(a=a)}) * ({_DUCK_NORM12.format(a=b)}))"
+    )
+
+
+def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """All pairs (v1 < v2) with cosine ≥ threshold (brute force — declared
+    for verification scale; LSH-prune first at production scale)."""
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .withColumn("cosine", cosine_col("ea", "eb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("v1", "v2", "cosine")
+    )
+
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+
+_SIM01_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+s AS (SELECT qid, cid, {duck_cosine_sql('qe', 'ce')} AS cosine
+      FROM q CROSS JOIN c WHERE qid <> cid),
+r AS (SELECT qid, cid, cosine,
+      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk FROM s)
+SELECT qid, cid, cosine, rnk FROM r WHERE rnk <= {TOP_K} ORDER BY qid, rnk
+"""
+
+
+@register("L-SIM-01", sql=_SIM01_SQL)
+def l_sim_01(spark, sf):
+    """Exact cosine top-k for a small broadcast query set (hash-checked).
+    Plan shape: BroadcastNestedLoopJoin(queries) → HOF dot product →
+    per-query top-k window — no shuffle of the big side until the final
+    (tiny) window input."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", cosine_col("qe", "ce"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "cid", "cosine", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+@register("L-SIM-02", sql=None, mode="tol")
+def l_sim_02(spark, sf):
+    """ANN top-k via BucketedRandomProjectionLSH: bucket join prunes
+    candidates, exact cosine re-scores them. Tests assert recall ≥ 0.9 vs
+    L-SIM-01. No oracle (random projections are engine-specific)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf, "embeddings").withColumn(
+        "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=0.5, numHashTables=6, seed=42
+    )
+    model = lsh.fit(emb)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    # Euclidean-distance candidates; vectors are ~unit-norm so euclidean
+    # ranking ≈ cosine ranking; exact cosine re-scores the candidate set.
+    cand = model.approxSimilarityJoin(q, emb, 2.0, distCol="dist")
+    scored = (
+        cand.select(
+            F.col("datasetA.vec_id").alias("qid"),
+            F.col("datasetA.embedding").alias("qe"),
+            F.col("datasetB.vec_id").alias("cid"),
+            F.col("datasetB.embedding").alias("ce"),
+        )
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", cosine_col("qe", "ce"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "cid", "cosine", "rnk")
+        .orderBy("qid", "rnk")
+    )

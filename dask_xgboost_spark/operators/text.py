@@ -1,0 +1,224 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2G).
+
+Language-ID, quality scoring, token statistics, n-grams, TF-IDF and
+document fingerprinting over the ``documents`` table. Everything except
+TF-IDF is pure column algebra (whole-stage codegen, no UDFs) and
+hash-checked against DuckDB; TF-IDF uses MLlib's hashing vectorizer and
+is golden-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.sources import load
+
+# Explicit stopword list — mirrored literally in the oracle SQL (never
+# depend on MLlib's default list for checkable semantics).
+STOPWORDS = ["the", "a", "of", "and", "to"]
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "L-TEXT-01",
+    sql="SELECT doc_id, CAST(len(toks) AS INT) AS n_tok, "
+    f"CAST(len(list_filter(toks, w -> w NOT IN ({_SW}))) AS INT) AS n_content "
+    "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) t "
+    "ORDER BY doc_id",
+)
+def l_text_01(spark, sf):
+    """Tokenize + stopword removal (declarative twin of RegexTokenizer +
+    StopWordsRemover; expressed as HOFs so it hash-checks and stays JVM-side)."""
+    toks = F.split(F.lower("text"), " ")
+    content = F.filter(toks, lambda w: ~w.isin(STOPWORDS))
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", F.size(toks).alias("n_tok"), F.size(content).alias("n_content"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "L-TEXT-02",
+    sql="SELECT doc_id, CAST(len(bgs) AS INT) AS n_bigrams, "
+    "CAST(len(list_distinct(bgs)) AS INT) AS n_distinct_bigrams FROM ("
+    "SELECT doc_id, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bgs "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) x) y "
+    "ORDER BY doc_id",
+)
+def l_text_02(spark, sf):
+    """Word bigrams via HOFs (declarative twin of MLlib NGram(n=2))."""
+    t = F.split(F.col("text"), " ")
+    bgs = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+        "element_at(split(text, ' '), i + 1)))"
+    )
+    return (
+        load(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.size(bgs).alias("n_bigrams"),
+            F.size(F.array_distinct(bgs)).alias("n_distinct_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "L-TEXT-03",
+    sql="SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents WHERE lang IN ('en', 'de') AND n_chars BETWEEN 100 AND 400 "
+    "GROUP BY lang ORDER BY lang",
+)
+def l_text_03(spark, sf):
+    """Language/length quality filters (the basic corpus-curation gate)."""
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("lang").isin("en", "de") & F.col("n_chars").between(100, 400))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+@register("L-TEXT-04", sql=None, mode="golden")
+def l_text_04(spark, sf):
+    """TF-IDF features (HashingTF → IDF) + per-doc feature norm.
+    Golden-checked: deterministic across runs; hashing internals are
+    engine-specific so no SQL oracle."""
+    from pyspark.ml.feature import IDF, HashingTF
+
+    docs = load(spark, sf, "documents").withColumn("tokens", F.split("text", " "))
+    tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 16)
+    tfd = tf.transform(docs)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
+    out = idf.transform(tfd)
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array("tfidf")
+    norm = F.expr(
+        "SQRT(aggregate(_tfidf_arr, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v))"
+    )
+    return (
+        out.withColumn("_tfidf_arr", arr)
+        .select("doc_id", norm.alias("tfidf_norm"))
+        .orderBy("doc_id")
+    )
+
+
+# Marker-word lists for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ["the", "value", "fast", "table"],
+    "de": ["data", "row", "slow"],
+    "es": ["key", "part", "hash"],
+}
+
+
+def _lang_sql() -> str:
+    scores = ", ".join(
+        "CAST(len(list_filter(toks, w -> w IN ({words}))) AS INT) AS s_{lang}".format(
+            words=", ".join(f"'{w}'" for w in ws), lang=lang
+        )
+        for lang, ws in LANG_MARKERS.items()
+    )
+    return (
+        "SELECT doc_id, s_en, s_de, s_es, "
+        "CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en' "
+        "WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang FROM ("
+        f"SELECT doc_id, {scores} FROM "
+        "(SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) t) s "
+        "ORDER BY doc_id"
+    )
+
+
+@register("L-TEXT-05", sql=_lang_sql())
+def l_text_05(spark, sf):
+    """Language-ID heuristic: marker-word overlap scores + deterministic
+    argmax. (Fixture text is a synthetic shared-vocabulary soup, so this
+    demonstrates the operator shape, not linguistic accuracy.)"""
+    toks = F.split(F.lower("text"), " ")
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        *[
+            F.size(F.filter(toks, lambda w: w.isin(ws))).alias(f"s_{lang}")
+            for lang, ws in LANG_MARKERS.items()
+        ],
+    )
+    pred = (
+        F.when((F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")), "en")
+        .when(F.col("s_de") >= F.col("s_es"), "de")
+        .otherwise("es")
+    )
+    return d.withColumn("pred_lang", pred).orderBy("doc_id")
+
+
+@register(
+    "L-TEXT-06",
+    sql="SELECT doc_id, "
+    "CAST(len(toks) AS INT) AS n_tok, "
+    "CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) AS avg_tok_len, "
+    f"CAST(len(list_filter(toks, w -> w IN ({_SW}))) AS DOUBLE) / len(toks) AS stopword_ratio, "
+    "CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_tok "
+    "FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents) t "
+    "ORDER BY doc_id",
+)
+def l_text_06(spark, sf):
+    """Quality scoring: token count, avg token length, stopword ratio,
+    chars-per-token — exact int arithmetic → identical double ratios."""
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    sum_len = F.expr(
+        "aggregate(transform(split(text, ' '), w -> length(w)), 0, (a, v) -> a + v)"
+    )
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+    return (
+        load(spark, sf, "documents")
+        .select(
+            "doc_id",
+            n_tok.alias("n_tok"),
+            (sum_len.cast("double") / n_tok).alias("avg_tok_len"),
+            (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+            (F.col("n_chars").cast("double") / n_tok).alias("chars_per_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "L-TEXT-07",
+    sql=r"SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_ws_tok, "
+    r"CAST(len(string_split_regex(text, '[aeiou]+')) - 1 AS INT) AS n_vowel_runs "
+    "FROM documents ORDER BY doc_id",
+)
+def l_text_07(spark, sf):
+    """Regex token counting (whitespace + a BPE-ish vowel-run split) —
+    patterns kept in the Java∩RE2 common subset."""
+    return (
+        load(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tok"),
+            (F.size(F.split(F.col("text"), "[aeiou]+")) - 1).alias("n_vowel_runs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "L-TEXT-08",
+    sql="SELECT doc_id, CAST(list_sum(list_transform(range(1, len(t) + 1), "
+    "i -> CAST(i AS BIGINT) * (CAST(length(t[i]) AS BIGINT) * 31 + ascii(t[i])))) AS BIGINT) AS fp "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) x ORDER BY doc_id",
+)
+def l_text_08(spark, sf):
+    """Positional rolling fingerprint: Σ (pos+1)·(31·len(tok) + first-char
+    code) — a deterministic polynomial document fingerprint in pure column
+    algebra (exact integer math, hash-checkable cross-engine)."""
+    fp = F.expr(
+        "aggregate(transform(split(text, ' '), (w, i) -> "
+        "CAST(i + 1 AS BIGINT) * (CAST(length(w) AS BIGINT) * 31 + ascii(w))), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return load(spark, sf, "documents").select("doc_id", fp.alias("fp")).orderBy("doc_id")

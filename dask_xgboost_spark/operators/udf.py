@@ -1,0 +1,146 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2E).
+
+Reference precedent: per-partition Python functions are dask-xgboost's
+only extension mechanism (``map_partitions``/``map_blocks``,
+core.py:367,377). Spark equivalents, fastest-first:
+
+- ``pandas_udf`` (Arrow-vectorized scalar / grouped-agg) — the default.
+- ``mapInPandas`` / ``applyInPandas`` — per-partition / per-group batch
+  functions (the literal ``map_partitions`` analogue).
+- ``udtf`` — table functions (Spark 4).
+
+All are Arrow-batched; no row-at-a-time Python anywhere. The oracle SQL
+mirrors each UDF's math exactly — the UDFs do IEEE-double ops on
+identical inputs, so results are hash-identical.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.sources import load
+
+
+@register(
+    "U-SCALAR-01",
+    sql="SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net "
+    "FROM lineitem ORDER BY l_orderkey, l_linenumber",
+)
+def u_scalar_01(spark, sf):
+    """Arrow-vectorized scalar pandas UDF (~10-100× row-at-a-time Python)."""
+
+    @pandas_udf("double")
+    def net_price_udf(price: pd.Series, discount: pd.Series) -> pd.Series:
+        # Same IEEE expression the oracle SQL states: price * (1 - discount).
+        return price * (1.0 - discount)
+
+    return (
+        load(spark, sf, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            net_price_udf("l_extendedprice", "l_discount").alias("net"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "U-AGG-01",
+    sql="SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def u_agg_01(spark, sf):
+    """Grouped-aggregate pandas UDF (partial aggregation stays on executors)."""
+
+    @pandas_udf("double")
+    def sum_qty_udf(qty: pd.Series) -> float:
+        # l_quantity is integral → float64 summation is exact in any order.
+        return float(qty.sum())
+
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum_qty_udf("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "U-MAP-01",
+    sql="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
+)
+def u_map_01(spark, sf):
+    """mapInPandas — the direct analogue of the reference's map_partitions
+    (core.py:367): per-partition pandas batches in, batches out."""
+
+    def part_filter(batches):
+        for pdf in batches:
+            out = pdf[pdf["l_quantity"] > 45]
+            yield out[["l_orderkey", "l_linenumber", "l_quantity"]]
+
+    li = load(spark, sf, "lineitem")
+    return li.mapInPandas(
+        part_filter, "l_orderkey bigint, l_linenumber int, l_quantity double"
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "U-GAPPLY-01",
+    sql="SELECT l_orderkey, l_linenumber, l_quantity - "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS DOUBLE) "
+    "/ COUNT(*) OVER (PARTITION BY l_returnflag) AS centered "
+    "FROM lineitem ORDER BY l_orderkey, l_linenumber",
+)
+def u_gapply_01(spark, sf):
+    """applyInPandas grouped map: center quantity within its group.
+    Hash-checkable because the group mean is sum/len of integral values —
+    exact float64 in numpy and in the oracle's window expression."""
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["l_quantity"]
+        mean = q.sum() / len(q)
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "centered": q - mean,
+            }
+        )
+
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .applyInPandas(center, "l_orderkey bigint, l_linenumber int, centered double")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "U-TABLE-01",
+    sql="SELECT doc_id, CAST(pos AS INT) AS pos, tok FROM ("
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+    "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos "
+    "FROM documents WHERE doc_id < 50) t ORDER BY doc_id, pos",
+)
+def u_table_01(spark, sf):
+    """Python UDTF (Spark 4): tokenize text rows into (pos, token) rows."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate(text.split(" ")):
+                yield i, t
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.tok FROM _udtf_docs, "
+        "LATERAL tokenize_udtf(text) AS t"
+    ).orderBy("doc_id", "pos")

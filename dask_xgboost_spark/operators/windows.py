@@ -1,0 +1,166 @@
+"""Window functions (SURVEY.md §2C Q-WIN-01..06).
+
+All windows are partitioned (per-customer / per-user) so state is bounded
+per key and the physical plan is a single shuffle on the partition key +
+sorted window evaluation — the scalable shape at 100 TB. Ordering always
+ends in a unique key so frames are total-ordered (determinism contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dask_xgboost_spark.functions import EVENTS_US, dec
+from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.sources import load
+
+
+@register(
+    "Q-WIN-01",
+    sql="SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, "
+    "ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk "
+    "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"
+    ") t WHERE rn <= 3 ORDER BY o_custkey, rn",
+)
+def q_win_01(spark, sf):
+    """Top-3 orders per customer (bench headliner): row_number/rank/dense_rank."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "Q-WIN-02",
+    sql="SELECT event_id, user_id, "
+    "value - LAG(value) OVER w AS delta_prev, "
+    "LEAD(value) OVER w - value AS delta_next "
+    f"FROM {EVENTS_US} e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+    "ORDER BY event_id",
+)
+def q_win_02(spark, sf):
+    """LAG/LEAD per-user deltas (identical double subtraction both engines)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value")
+    return (
+        load(spark, sf, "events")
+        .select(
+            "event_id",
+            "user_id",
+            (v - F.lag(v).over(w)).alias("delta_prev"),
+            (F.lead(v).over(w) - v).alias("delta_next"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "Q-WIN-03",
+    sql="SELECT event_id, user_id, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS mov_sum "
+    f"FROM {EVENTS_US} e ORDER BY event_id",
+)
+def q_win_03(spark, sf):
+    """3-row moving sum (ROWS frame) in exact decimal."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        load(spark, sf, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.sum(dec("value")).over(w).cast("decimal(38,6)").alias("mov_sum"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "Q-WIN-04",
+    sql="SELECT o_orderkey, o_custkey, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderdate "
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS run_rev "
+    "FROM orders ORDER BY o_orderkey",
+)
+def q_win_04(spark, sf):
+    """Running revenue per customer with a RANGE frame — orderdate peers
+    share the frame total, so the result is deterministic despite the
+    non-unique ordering."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.sum(dec("o_totalprice")).over(w).cast("decimal(38,6)").alias("run_rev"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "Q-WIN-05",
+    sql="SELECT c_custkey, NTILE(4) OVER w AS quartile, PERCENT_RANK() OVER w AS pr "
+    "FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey",
+)
+def q_win_05(spark, sf):
+    """NTILE(4) + percent_rank over a global total order. (Global window =
+    single partition; declared-semantics query. The scale path for global
+    quantiles is approxQuantile / percentile_approx.)"""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        load(spark, sf, "customer")
+        .select(
+            "c_custkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "Q-WIN-06",
+    sql="SELECT event_id, user_id, FIRST_VALUE(event_type) OVER w AS first_type, "
+    "LAST_VALUE(event_type) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type "
+    f"FROM {EVENTS_US} e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+    "ORDER BY event_id",
+)
+def q_win_06(spark, sf):
+    """FIRST/LAST value per user (LAST over the full frame)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        load(spark, sf, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(wfull).alias("last_type"),
+        )
+        .orderBy("event_id")
+    )

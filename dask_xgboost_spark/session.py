@@ -66,3 +66,7 @@ def ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # right-size externally created sessions that still carry the 200
+    # default (tiny local runs; a tuned session is left untouched)
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))

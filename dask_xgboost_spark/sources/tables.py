@@ -48,11 +48,23 @@ def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -
     return reader.csv(path)
 
 
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table; normalizes events.ts ns→µs (exact floor)."""
+    """Load one fixture table; normalizes events.ts ns→µs (exact floor).
+
+    Caches the analyzed *plan* (not data) per session so repeated loads
+    skip file listing + footer reads; DataFrames are immutable so sharing
+    is safe.
+    """
+    key = (id(spark), sf_dir, name)
+    if key in _PLAN_CACHE:
+        return _PLAN_CACHE[key]
     df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _PLAN_CACHE[key] = df
     return df
 
 

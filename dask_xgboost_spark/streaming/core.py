@@ -1,0 +1,101 @@
+"""Structured Streaming runtime helpers (SURVEY.md §2D).
+
+The reference has no streaming surface (nearest artifact: a timeseries
+test fixture, test_core.py:469); this extension declares one on Spark
+Structured Streaming. Queries replay ``events.parquet`` through a file
+source and run to completion with ``trigger(availableNow=True)`` into a
+memory sink, so every streaming query yields a concrete DataFrame whose
+final state is checkable against the batch oracle (batch-equivalence).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_xgboost_spark.session import ensure_session_confs
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 1,
+    duplicate: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """events.parquet replayed as a file-source stream.
+
+    n_files > 1 splits the table into time-ordered files (distinct mtimes)
+    so watermark semantics are observable across micro-batches;
+    duplicate=True appends a copy of every row (dedup fixtures).
+    """
+    ensure_session_confs(spark)
+    src = f"{sf_dir}/events.parquet"
+    if n_files == 1 and not duplicate:
+        # file-stream sources require a directory
+        stream_dir = tempfile.mkdtemp(prefix="dxs_stream_")
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+        schema = spark.read.parquet(src).schema
+    else:
+        stream_dir = tempfile.mkdtemp(prefix="dxs_stream_")
+        batch = spark.read.parquet(src).orderBy("ts")
+        total = batch.count()
+        per = (total + n_files - 1) // n_files
+        pdf = batch.toPandas()
+        for i in range(n_files):
+            part = pdf.iloc[i * per : (i + 1) * per]
+            if duplicate:
+                import pandas as pd
+
+                part = pd.concat([part, part])
+            path = os.path.join(stream_dir, f"part-{i:04d}.parquet")
+            part.to_parquet(path, index=False)
+            os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        schema = spark.read.parquet(stream_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(stream_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming frame to completion (availableNow) into a memory
+    sink; returns the final in-memory table."""
+    name = "dxs_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="dxs_ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    out = spark.table(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+def run_to_parquet(df: DataFrame, output_mode: str = "append") -> str:
+    """Run a streaming frame to a parquet file sink; returns the sink dir."""
+    out_dir = tempfile.mkdtemp(prefix="dxs_sink_")
+    ckpt = tempfile.mkdtemp(prefix="dxs_ckpt_")
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out_dir

@@ -1,0 +1,176 @@
+"""Streaming operator specs (SURVEY.md §2D), checked by batch-equivalence.
+
+Every query runs the stream to completion (availableNow) and returns the
+final state as a DataFrame; hash-mode entries are compared against the
+batch SQL oracle — the strongest form of stream/batch equivalence the
+driver can check. Watermarks bound state at scale: windows/older state
+are evicted once the event-time watermark passes, so state size tracks
+the watermark horizon, not the stream length.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dask_xgboost_spark.functions import EVENTS_US
+from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.streaming.core import events_stream, run_to_memory, run_to_parquet
+
+
+@register(
+    "S-WIN-01",
+    sql="SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sv "
+    f"FROM {EVENTS_US} e GROUP BY h ORDER BY h",
+    mode="stream",
+)
+def s_win_01(spark, sf):
+    """Tumbling 1h window count/sum ≡ batch date_trunc rollup."""
+    ev = events_stream(spark, sf)
+    agg = ev.groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,6)").alias("sv"),
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(F.col("window.start").alias("h"), "n", "sv").orderBy("h")
+
+
+@register(
+    "S-WIN-02",
+    sql="SELECT ws, COUNT(*) AS n FROM ("
+    "SELECT time_bucket(INTERVAL '15 minutes', ts) - k * (INTERVAL 15 MINUTE) AS ws "
+    f"FROM {EVENTS_US} e, (SELECT unnest([0, 1, 2, 3]) AS k) ks) t "
+    "GROUP BY ws ORDER BY ws",
+    mode="stream",
+)
+def s_win_02(spark, sf):
+    """Sliding window (1h / 15min) ≡ batch expansion: each event belongs
+    to exactly 4 slide-aligned windows."""
+    ev = events_stream(spark, sf)
+    agg = ev.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(F.col("window.start").alias("ws"), "n").orderBy("ws")
+
+
+@register(
+    "S-WIN-03",
+    sql="WITH l AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL "
+    "OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+    f"FROM {EVENTS_US} e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "s AS (SELECT user_id, ts, SUM(brk) OVER ("
+    "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM l) "
+    "SELECT user_id, MIN(ts) AS s_start, COUNT(*) AS n FROM s "
+    "GROUP BY user_id, sid ORDER BY user_id, s_start",
+    mode="stream",
+)
+def s_win_03(spark, sf):
+    """Session window (30-min gap) ≡ batch gaps-and-islands SQL."""
+    ev = events_stream(spark, sf)
+    agg = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        "user_id", F.col("session_window.start").alias("s_start"), "n"
+    ).orderBy("user_id", "s_start")
+
+
+@register("S-WM-01", sql=None, mode="golden")
+def s_wm_01(spark, sf):
+    """Watermark + late-data drop, observable across micro-batches: the
+    stream is split into 8 time-ordered files consumed one per trigger
+    (maxFilesPerTrigger=1), with a 1-hour watermark on a tumbling window
+    in append mode — only finalized (below-watermark) windows are
+    emitted. Golden: tests assert the emitted window set and that it is a
+    strict prefix of the batch rollup."""
+    ev = events_stream(spark, sf, n_files=8, max_files_per_trigger=1)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, "append")
+    return out.select(F.col("window.start").alias("h"), "n").orderBy("h")
+
+
+@register(
+    "S-STATE-01",
+    sql=f"SELECT DISTINCT event_id FROM events ORDER BY event_id",
+    mode="stream",
+)
+def s_state_01(spark, sf):
+    """Stateful streaming dedup: every input row is duplicated in the
+    replay, dropDuplicates('event_id') + watermark restores exactly the
+    distinct set ≡ batch DISTINCT. The watermark bounds dedup state."""
+    ev = events_stream(spark, sf, n_files=4, duplicate=True, max_files_per_trigger=1)
+    deduped = ev.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+    out = run_to_memory(deduped.select("event_id"), "append")
+    return out.select("event_id").orderBy("event_id")
+
+
+@register(
+    "S-STATE-02",
+    sql="SELECT user_id, COUNT(*) AS n_events, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value "
+    "FROM events GROUP BY user_id ORDER BY user_id",
+    mode="stream",
+)
+def s_state_02(spark, sf):
+    """Arbitrary stateful op (applyInPandasWithState): running per-user
+    counters; final state ≡ batch aggregate. The decimal total is carried
+    as an int64 of 1e4-scaled units inside the state (exact)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ev = events_stream(spark, sf).select("user_id", "value")
+
+    out_schema = "user_id bigint, n_events bigint, total_scaled bigint"
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("tot", LongType())]
+    )
+
+    def counter(key, pdfs, state: GroupState):
+        n, tot = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact: value has 2 decimals; per-row scale+round → int64
+            tot += int((pdf["value"] * 10000).round().astype("int64").sum())
+        state.update((n, tot))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_scaled": [tot]})
+
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        counter, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    out = run_to_memory(counted, "update")
+    # One emission per (user, micro-batch); the final state per user is the
+    # max n_events row (counters are monotone).
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_scaled").alias("total_scaled")
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        (F.col("total_scaled").cast("decimal(38,6)") / 10000)
+        .cast("decimal(38,6)")
+        .alias("total_value"),
+    ).orderBy("user_id")
+
+
+@register(
+    "S-SINK-01",
+    sql="SELECT event_id, event_type FROM events ORDER BY event_id",
+    mode="stream",
+)
+def s_sink_01(spark, sf):
+    """writeStream → parquet file sink (append) → re-read: the sink holds
+    exactly the input projection."""
+    ev = events_stream(spark, sf).select("event_id", "event_type")
+    sink_dir = run_to_parquet(ev, "append")
+    return spark.read.parquet(sink_dir).orderBy("event_id")

@@ -51,7 +51,7 @@ def canon_cell(v) -> str:
     if isinstance(v, (int, np.integer)):
         return str(int(v))
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize()) if v != 0 else "0"
+        return format(v.normalize(), "f") if v != 0 else "0"
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if isinstance(v, datetime.datetime):

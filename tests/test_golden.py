@@ -1,0 +1,108 @@
+"""Golden / tolerance checks for the non-hash-mode specs (SURVEY.md §2C/§2G):
+approx aggregates, LSH recall, SimHash, sampling, streaming watermarks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_xgboost_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    out = SPECS["Q-AGG-08"].fn(spark, sf_dir).toPandas()
+    rel_err = (out["approx_cust"] - out["exact_cust"]).abs() / out["exact_cust"]
+    assert (rel_err <= 0.05).all(), out
+
+
+def test_sample_deterministic(spark, sf_dir):
+    a = SPECS["Q-SAMPLE-01"].fn(spark, sf_dir).toPandas()
+    b = SPECS["Q-SAMPLE-01"].fn(spark, sf_dir).toPandas()
+    # hash-bucket sampling is partitioning-independent → exactly stable
+    assert a["hash_sample_rows"][0] == b["hash_sample_rows"][0]
+    assert a["hash_sample_qty"][0] == b["hash_sample_qty"][0]
+    n = a["hash_sample_rows"][0]
+    assert 0.05 <= n / 60000 <= 0.15, "â‰ˆ10% of sf0.01 lineitem"
+
+
+def test_minhash_lsh_recall_on_planted_dups(spark, sf_dir):
+    # Plant near-duplicates (copy a doc, perturb one token) and assert
+    # the LSH pipeline recalls the planted pairs.
+    from dask_xgboost_spark.operators.dedup import minhash_candidates
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(100)
+    )
+    planted = docs.limit(20).selectExpr(
+        "doc_id + 100000 AS doc_id",
+        "concat('zzz ', substr(text, 5)) AS text",  # drop head, add a token
+    )
+    out = minhash_candidates(docs.union(planted), dist_threshold=0.6).toPandas()
+    got = set(map(tuple, out[["d1", "d2"]].values))
+    want = {(i, i + 100000) for i in range(20)}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"LSH recall {recall} of planted near-dups"
+
+
+def test_simhash_deterministic_and_discriminative(spark, sf_dir):
+    fp1 = SPECS["L-DEDUP-04"].fn(spark, sf_dir).toPandas()
+    fp2 = SPECS["L-DEDUP-04"].fn(spark, sf_dir).toPandas()
+    assert fp1.equals(fp2), "simhash must be deterministic"
+    # identical texts must collide on the fingerprint
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    m = fp1.merge(docs.toPandas(), on="doc_id")
+    by_text = m.groupby("text")["simhash"].nunique()
+    assert (by_text == 1).all(), "equal text ⇒ equal simhash"
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    exact = SPECS["L-SIM-01"].fn(spark, sf_dir).toPandas()
+    ann = SPECS["L-SIM-02"].fn(spark, sf_dir).toPandas()
+    want = set(map(tuple, exact[["qid", "cid"]].values))
+    got = set(map(tuple, ann[["qid", "cid"]].values))
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"ANN recall {recall}"
+
+
+def test_tfidf_deterministic(spark, sf_dir):
+    a = SPECS["L-TEXT-04"].fn(spark, sf_dir).toPandas()
+    b = SPECS["L-TEXT-04"].fn(spark, sf_dir).toPandas()
+    assert a.equals(b)
+    assert (a["tfidf_norm"] >= 0).all()
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    out = SPECS["L-MM-02"].fn(spark, sf_dir)
+    assert dict(out.dtypes) == {"doc_id": "bigint", "dim": "int", "f1": "double"}
+    pdf = out.toPandas()
+    assert (pdf["dim"] == 8).all()
+    assert pdf["f1"].notna().all()
+
+
+def test_multimodal_decode_stub_raises(spark):
+    import pytest
+
+    from dask_xgboost_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx")
+
+
+def test_watermark_drops_only_closed_windows(spark, sf_dir):
+    # S-WM-01: appended windows must be a strict prefix of the batch
+    # rollup (only watermark-finalized windows are emitted), and counts
+    # must agree with the batch result on that prefix.
+    stream = SPECS["S-WM-01"].fn(spark, sf_dir).toPandas()
+    batch = (
+        SPECS["Q-DATE-02"]
+        .fn(spark, sf_dir)
+        .select(F.col("h"), F.col("n"))
+        .toPandas()
+    )
+    assert 0 < len(stream) < len(batch)
+    m = stream.merge(batch, on="h", suffixes=("_s", "_b"))
+    assert len(m) == len(stream), "every emitted window exists in batch"
+    assert (m["n_s"] == m["n_b"]).all(), "emitted windows are complete"

@@ -1,0 +1,134 @@
+"""ML layer tests — transplants of the reference's test strategy
+(SURVEY.md §5: dask_xgboost/tests/test_core.py patterns)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_xgboost_spark.ml.core import (
+    XGBClassifier,
+    XGBRegressor,
+    assemble_features,
+    predict,
+    train,
+    translate_params,
+)
+
+PARAMS = dict(n_estimators=8, max_depth=3, learning_rate=0.5, random_state=42)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from dask_xgboost_spark.sources import load
+
+    df = assemble_features(load(spark, sf_dir, "embeddings"))
+    df = df.withColumn("y", (F.col("label") < 5).cast("double")).cache()
+    df.count()
+    return df
+
+
+def test_param_translation():
+    # reference core.py:466: n_estimators → boosting rounds
+    out = translate_params({"n_estimators": 7, "eta": 0.3, "max_depth": 4, "unknown_param": 1})
+    assert out == {"maxIter": 7, "stepSize": 0.3, "maxDepth": 4}
+
+
+def test_classifier_accuracy_and_determinism(spark, emb):
+    # pattern: test_classifier (test_core.py:42-58) — distributed training
+    # reaches sane accuracy; "we can do this twice" (test_core.py:348).
+    clf = XGBClassifier(**PARAMS).fit(emb, label_col="y")
+    preds = clf.predict(emb).select("vec_id", "prediction").toPandas()
+    truth = emb.select("vec_id", "y").toPandas()
+    j = preds.merge(truth, on="vec_id")
+    acc = (j["prediction"] == j["y"]).mean()
+    assert acc >= 0.8, f"train accuracy {acc}"
+
+    clf2 = XGBClassifier(**PARAMS).fit(emb, label_col="y")
+    preds2 = clf2.predict(emb).select("vec_id", "prediction").toPandas()
+    assert preds.sort_values("vec_id").reset_index(drop=True).equals(
+        preds2.sort_values("vec_id").reset_index(drop=True)
+    ), "same seed must give identical models"
+
+
+def test_classifier_predict_proba_consistency(spark, emb):
+    # pattern: test_predict_proba (test_core.py:478-505): argmax(proba)
+    # agrees with predict; binary threshold at 0.5 (core.py:623).
+    clf = XGBClassifier(**PARAMS).fit(emb, label_col="y")
+    out = clf.predict_proba(emb).join(
+        clf.predict(emb).select("vec_id", "prediction"), "vec_id"
+    )
+    bad = out.filter(
+        (F.element_at("proba", 2) > 0.5) != (F.col("prediction") == 1.0)
+    ).count()
+    assert bad == 0
+
+
+def test_classes_discovery_and_multiclass(spark, emb):
+    # reference core.py:561-566 (distributed unique) + 580-586 (objective
+    # switch); shape assert pattern of test_classifier_multi (:233-265).
+    df = emb.withColumn("ym", F.col("label").cast("double"))
+    clf = XGBClassifier(n_estimators=3, max_depth=2).fit(df, label_col="ym")
+    assert clf.classes_ == [float(i) for i in range(10)]
+    assert clf.objective_ == "multi:softprob"
+    assert clf.n_classes_ == 10
+    preds = clf.predict(df).select("prediction").distinct().toPandas()
+    assert set(preds["prediction"]) <= set(float(i) for i in range(10))
+
+
+def test_regressor_rmse_and_determinism(spark, emb):
+    # pattern: test_regressor (test_core.py:268-279)
+    df = emb.withColumn("target", F.element_at("embedding", 1).cast("double"))
+    reg = XGBRegressor(**PARAMS).fit(df, label_col="target")
+    out = reg.predict(df).withColumn("err", F.col("prediction") - F.col("target"))
+    rmse = out.agg(F.sqrt(F.avg(F.col("err") * F.col("err")))).collect()[0][0]
+    std = df.agg(F.stddev("target")).collect()[0][0]
+    assert rmse < std, f"rmse {rmse} should beat the target stddev {std}"
+
+
+def test_sample_weight_changes_model(spark, emb):
+    # pattern: test_validation_weights_* (test_core.py:173-337): weighting
+    # must change predictions.
+    df = emb.withColumn("w", (1 + F.col("vec_id") % 2 * 10).cast("double"))
+    base = XGBClassifier(**PARAMS).fit(df, label_col="y")
+    weighted = XGBClassifier(**PARAMS).fit(df, label_col="y", sample_weight_col="w")
+    a = base.predict_proba(df).select("vec_id", F.element_at("proba", 2).alias("p"))
+    b = weighted.predict_proba(df).select(
+        "vec_id", F.element_at("proba", 2).alias("p2")
+    )
+    diff = (
+        a.join(b, "vec_id")
+        .agg(F.sum(F.abs(F.col("p") - F.col("p2"))).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert diff > 0, "weights must affect the model"
+
+
+def test_eval_set_validation(spark, emb):
+    # pattern: _package_evals / evals_result (core.py:138-151, 259-260):
+    # validation frame is accepted and training still converges.
+    tr = emb.filter(F.col("vec_id") % 5 != 0)
+    va = emb.filter(F.col("vec_id") % 5 == 0)
+    clf = XGBClassifier(**PARAMS).fit(tr, label_col="y", eval_df=va)
+    # the validation-indicator path must produce a model that still fits
+    # the training data (the fixture embeddings generalize weakly, so the
+    # assertable bar is train-set fit + val predictions materializing)
+    jt = clf.predict(tr)  # carries tr's columns incl. y, plus prediction
+    acc_tr = jt.filter(F.col("prediction") == F.col("y")).count() / jt.count()
+    assert acc_tr >= 0.7
+    assert clf.predict(va).count() == va.count()
+
+
+def test_train_predict_functional_api(spark, emb):
+    # the non-estimator API (reference train/predict, core.py:268/340)
+    model = train(
+        {"objective": "binary:logistic", **PARAMS}, emb, label_col="y"
+    )
+    out = predict(model, emb)
+    assert "prediction" in out.columns
+    assert out.count() == emb.count()
+
+
+def test_bad_objective_raises(spark, emb):
+    with pytest.raises(ValueError, match="unsupported objective"):
+        train({"objective": "rank:pairwise"}, emb, label_col="y")
