@@ -66,3 +66,151 @@ def m_train_03(spark, sf):
         df, label_col="y"
     )
     return clf.predict(df).select("vec_id", "prediction").orderBy("vec_id")
+
+
+@register("M-TRAIN-04", sql=None, mode="golden")
+def m_train_04(spark, sf):
+    """Sample weights (reference sample_weight triads, core.py:99-102,
+    191-199 → weightCol): weighted vs unweighted probabilities must
+    differ; returns both for the golden check."""
+    df = _binary_frame(spark, sf).withColumn(
+        "w", (1 + F.col("vec_id") % 2 * 10).cast("double")
+    )
+    base = XGBClassifier(**FAST_PARAMS).fit(df, label_col="y")
+    weighted = XGBClassifier(**FAST_PARAMS).fit(df, label_col="y", sample_weight_col="w")
+    a = base.predict_proba(df).select(
+        "vec_id", F.round(F.element_at("proba", 2), 6).alias("p_unweighted")
+    )
+    b = weighted.predict_proba(df).select(
+        "vec_id", F.round(F.element_at("proba", 2), 6).alias("p_weighted")
+    )
+    return a.join(b, "vec_id").orderBy("vec_id")
+
+
+@register("M-TRAIN-05", sql=None, mode="golden")
+def m_train_05(spark, sf):
+    """Eval sets (reference _package_evals/evals_result, core.py:138-151,
+    259-260 → validationIndicatorCol): fit with a held-out validation
+    frame, predict on it."""
+    df = _binary_frame(spark, sf)
+    tr = df.filter(F.col("vec_id") % 5 != 0)
+    va = df.filter(F.col("vec_id") % 5 == 0)
+    clf = XGBClassifier(**FAST_PARAMS).fit(df=tr, label_col="y", eval_df=va)
+    return clf.predict(va).select("vec_id", "prediction").orderBy("vec_id")
+
+
+@register("M-TRAIN-06", sql=None, mode="golden")
+def m_train_06(spark, sf):
+    """Early stopping (reference early_stopping_rounds/best attrs,
+    core.py:476-479,611-614 → MLlib validationTol): with a loose tolerance
+    the booster stops before maxIter; returns trees-built vs requested."""
+    df = _binary_frame(spark, sf)
+    tr = df.filter(F.col("vec_id") % 5 != 0)
+    va = df.filter(F.col("vec_id") % 5 == 0)
+    from dask_xgboost_spark.ml.core import train
+
+    requested = 30
+    model = train(
+        {"objective": "binary:logistic", "n_estimators": requested, "max_depth": 2,
+         "learning_rate": 0.3, "validationTol": 0.05},
+        tr,
+        label_col="y",
+        eval_df=va,
+    )
+    return spark.createDataFrame(
+        [(model.getNumTrees, requested)], "trees_built int, trees_requested int"
+    )
+
+
+@register("M-PRED-01", sql=None, mode="golden")
+def m_pred_01(spark, sf):
+    """Distributed predict → hard labels (reference predict + argmax/
+    threshold, core.py:340,617-624)."""
+    df = _binary_frame(spark, sf)
+    clf = XGBClassifier(**FAST_PARAMS).fit(df, label_col="y")
+    return clf.predict(df).select("vec_id", "prediction").orderBy("vec_id")
+
+
+@register("M-PRED-02", sql=None, mode="golden")
+def m_pred_02(spark, sf):
+    """Distributed predict_proba (reference core.py:626-631): probability
+    vector exposed as array<double>."""
+    df = _binary_frame(spark, sf)
+    clf = XGBClassifier(**FAST_PARAMS).fit(df, label_col="y")
+    return (
+        clf.predict_proba(df)
+        .select(
+            "vec_id",
+            F.round(F.element_at("proba", 1), 6).alias("p0"),
+            F.round(F.element_at("proba", 2), 6).alias("p1"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register("M-PRED-03", sql=None, mode="golden")
+def m_pred_03(spark, sf):
+    """Missing-value handling (reference dmatrix_kwargs['missing'],
+    test_core.py:366-382): nulls injected into a feature column are
+    imputed (mean strategy) before assembly — the Spark-idiomatic
+    equivalent of a missing sentinel."""
+    from pyspark.ml.feature import Imputer
+
+    emb = load(spark, sf, "embeddings")
+    df = emb.withColumn(
+        "f0",
+        F.when(F.col("vec_id") % 7 == 0, None).otherwise(
+            F.element_at("embedding", 1).cast("double")
+        ),
+    )
+    imputed = (
+        Imputer(inputCols=["f0"], outputCols=["f0_i"], strategy="mean")
+        .fit(df)
+        .transform(df)
+    )
+    return (
+        imputed.select(
+            "vec_id",
+            F.col("f0").isNull().alias("was_missing"),
+            F.round("f0_i", 6).alias("f0_imputed"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register("M-PREP-01", sql=None, mode="golden")
+def m_prep_01(spark, sf):
+    """Feature assembly (replaces the reference's co-located triads,
+    SURVEY §1.1): array<float> → MLlib vector; emits the vector size as
+    the schema witness."""
+    from pyspark.ml.functions import vector_to_array
+
+    df = assemble_features(load(spark, sf, "embeddings"))
+    return (
+        df.select("vec_id", F.size(vector_to_array("features")).alias("dim"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "M-PREP-02",
+    sql="SELECT DISTINCT label FROM embeddings ORDER BY label",
+)
+def m_prep_02(spark, sf):
+    """Class discovery (reference core.py:561-566: distributed unique) —
+    hash-checked distinct over the label column."""
+    return load(spark, sf, "embeddings").select("label").distinct().orderBy("label")
+
+
+@register("G-GEN-01", sql=None, mode="golden")
+def g_gen_01(spark, sf):
+    """Synthetic timeseries generation (reference B13:
+    dd.demo.make_timeseries / da.random.*): hash-seeded, so the output is
+    identical under ANY partitioning; golden-checked."""
+    from dask_xgboost_spark.sources.synthetic import make_timeseries
+
+    ts = make_timeseries(spark, n_rows=1000, seed=42)
+    return ts.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.floor(F.col("x") * 1e6)) / 1e6).alias("sx"),
+    ).orderBy("name")

@@ -351,6 +351,26 @@ def q_arr_03(spark, sf):
     )
 
 
+@register(
+    "Q-ARR-04",
+    sql="SELECT vec_id, CAST(list_position(embedding, list_max(embedding)) - 1 AS INT) "
+    "AS argmax FROM embeddings ORDER BY vec_id",
+)
+def q_arr_04(spark, sf):
+    """Argmax along the array axis (reference B8: da.argmax(probs, axis=1),
+    core.py:621) — first max position, 0-based."""
+    return (
+        load(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            (F.array_position(F.col("embedding"), F.array_max("embedding")) - 1)
+            .cast("int")
+            .alias("argmax"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # MAP
 # --------------------------------------------------------------------------

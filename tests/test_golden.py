@@ -91,6 +91,21 @@ def test_multimodal_decode_stub_raises(spark):
         decode_media(b"xx")
 
 
+def test_early_stopping_builds_fewer_trees(spark, sf_dir):
+    out = SPECS["M-TRAIN-06"].fn(spark, sf_dir).toPandas()
+    assert out["trees_built"][0] <= out["trees_requested"][0]
+
+
+def test_synthetic_generation_partition_independent(spark):
+    from dask_xgboost_spark.sources.synthetic import make_timeseries
+
+    a = make_timeseries(spark, 500, num_partitions=2).orderBy("ts").toPandas()
+    b = make_timeseries(spark, 500, num_partitions=16).orderBy("ts").toPandas()
+    assert a.equals(b), "hash-seeded generation must not depend on partitioning"
+    assert set(a.columns) == {"series_id", "ts", "name", "x", "y"}
+    assert a["x"].between(-1, 1).all()
+
+
 def test_watermark_drops_only_closed_windows(spark, sf_dir):
     # S-WM-01: appended windows must be a strict prefix of the batch
     # rollup (only watermark-finalized windows are emitted), and counts
