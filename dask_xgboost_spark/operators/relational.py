@@ -80,6 +80,21 @@ def q_scan_03(spark, sf):
     return read_parquet(spark, out).orderBy("n_nationkey")
 
 
+@register(
+    "Q-SCAN-04",
+    sql="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+)
+def q_scan_04(spark, sf):
+    """JSON-lines sink + scan roundtrip (schema-explicit read)."""
+    out = tempfile.mkdtemp(prefix="dxs_json_")
+    load(spark, sf, "nation").write.mode("overwrite").json(out)
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .json(out)
+        .orderBy("n_nationkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # PROJ
 # --------------------------------------------------------------------------

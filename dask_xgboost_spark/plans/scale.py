@@ -1,0 +1,79 @@
+"""Scale-path plan strategies (the 100 TB levers, SURVEY.md §4.2/§7).
+
+These are the techniques that keep the declared operators viable at
+1000-executor scale; each is a small composition of public Spark APIs
+with a plan-level test proving the physical effect:
+
+- ``write_bucketed`` / ``bucketed_join``: co-located joins. Bucketing
+  both fact tables on the join key at write time makes every subsequent
+  join/aggregation on that key shuffle-FREE (SortMergeJoin with no
+  Exchange) — at 100 TB this converts the dominant network cost of a
+  fact-fact join into a local merge.
+- ``salted_join``: hot-key mitigation when AQE's skew splitting isn't
+  available (e.g. non-AQE engines or extreme single-key skew): explode
+  the build side into S salt replicas, scatter the probe side across
+  them; restores parallelism at the cost of S× the small side.
+- ``repartition_by_key``: explicit co-partitioning before iterative
+  reuse (the Spark analogue of the reference pinning partitions to
+  workers via who_has, core.py:227-231 — here the partitioner, not the
+  scheduler, owns placement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Bucket count is a layout decision: at 100 TB pick buckets so each
+    bucket ≈ 100-500 MB per table; both sides of a co-located join must
+    use the same count and keys.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables — no Exchange in the physical plan
+    (asserted in tests/test_scale.py)."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def repartition_by_key(df: DataFrame, cols: list[str], n: int | None = None) -> DataFrame:
+    return df.repartition(n, *[F.col(c) for c in cols]) if n else df.repartition(*cols)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (large, skewed) left side with a
+    random-but-deterministic shard id and replicate the right side across
+    all shards. Output equals ``left.join(right, on)`` exactly.
+
+    Use when one key carries a disproportionate share of rows; AQE's
+    skew-join split handles moderate skew automatically, salting handles
+    the pathological single-key case and pre-AQE engines.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts))
+    l_salted = left.withColumn("_salt", salt)
+    shards = F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    r_salted = right.withColumn("_salt", shards)
+    out = l_salted.join(r_salted, on=[on, "_salt"], how=how)
+    return out.drop("_salt")

@@ -13,10 +13,19 @@ SF_SMALL = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from dask_xgboost_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
-    s = get_spark(app_name="dxs-tests", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    s = get_spark(
+        app_name="dxs-tests",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="dxs_wh_")
+        },
+    )
     yield s
     s.stop()
 

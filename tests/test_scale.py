@@ -1,0 +1,114 @@
+"""Scale-path strategy tests: bucketed joins eliminate the shuffle,
+salted joins preserve semantics, barrier training matches the
+single-node closed form."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dask_xgboost_spark.plans.scale import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+
+
+def executed_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, sf_dir, tmp_path_factory):
+    from dask_xgboost_spark.sources import load
+
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    # bucket lineitem and orders on the join key
+    write_bucketed(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "li_b",
+        ["l_orderkey"],
+        num_buckets=8,
+    )
+    write_bucketed(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        "ord_b",
+        ["o_orderkey"],
+        num_buckets=8,
+    )
+    return True
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, warehouse):
+    # disable broadcast so the plan shape is the one that matters at
+    # 100 TB: fact-fact SortMergeJoin
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(
+            spark,
+            "li_b",
+            "ord_b",
+            on=[spark.table("li_b").l_orderkey == spark.table("ord_b").o_orderkey],
+        )
+        from dask_xgboost_spark.sources import load
+
+        plain = load(spark, sf_dir, "lineitem").join(
+            load(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert j.count() == plain.count()
+        p = executed_plan(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange hashpartitioning" not in p, (
+            f"bucketed join must not shuffle:\n{p[:2000]}"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from dask_xgboost_spark.sources import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    plain = li.join(orders, on="l_orderkey").groupBy("l_orderkey").count()
+    salted = (
+        salted_join(li, orders, on="l_orderkey", num_salts=4)
+        .groupBy("l_orderkey")
+        .count()
+    )
+    assert (
+        plain.orderBy("l_orderkey").toPandas().equals(
+            salted.orderBy("l_orderkey").toPandas()
+        )
+    )
+
+
+def test_barrier_train_matches_closed_form(spark):
+    from dask_xgboost_spark.ml.barrier import barrier_train_linear
+    from dask_xgboost_spark.sources.synthetic import make_random_features
+
+    df = make_random_features(spark, n_rows=2000, n_features=4, seed=7)
+    # linear target with known weights
+    w_true = [2.0, -1.0, 0.5, 3.0]
+    df = df.withColumn(
+        "y",
+        sum(
+            [F.element_at("features", i + 1) * w for i, w in enumerate(w_true)],
+            F.lit(0.25),  # intercept
+        ),
+    )
+    w = barrier_train_linear(df, feature_col="features", label_col="y", num_partitions=4)
+    # exact recovery (noiseless linear system)
+    np.testing.assert_allclose(w[:4], w_true, atol=1e-6)
+    np.testing.assert_allclose(w[4], 0.25, atol=1e-6)
+
+    # determinism across runs (reference "we can do this twice" pattern)
+    w2 = barrier_train_linear(df, feature_col="features", label_col="y", num_partitions=4)
+    np.testing.assert_allclose(w, w2, atol=0)
