@@ -39,6 +39,13 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Hive-style partitioned parquet layout (partition pruning: filters on
+    partition columns skip whole directories at planning time — the
+    dominant scan reducer for date-organized data at 100 TB)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
     reader = spark.read.option("header", str(header).lower())
     if schema is not None:

@@ -54,6 +54,30 @@ def test_aggregate_is_partial_then_final(spark, sf_dir):
     assert p.count("HashAggregate") >= 2
 
 
+def test_partition_pruning(spark, sf_dir):
+    # date-partitioned layout + filter on the partition column → the scan
+    # lists only the matching directories (PartitionFilters, no data read
+    # from other dates)
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.sources import load
+    from dask_xgboost_spark.sources.tables import write_partitioned
+
+    out = tempfile.mkdtemp(prefix="dxs_part_")
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    write_partitioned(ev, out, ["day"])
+    got = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = got._jdf.queryExecution().explainString(jmode)
+    assert "PartitionFilters" in p
+    assert "isnotnull(day" in p or "day" in p.split("PartitionFilters", 1)[1][:200]
+    # value-level: pruned read returns exactly that day's rows
+    want = ev.filter(F.col("day") == "2024-01-05").count()
+    assert got.count() == want > 0
+
+
 def test_whole_stage_codegen(spark, sf_dir):
     # AQE finalizes the physical plan only on execution
     df = SPECS["Q-AGG-01"].fn(spark, sf_dir)
