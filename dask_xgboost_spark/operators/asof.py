@@ -52,7 +52,12 @@ def asof_join_backward(
         *[F.lit(None).cast(t).alias(f"_c_{out}") for out, t in carry_types.items()],
     )
     r2 = right.select(
-        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
+        # the join key must survive on the right side (every other left
+        # column rides along as NULL)
+        *[
+            (F.col(on) if c == on else F.lit(None).cast(t)).alias(c)
+            for c, t in left.dtypes
+        ],
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
         *[F.col(src).alias(f"_c_{out}") for out, src in carry.items()],

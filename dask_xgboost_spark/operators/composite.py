@@ -1,0 +1,127 @@
+"""Composite analytical queries (TPC-H-shaped, adapted to the fixture
+schema) — end-to-end shapes a user of the reference's workflow would run
+after preprocessing (README.rst:37-39), combining multi-join + filter +
+aggregate + top-k in single plans. All hash-checked.
+
+Monetary math uses the fixed-point int64 contract (functions/ notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_xgboost_spark.functions import cents, sql_cents
+from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.sources import load
+
+_REV = f"{sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})"
+
+
+@register(
+    "Q-TPCH-03",
+    sql="SELECT l_orderkey, o_orderdate, "
+    f"CAST(SUM({_REV}) AS BIGINT) / 1e4 AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00' "
+    "AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00' "
+    "GROUP BY l_orderkey, o_orderdate "
+    "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10",
+)
+def q_tpch_03(spark, sf):
+    """Shipping-priority shape (TPC-H Q3): segment filter → 3-way join →
+    revenue per urgent order → top-10."""
+    cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-03-15 00:00:00").cast("timestamp")
+    )
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(rev) / 1e4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "Q-TPCH-04",
+    sql="SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1999-07-01 00:00:00' "
+    "AND EXISTS (SELECT 1 FROM lineitem "
+    "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+def q_tpch_04(spark, sf):
+    """Order-priority-checking shape (TPC-H Q4): correlated EXISTS with a
+    date-arithmetic predicate → semi join (Catalyst decorrelates)."""
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1999-07-01 00:00:00' "
+        "AND EXISTS (SELECT 1 FROM lineitem "
+        "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+
+
+@register(
+    "Q-TPCH-06",
+    sql=f"SELECT CAST(SUM({sql_cents('l_extendedprice')} * {sql_cents('l_discount')}) AS BIGINT) "
+    "/ 1e4 AS revenue, COUNT(*) AS n FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+)
+def q_tpch_06(spark, sf):
+    """Forecasting-revenue-change shape (TPC-H Q6): pure scan-filter-agg,
+    every predicate pushable to the parquet scan."""
+    li = load(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        (F.sum(cents("l_extendedprice") * cents("l_discount")) / 1e4).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "Q-TPCH-10",
+    sql="SELECT c_custkey, c_name, n_name, "
+    f"CAST(SUM({_REV}) AS BIGINT) / 1e4 AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+def q_tpch_10(spark, sf):
+    """Returned-item-reporting shape (TPC-H Q10): 4-way join on returns →
+    per-customer lost revenue → top-20 (broadcast dim)."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = F.broadcast(load(spark, sf, "nation"))
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(rev) / 1e4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

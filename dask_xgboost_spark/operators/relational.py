@@ -376,29 +376,34 @@ def q_join_09(spark, sf):
 @register(
     "Q-JOIN-10",
     sql="WITH u AS ("
-    "  SELECT o_orderkey, o_custkey AS k, o_orderdate AS ts, 1 AS side, "
-    "         CAST(NULL AS TIMESTAMP) AS ev_ts FROM orders"
+    f"  SELECT event_id, user_id AS k, ts, 1 AS side, "
+    f"         CAST(NULL AS TIMESTAMP) AS pts FROM {EVENTS_US} e1"
     "  UNION ALL"
-    f"  SELECT CAST(NULL AS BIGINT), user_id, ts, 0, ts FROM {EVENTS_US} e"
+    f"  SELECT CAST(NULL AS BIGINT), user_id, ts, 0, ts FROM {EVENTS_US} e2 "
+    "   WHERE event_type = 'purchase'"
     "), w AS ("
-    "  SELECT o_orderkey, side, MAX(ev_ts) OVER ("
+    "  SELECT event_id, side, MAX(pts) OVER ("
     "    PARTITION BY k ORDER BY ts, side "
-    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ev_ts"
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts"
     "  FROM u) "
-    "SELECT o_orderkey, last_ev_ts FROM w WHERE side = 1 ORDER BY o_orderkey",
+    "SELECT event_id, last_purchase_ts FROM w WHERE side = 1 ORDER BY event_id",
 )
 def q_join_10(spark, sf):
-    """As-of join: latest event (by its user) at or before each order date.
-    Uses the union+running-window operator (operators/asof.py) — one
-    shuffle, no pair explosion."""
-    orders = load(spark, sf, "orders").select(
-        "o_orderkey", F.col("o_custkey").alias("k"), F.col("o_orderdate")
+    """As-of join: each event carries its user's most recent purchase at
+    or before it (backward, inclusive). Uses the union+running-window
+    operator (operators/asof.py) — one shuffle, no pair explosion.
+    Semantics additionally property-tested against pandas.merge_asof
+    (tests/test_asof_property.py)."""
+    ev = load(spark, sf, "events")
+    left = ev.select("event_id", F.col("user_id").alias("k"), "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("pts")
     )
-    events = load(spark, sf, "events").select(F.col("user_id").alias("k"), "ts")
     out = asof_join_backward(
-        orders, events, on="k", left_ts="o_orderdate", right_ts="ts", carry={"last_ev_ts": "ts"}
+        left, purchases, on="k", left_ts="ts", right_ts="pts",
+        carry={"last_purchase_ts": "pts"},
     )
-    return out.select("o_orderkey", "last_ev_ts").orderBy("o_orderkey")
+    return out.select("event_id", "last_purchase_ts").orderBy("event_id")
 
 
 # --------------------------------------------------------------------------

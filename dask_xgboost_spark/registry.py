@@ -39,6 +39,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # Modules that register specs on import. Order = SURVEY §2 section order.
 _OPERATOR_MODULES = [
     "dask_xgboost_spark.operators.relational",
+    "dask_xgboost_spark.operators.composite",
     "dask_xgboost_spark.operators.scalar",
     "dask_xgboost_spark.operators.windows",
     "dask_xgboost_spark.operators.advanced",
