@@ -27,14 +27,23 @@ from dask_xgboost_spark.sources import load
 
 @register(
     "L-DEDUP-01",
+    # fixture texts are all unique, so duplicates are planted in-query
+    # (a shifted copy of doc_id < 100) to make keeper/n_dups load-bearing
     sql="SELECT h, CAST(MIN(doc_id) AS BIGINT) AS keeper, COUNT(*) AS n_dups FROM ("
-    "SELECT doc_id, sha256(text) AS h FROM documents) t "
+    "SELECT doc_id, sha256(text) AS h FROM ("
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100) u) t "
     "GROUP BY h ORDER BY h",
 )
 def l_dedup_01(spark, sf):
-    """Exact dedup by SHA-256 content hash: keep min doc_id per hash."""
+    """Exact dedup by SHA-256 content hash: keep min doc_id per hash
+    (planted duplicates have n_dups = 2, keeper = the original id)."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
     return (
-        load(spark, sf, "documents")
+        docs.unionByName(planted)
         .select("doc_id", F.sha2("text", 256).alias("h"))
         .groupBy("h")
         .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_dups"))

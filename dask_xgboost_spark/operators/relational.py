@@ -186,18 +186,23 @@ def q_fil_03(spark, sf):
 
 @register(
     "Q-FIL-04",
-    sql="SELECT event_id, COALESCE(value, -1.0) AS v, value IS NULL AS was_null "
-    "FROM events WHERE value IS NULL OR value > 30 ORDER BY event_id",
+    # the fixture has no physical NULLs, so nullability is introduced
+    # in-query (value < 2 → NULL) to make both branches load-bearing
+    sql="SELECT event_id, COALESCE(v0, -1.0) AS v, v0 IS NULL AS was_null "
+    "FROM (SELECT event_id, CASE WHEN value < 2 THEN NULL ELSE value END AS v0 "
+    "FROM events) t WHERE v0 IS NULL OR v0 > 30 ORDER BY event_id",
 )
 def q_fil_04(spark, sf):
     """IS NULL / COALESCE null handling over events.value."""
     ev = load(spark, sf, "events")
+    v0 = F.when(F.col("value") < 2, None).otherwise(F.col("value"))
     return (
-        ev.filter(F.col("value").isNull() | (F.col("value") > 30))
+        ev.select("event_id", v0.alias("v0"))
+        .filter(F.col("v0").isNull() | (F.col("v0") > 30))
         .select(
             "event_id",
-            F.coalesce(F.col("value"), F.lit(-1.0)).alias("v"),
-            F.col("value").isNull().alias("was_null"),
+            F.coalesce(F.col("v0"), F.lit(-1.0)).alias("v"),
+            F.col("v0").isNull().alias("was_null"),
         )
         .orderBy("event_id")
     )
@@ -271,13 +276,17 @@ def q_join_08(spark, sf):
 
 @register(
     "Q-JOIN-03",
+    # restricted to big orders so unmatched customers actually exist
+    # (every fixture customer has ≥1 order — the unrestricted join would
+    # never exercise null preservation)
     sql="SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer "
-    "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY c_custkey",
+    "LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o "
+    "ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY c_custkey",
 )
 def q_join_03(spark, sf):
-    """Left outer join preserving customers with zero orders."""
+    """Left outer join preserving customers with zero (big) orders."""
     customer = load(spark, sf, "customer")
-    orders = load(spark, sf, "orders")
+    orders = load(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
     return (
         customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
         .groupBy("c_custkey")
@@ -286,17 +295,38 @@ def q_join_03(spark, sf):
     )
 
 
+# Both fixture key sets cover all 25 nations, so the outer/set queries
+# use *filtered* nation sets (rich customers vs rich suppliers) — these
+# partially overlap, making unmatched rows on both sides real.
+_CN_SQL = "SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_acctbal > 9900"
+_SN_SQL = "SELECT DISTINCT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9500"
+
+
+def _rich_nation_sets(spark, sf):
+    cn = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    sn = (
+        load(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 9500)
+        .select(F.col("s_nationkey").alias("nk"))
+        .distinct()
+    )
+    return cn, sn
+
+
 @register(
     "Q-JOIN-04",
-    sql="WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer), "
-    "sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier) "
+    sql=f"WITH cn AS ({_CN_SQL}), sn AS ({_SN_SQL}) "
     "SELECT cn.nk AS c_nk, sn.nk AS s_nk FROM cn FULL JOIN sn ON cn.nk = sn.nk "
     "ORDER BY c_nk NULLS LAST, s_nk NULLS LAST",
 )
 def q_join_04(spark, sf):
-    """Full outer join (symmetric preservation)."""
-    cn = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
-    sn = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    """Full outer join (symmetric preservation of unmatched keys)."""
+    cn, sn = _rich_nation_sets(spark, sf)
     return (
         cn.alias("cn")
         .join(sn.alias("sn"), F.col("cn.nk") == F.col("sn.nk"), "full")
@@ -323,15 +353,18 @@ def q_join_05(spark, sf):
 
 @register(
     "Q-JOIN-06",
+    # every fixture customer has orders, so the anti-join is against
+    # urgent orders only — customers without one actually exist
     sql="SELECT c_custkey FROM customer WHERE NOT EXISTS "
-    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_orderpriority = '1-URGENT') ORDER BY c_custkey",
 )
 def q_join_06(spark, sf):
-    """Left anti join (NOT EXISTS)."""
+    """Left anti join (NOT EXISTS): customers with no urgent order."""
     customer = load(spark, sf, "customer")
-    orders = load(spark, sf, "orders")
+    urgent = load(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
-        customer.join(orders, orders.o_custkey == customer.c_custkey, "left_anti")
+        customer.join(urgent, urgent.o_custkey == customer.c_custkey, "left_anti")
         .select("c_custkey")
         .orderBy("c_custkey")
     )
@@ -698,23 +731,19 @@ def q_set_02(spark, sf):
 
 @register(
     "Q-SET-03",
-    sql="SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier "
-    "ORDER BY nk",
+    sql=f"{_CN_SQL} INTERSECT {_SN_SQL} ORDER BY nk",
 )
 def q_set_03(spark, sf):
-    """INTERSECT (distinct semantics)."""
-    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.intersect(s).orderBy("nk")
+    """INTERSECT (distinct semantics) over partially-overlapping sets."""
+    cn, sn = _rich_nation_sets(spark, sf)
+    return cn.intersect(sn).orderBy("nk")
 
 
 @register(
     "Q-SET-04",
-    sql="SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier "
-    "ORDER BY nk",
+    sql=f"{_CN_SQL} EXCEPT {_SN_SQL} ORDER BY nk",
 )
 def q_set_04(spark, sf):
-    """EXCEPT (distinct semantics)."""
-    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.subtract(s).orderBy("nk")
+    """EXCEPT (distinct semantics) over partially-overlapping sets."""
+    cn, sn = _rich_nation_sets(spark, sf)
+    return cn.subtract(sn).orderBy("nk")
