@@ -650,6 +650,31 @@ def q_agg_09(spark, sf):
 
 
 @register(
+    "Q-AGG-11",
+    sql="SELECT l_returnflag, "
+    "quantile_cont(l_quantity, 0.25) AS p25, "
+    "quantile_cont(l_quantity, 0.5) AS median, "
+    "quantile_cont(l_quantity, 0.75) AS p75 "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def q_agg_11(spark, sf):
+    """Exact interpolated percentiles (median/quartiles). Hash-safe here
+    because l_quantity is integral and the probe fractions are dyadic, so
+    the interpolation arithmetic is exact in both engines. The 100 TB
+    path for quantiles is approx_percentile / approxQuantile."""
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("p25"),
+            F.percentile("l_quantity", 0.5).alias("median"),
+            F.percentile("l_quantity", 0.75).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "Q-AGG-10",
     sql="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
 )

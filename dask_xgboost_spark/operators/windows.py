@@ -142,6 +142,22 @@ def q_win_05(spark, sf):
 
 
 @register(
+    "Q-WIN-07",
+    sql="SELECT c_custkey, CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey) AS cd "
+    "FROM customer ORDER BY c_custkey",
+)
+def q_win_07(spark, sf):
+    """cume_dist over a total order (rank/count division of exact ints →
+    identical doubles)."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        load(spark, sf, "customer")
+        .select("c_custkey", F.cume_dist().over(w).alias("cd"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
     "Q-WIN-06",
     sql="SELECT event_id, user_id, FIRST_VALUE(event_type) OVER w AS first_type, "
     "LAST_VALUE(event_type) OVER ("
