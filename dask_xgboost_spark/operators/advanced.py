@@ -50,6 +50,23 @@ def q_subq_02(spark, sf):
     )
 
 
+_SUBQ3_SQL = (
+    "SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice FROM lineitem l "
+    "WHERE l.l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2 "
+    "WHERE l2.l_partkey = l.l_partkey) "
+    "ORDER BY l.l_partkey, l.l_suppkey, l.l_extendedprice"
+)
+
+
+@register("Q-SUBQ-03", sql=_SUBQ3_SQL)
+def q_subq_03(spark, sf):
+    """Correlated *scalar* subquery (TPC-H Q2's min-cost-supplier shape):
+    cheapest lineitem per part. Catalyst decorrelates to an aggregate +
+    self-join — no per-row subquery execution."""
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SUBQ3_SQL)
+
+
 _CTE_SQL = (
     "WITH rev AS ("
     f"  SELECT o_custkey, CAST(SUM({sql_dec('o_totalprice')}) AS DECIMAL(38,6)) AS r"

@@ -97,6 +97,30 @@ def q_tpch_06(spark, sf):
     )
 
 
+_Q21_SQL = (
+    "SELECT s_name, COUNT(*) AS numwait FROM supplier "
+    "JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+    "JOIN orders ON o_orderkey = l1.l_orderkey "
+    "WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' "
+    "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+    "AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
+    "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > l1.l_shipdate) "
+    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25"
+)
+
+
+@register("Q-TPCH-21", sql=_Q21_SQL)
+def q_tpch_21(spark, sf):
+    """Suppliers-who-kept-orders-waiting shape (TPC-H Q21): the hardest
+    decorrelation pattern — EXISTS and NOT EXISTS over the same fact table
+    correlated to the outer row — becomes two semi/anti joins under
+    Catalyst."""
+    for t in ("supplier", "lineitem", "orders"):
+        load(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_Q21_SQL)
+
+
 @register(
     "Q-TPCH-10",
     sql="SELECT c_custkey, c_name, n_name, "

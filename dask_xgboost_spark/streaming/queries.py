@@ -164,6 +164,50 @@ def s_state_02(spark, sf):
 
 
 @register(
+    "S-JOIN-01",
+    sql="SELECT c.event_id AS click_id, p.event_id AS purchase_id "
+    f"FROM {EVENTS_US} c JOIN {EVENTS_US} p "
+    "ON c.user_id = p.user_id AND c.event_type = 'click' "
+    "AND p.event_type = 'purchase' "
+    "AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE "
+    "ORDER BY click_id, purchase_id",
+    mode="stream",
+)
+def s_join_01(spark, sf):
+    """Stream-stream inner join with watermarks on both sides: purchases
+    attributed to a prior click of the same user within 30 minutes.
+    Two-sided watermarks + the time-range join condition let Spark bound
+    both join states (old rows are evicted once the other side's
+    watermark passes) — the only state-safe shape at unbounded scale.
+    Final output ≡ the batch range join (oracle)."""
+    clicks = (
+        events_stream(spark, sf)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+        "inner",
+    )
+    out = run_to_memory(joined.select("click_id", "purchase_id"), "append")
+    return out.orderBy("click_id", "purchase_id")
+
+
+@register(
     "S-SINK-01",
     sql="SELECT event_id, event_type FROM events ORDER BY event_id",
     mode="stream",
