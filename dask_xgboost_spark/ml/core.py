@@ -84,6 +84,7 @@ def train(
     features_col: str = FEATURES_COL,
     sample_weight_col: str | None = None,
     eval_df: DataFrame | None = None,
+    evals_result: dict | None = None,
     **kwargs: Any,
 ):
     """Blocking distributed GBT training (reference train, core.py:268-321).
@@ -95,6 +96,11 @@ def train(
     eval_df: validation frame (reference eval_set, core.py:138-151) —
     implemented with MLlib's validationIndicatorCol (union + indicator),
     which also enables early stopping via validationTol.
+
+    evals_result: dict filled in place with per-iteration validation loss
+    (reference evals_result/history, core.py:120,259-260) via MLlib's
+    ``evaluateEachIteration``; keys follow the reference's
+    ``validation_0`` naming (core.py:148).
     """
     from pyspark.ml.classification import GBTClassifier, OneVsRest
     from pyspark.ml.regression import GBTRegressor
@@ -135,7 +141,16 @@ def train(
             est.setWeightCol(sample_weight_col)
     else:
         raise ValueError(f"unsupported objective: {objective}")
-    return est.fit(fit_df)
+    model = est.fit(fit_df)
+    if (
+        evals_result is not None
+        and eval_df is not None
+        and hasattr(model, "evaluateEachIteration")
+    ):
+        evals_result["validation_0"] = {
+            "loss": list(model.evaluateEachIteration(eval_df))
+        }
+    return model
 
 
 def predict(model, df: DataFrame, features_col: str = FEATURES_COL) -> DataFrame:

@@ -371,6 +371,80 @@ def q_arr_04(spark, sf):
     )
 
 
+@register(
+    "Q-ARR-05",
+    sql="SELECT vec_id, list_sort(a) AS sorted_a, "
+    "list_sort(list_distinct(list_concat(a, b))) AS union_ab, "
+    "list_sort(list_filter(list_distinct(a), x -> list_contains(b, x))) AS inter_ab, "
+    "CAST(len(a) AS INT) AS zip_len "
+    "FROM (SELECT vec_id, embedding[1:4] AS a, embedding[3:6] AS b FROM embeddings) t "
+    "ORDER BY vec_id",
+)
+def q_arr_05(spark, sf):
+    """array_sort / array_union / array_intersect (+ arrays_zip length).
+    Set-op outputs are re-sorted so only membership (exact float equality
+    on shared source values) matters, not engine-specific ordering."""
+    a = F.slice("embedding", 1, 4)
+    b = F.slice("embedding", 3, 4)
+    return (
+        load(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            F.array_sort(a).alias("sorted_a"),
+            F.array_sort(F.array_union(a, b)).alias("union_ab"),
+            F.array_sort(F.array_intersect(a, b)).alias("inter_ab"),
+            F.size(F.arrays_zip(a, b)).alias("zip_len"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "Q-PIVOT-02",
+    sql="SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS v FROM orders "
+    "UNION ALL SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders "
+    "ORDER BY o_orderkey, metric",
+)
+def q_pivot_02(spark, sf):
+    """Unpivot (wide → long) via stack — the inverse of Q-PIVOT-01."""
+    return (
+        load(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.expr(
+                "stack(2, 'totalprice', o_totalprice, "
+                "'custkey', CAST(o_custkey AS DOUBLE)) AS (metric, v)"
+            ),
+        )
+        .orderBy("o_orderkey", "metric")
+    )
+
+
+@register(
+    "Q-MAP-02",
+    sql="SELECT p_partkey, p_size + 1 AS brand_bumped, CAST(1 AS INT) AS n_kept "
+    "FROM part ORDER BY p_partkey",
+)
+def q_map_02(spark, sf):
+    """Map transforms: transform_values + map_filter + element access.
+    As with Q-MAP-01 the oracle states the expected *result* (the map
+    round-trips); the Spark side exercises the map-function family."""
+    m = F.create_map(
+        F.lit("brand"), F.col("p_size"), F.lit("neg"), F.lit(-1)
+    )
+    bumped = F.transform_values(m, lambda k, v: v + 1)
+    kept = F.map_filter(bumped, lambda k, v: v > 0)
+    return (
+        load(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.element_at(bumped, F.lit("brand")).alias("brand_bumped"),
+            F.size(kept).alias("n_kept"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # MAP
 # --------------------------------------------------------------------------

@@ -132,3 +132,63 @@ def test_train_predict_functional_api(spark, emb):
 def test_bad_objective_raises(spark, emb):
     with pytest.raises(ValueError, match="unsupported objective"):
         train({"objective": "rank:pairwise"}, emb, label_col="y")
+
+
+def test_evals_result_history(spark, emb):
+    # reference evals_result/history (core.py:120,259-260; pattern
+    # test_core.py:508-533): per-iteration validation loss is recorded
+    tr = emb.filter(F.col("vec_id") % 5 != 0)
+    va = emb.filter(F.col("vec_id") % 5 == 0)
+    history: dict = {}
+    train(
+        {"objective": "binary:logistic", **PARAMS},
+        tr,
+        label_col="y",
+        eval_df=va,
+        evals_result=history,
+    )
+    losses = history["validation_0"]["loss"]
+    # validationIndicatorCol implies early stopping (validationTol), so
+    # the history covers the trees actually built, ≤ n_estimators —
+    # matching the reference where best_ntree_limit ≤ num_boost_round
+    assert 1 <= len(losses) <= PARAMS["n_estimators"]
+    assert all(isinstance(v, float) for v in losses)
+
+
+def test_input_type_matrix(spark, sf_dir):
+    # reference §1.2 type grid (numpy/pandas/scipy-sparse partitions,
+    # test_core.py:400-441): dense arrays, pandas-constructed frames, and
+    # SparseVector features all train.
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    rng = np.random.RandomState(42)
+    X = rng.rand(120, 6)
+    y = (X[:, 0] > 0.5).astype(float)
+
+    # pandas → Spark (reference: dd.from_pandas, test_core.py:345)
+    pdf = pd.DataFrame({"f" + str(j): X[:, j] for j in range(6)})
+    pdf["y"] = y
+    dense = spark.createDataFrame(pdf).repartition(4)
+    dense = dense.withColumn(
+        "features_arr", F.array(*[F.col(f"f{j}") for j in range(6)])
+    )
+    from dask_xgboost_spark.ml.core import assemble_features
+
+    dense = assemble_features(dense, feature_col="features_arr")
+    m1 = train({"objective": "binary:logistic", "n_estimators": 4}, dense, label_col="y")
+    assert m1.transform(dense).count() == 120
+
+    # scipy-CSR analogue: SparseVector column (reference test_core.py:415)
+    rows = [
+        (Vectors.sparse(6, [(j, float(v)) for j, v in enumerate(X[i]) if v > 0.6]),
+         float(y[i]))
+        for i in range(120)
+    ]
+    sparse = spark.createDataFrame(
+        rows, StructType([StructField("features", VectorUDT()), StructField("y", DoubleType())])
+    )
+    m2 = train({"objective": "binary:logistic", "n_estimators": 4}, sparse, label_col="y")
+    assert m2.transform(sparse).count() == 120
