@@ -107,6 +107,52 @@ def test_synthetic_generation_partition_independent(spark):
     assert a["x"].between(-1, 1).all()
 
 
+def test_compaction_preserves_rows(spark, sf_dir):
+    out = SPECS["G-COMPACT-01"].fn(spark, sf_dir).toPandas()
+    assert out["files_before"][0] == 32
+    assert out["files_after"][0] == 4
+    assert out["rows"][0] == 10000
+
+
+def test_streaming_restart_is_exactly_once(spark, sf_dir):
+    # re-starting an availableNow stream on the SAME checkpoint must not
+    # re-process anything (file-sink exactly-once via the sink log)
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    out_dir = tempfile.mkdtemp(prefix="dxs_once_")
+    ckpt = tempfile.mkdtemp(prefix="dxs_once_ckpt_")
+    # one fixed source dir — the checkpoint binds to it across restarts
+    src_dir = tempfile.mkdtemp(prefix="dxs_once_src_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def run_once():
+        ev = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .withColumn("ts", SF.timestamp_micros(SF.expr("ts div 1000")))
+            .select("event_id")
+        )
+        q = (
+            ev.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).count()
+
+    first = run_once()
+    second = run_once()
+    assert first == 10000
+    assert second == first, "restart on same checkpoint must add nothing"
+
+
 def test_watermark_drops_only_closed_windows(spark, sf_dir):
     # S-WM-01: appended windows must be a strict prefix of the batch
     # rollup (only watermark-finalized windows are emitted), and counts
