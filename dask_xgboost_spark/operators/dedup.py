@@ -186,11 +186,23 @@ def l_dedup_04(spark, sf):
 def l_dedup_05(spark, sf):
     """Embedding cosine near-duplicate pairs (exact, brute force).
 
-    Declared for verification scale; the 100 TB path is L-SIM-02's
-    BucketedRandomProjectionLSH. Cosine via the fixed-point dot trick from
-    operators/similarity.py. Golden: planted near-dup recall in tests.
+    The fixture vectors are near-uniform on the sphere (no natural pair
+    reaches cosine 0.95), so near-duplicates are planted in-query: 20
+    vectors re-appear under shifted ids with one coordinate scaled 5%.
+    Every planted pair must be found (golden check in tests).
+
+    Declared for verification scale; the 100 TB path is L-SIM-02/03's
+    LSH/IVF pruning. Cosine via the fixed-point dot trick from
+    operators/similarity.py.
     """
     from dask_xgboost_spark.operators.similarity import cosine_pairs
 
     emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    return cosine_pairs(emb, threshold=0.95).orderBy("v1", "v2")
+    perturbed = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "CAST(CAST(x AS DOUBLE) * (CASE WHEN i = 0 THEN 1.05 ELSE 1.0 END) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    return cosine_pairs(emb.unionByName(perturbed), threshold=0.95).orderBy("v1", "v2")

@@ -674,6 +674,21 @@ def q_agg_11(spark, sf):
     )
 
 
+@register("Q-AGG-12", sql=None, mode="tol")
+def q_agg_12(spark, sf):
+    """approx_percentile next to the exact percentile (the 100 TB quantile
+    path: a mergeable sketch, no global sort). Tol-checked in tests."""
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_median"),
+            F.percentile("l_quantity", 0.5).alias("exact_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @register(
     "Q-AGG-10",
     sql="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",

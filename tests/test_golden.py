@@ -16,6 +16,12 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
     assert (rel_err <= 0.05).all(), out
 
 
+def test_approx_percentile_tolerance(spark, sf_dir):
+    out = SPECS["Q-AGG-12"].fn(spark, sf_dir).toPandas()
+    rel = (out["approx_median"] - out["exact_median"]).abs() / out["exact_median"]
+    assert (rel <= 0.05).all(), out
+
+
 def test_sample_deterministic(spark, sf_dir):
     a = SPECS["Q-SAMPLE-01"].fn(spark, sf_dir).toPandas()
     b = SPECS["Q-SAMPLE-01"].fn(spark, sf_dir).toPandas()
@@ -66,6 +72,14 @@ def test_ann_recall_vs_exact(spark, sf_dir):
         got = set(map(tuple, ann[["qid", "cid"]].values))
         recall = len(got & want) / len(want)
         assert recall >= 0.9, f"{ann_id} recall {recall}"
+
+
+def test_cosine_neardup_finds_planted_pairs(spark, sf_dir):
+    out = SPECS["L-DEDUP-05"].fn(spark, sf_dir).toPandas()
+    got = set(map(tuple, out[["v1", "v2"]].values))
+    want = {(i, i + 100000) for i in range(20)}
+    assert want <= got, f"missing planted pairs: {sorted(want - got)[:5]}"
+    assert (out["cosine"] >= 0.95).all()
 
 
 def test_tfidf_deterministic(spark, sf_dir):

@@ -10,9 +10,9 @@ SPECS = load_all()
 
 
 def plan(spark, sf_dir, name: str) -> str:
-    df = SPECS[name].fn(spark, sf_dir)
-    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    return df._jdf.queryExecution().explainString(jmode)
+    from dask_xgboost_spark.plans import explain_string
+
+    return explain_string(SPECS[name].fn(spark, sf_dir))
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
