@@ -86,6 +86,36 @@ def minhash_candidates(docs, dist_threshold: float = 0.5, num_tables: int = 8):
     )
 
 
+@register(
+    "L-DEDUP-06",
+    sql="SELECT h, CAST(MIN(doc_id) AS BIGINT) AS keeper, COUNT(*) AS n FROM ("
+    "SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h "
+    "FROM (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 200000, upper(text) || '  ' FROM documents "
+    "WHERE doc_id < 50) u) t GROUP BY h ORDER BY h",
+)
+def l_dedup_06(spark, sf):
+    """Canonicalization dedup: case-fold, collapse whitespace, trim, THEN
+    hash — catches trivially-reformatted duplicates that exact hashing
+    misses (50 planted upper-cased + padded copies collapse onto their
+    originals)."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    canon = F.sha2(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 256
+    )
+    return (
+        docs.unionByName(planted)
+        .select("doc_id", canon.alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n"))
+        .orderBy("h")
+    )
+
+
 @register("L-DEDUP-02", sql=None, mode="golden")
 def l_dedup_02(spark, sf):
     """Near-dup candidates via MinHash LSH (see minhash_candidates).

@@ -206,6 +206,44 @@ def l_text_07(spark, sf):
     )
 
 
+_PIPE_SQL = (
+    "WITH kept AS ("
+    "  SELECT doc_id, lang, string_split(text, ' ') AS toks, n_chars FROM documents"
+    "  WHERE lang IN ('en', 'de', 'es') AND n_chars BETWEEN 50 AND 450"
+    "), scored AS ("
+    "  SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tok, "
+    f"  CAST(len(list_filter(toks, w -> w IN ({_SW}))) AS DOUBLE) / len(toks) AS stop_ratio "
+    "  FROM kept"
+    "), good AS ("
+    "  SELECT * FROM scored WHERE n_tok >= 20 AND stop_ratio < 0.5"
+    ") SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_toks "
+    "FROM good GROUP BY lang ORDER BY lang"
+)
+
+
+@register("L-PIPE-01", sql=_PIPE_SQL)
+def l_pipe_01(spark, sf):
+    """End-to-end corpus-curation pipeline in ONE declarative plan:
+    language/length gate → tokenize → quality score (stopword ratio) →
+    threshold → per-language corpus stats. Single scan, one shuffle (the
+    final groupBy); every stage is a column expression, so the whole
+    pipeline runs inside codegen — the shape a 100 TB curation job wants."""
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS))).cast(
+        "double"
+    ) / n_tok
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("lang").isin("en", "de", "es") & F.col("n_chars").between(50, 450))
+        .select("doc_id", "lang", n_tok.alias("n_tok"), stop_ratio.alias("stop_ratio"))
+        .filter((F.col("n_tok") >= 20) & (F.col("stop_ratio") < 0.5))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_toks"))
+        .orderBy("lang")
+    )
+
+
 @register(
     "L-TEXT-08",
     sql="SELECT doc_id, CAST(list_sum(list_transform(range(1, len(t) + 1), "
