@@ -55,7 +55,7 @@ def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -
     return reader.csv(path)
 
 
-_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,9 +63,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Caches the analyzed *plan* (not data) per session so repeated loads
     skip file listing + footer reads; DataFrames are immutable so sharing
-    is safe.
+    is safe. Keyed by applicationId (stable per session — ``id()`` could
+    be recycled after a stopped session is collected).
     """
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     if key in _PLAN_CACHE:
         return _PLAN_CACHE[key]
     df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
