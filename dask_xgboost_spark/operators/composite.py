@@ -97,6 +97,38 @@ def q_tpch_06(spark, sf):
     )
 
 
+_Q8_SQL = (
+    "SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, "
+    f"CAST(SUM(CASE WHEN n_name = 'NATION_1' THEN {_REV} ELSE 0 END) AS BIGINT) "
+    f"/ CAST(SUM({_REV}) AS BIGINT) AS mkt_share "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY yr ORDER BY yr"
+)
+
+
+@register("Q-TPCH-08", sql=_Q8_SQL)
+def q_tpch_08(spark, sf):
+    """Market-share shape (TPC-H Q8): conditional revenue over total
+    revenue per year — the exact-int numerator/denominator makes the
+    double ratio cross-engine identical."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    nation = F.broadcast(load(spark, sf, "nation"))
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    target = F.when(F.col("n_name") == "NATION_1", rev).otherwise(F.lit(0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg((F.sum(target) / F.sum(rev)).alias("mkt_share"))
+        .orderBy("yr")
+    )
+
+
 _Q21_SQL = (
     "SELECT s_name, COUNT(*) AS numwait FROM supplier "
     "JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "

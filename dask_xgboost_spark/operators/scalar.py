@@ -174,6 +174,54 @@ def q_date_03(spark, sf):
     )
 
 
+@register(
+    "Q-DATE-04",
+    sql="SELECT event_id, CAST(EXTRACT(hour FROM ts) AS INT) AS h, "
+    "CAST(EXTRACT(minute FROM ts) AS INT) AS mi, "
+    "CAST(EXTRACT(dow FROM ts) AS INT) + 1 AS dow, "
+    "CAST(EXTRACT(quarter FROM ts) AS INT) AS q, "
+    "CAST(EXTRACT(doy FROM ts) AS INT) AS doy "
+    f"FROM {EVENTS_US} e ORDER BY event_id",
+)
+def q_date_04(spark, sf):
+    """EXTRACT field family: hour/minute/day-of-week/quarter/day-of-year.
+    (Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday → +1.)"""
+    return (
+        load(spark, sf, "events")
+        .select(
+            "event_id",
+            F.hour("ts").alias("h"),
+            F.minute("ts").alias("mi"),
+            F.dayofweek("ts").alias("dow"),
+            F.quarter("ts").alias("q"),
+            F.dayofyear("ts").alias("doy"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "Q-STR-05",
+    sql="SELECT p_partkey, translate(p_brand, '#', '-') AS tr, "
+    "reverse(p_type) AS rev, repeat(p_brand, 2) AS rep, "
+    "CAST(strpos(p_name, 'a') AS INT) AS pos_a "
+    "FROM part ORDER BY p_partkey",
+)
+def q_str_05(spark, sf):
+    """translate / reverse / repeat / position (locale-free string ops)."""
+    return (
+        load(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.translate("p_brand", "#", "-").alias("tr"),
+            F.reverse("p_type").alias("rev"),
+            F.repeat("p_brand", 2).alias("rep"),
+            F.instr("p_name", "a").alias("pos_a"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # MATH
 # --------------------------------------------------------------------------
