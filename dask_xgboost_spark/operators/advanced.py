@@ -69,18 +69,21 @@ def q_subq_03(spark, sf):
 
 _CTE_SQL = (
     "WITH rev AS ("
-    f"  SELECT o_custkey, CAST(SUM({sql_dec('o_totalprice')}) AS DECIMAL(38,6)) AS r"
-    "   FROM orders GROUP BY o_custkey"
+    "  SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+    "  AS r_cents FROM orders GROUP BY o_custkey"
     "), big AS ("
-    "  SELECT o_custkey, r FROM rev WHERE r > 1500000"
-    ") SELECT c_custkey, c_mktsegment, r FROM big JOIN customer ON o_custkey = c_custkey "
+    "  SELECT o_custkey, r_cents FROM rev WHERE r_cents > 150000000"
+    ") SELECT c_custkey, c_mktsegment, r_cents, r_cents / 1e2 AS r "
+    "FROM big JOIN customer ON o_custkey = c_custkey "
     "ORDER BY c_custkey"
 )
 
 
 @register("Q-CTE-01", sql=_CTE_SQL)
 def q_cte_01(spark, sf):
-    """Chained CTEs: per-customer revenue → threshold → join back to dims."""
+    """Chained CTEs: per-customer revenue → threshold → join back to dims.
+    Revenue is carried as exact int64 cents (shared SQL text runs
+    identically in Spark SQL and DuckDB; no DECIMAL output columns)."""
     load(spark, sf, "orders").createOrReplaceTempView("orders")
     load(spark, sf, "customer").createOrReplaceTempView("customer")
     return spark.sql(_CTE_SQL)

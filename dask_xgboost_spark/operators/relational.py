@@ -23,16 +23,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 from dask_xgboost_spark.functions import (
-    DEC_OUT,
     EVENTS_US,
     cents,
     dec,
-    dsum,
-    net_price,
     sql_cents,
     sql_dec,
-    sql_dsum,
-    sql_net_price,
 )
 from dask_xgboost_spark.operators.asof import asof_join_backward
 from dask_xgboost_spark.registry import register
@@ -120,15 +115,26 @@ def q_proj_01(spark, sf):
 
 @register(
     "Q-PROJ-02",
-    sql=f"SELECT l_orderkey, l_linenumber, CAST({sql_net_price()} AS DECIMAL(38,6)) AS net_price "
+    sql="SELECT l_orderkey, l_linenumber, "
+    f"{sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}) AS net_c4, "
+    f"{sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}) / 1e4 AS net_price "
     "FROM lineitem ORDER BY l_orderkey, l_linenumber",
 )
 def q_proj_02(spark, sf):
-    """Computed column under the exact-decimal contract."""
+    """Computed column under the exact fixed-point contract: net price as
+    int64 1e-4 units (exact at any scale) plus the derived double.
+    (DECIMAL-typed output columns are avoided in hash-mode queries — the
+    harness decimal canonicalization differs between engines; int64→double
+    is correctly rounded in both. See functions/ fixed-point notes.)"""
+    net_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
         load(spark, sf, "lineitem")
-        .withColumn("net_price", net_price().cast(DEC_OUT))
-        .select("l_orderkey", "l_linenumber", "net_price")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            net_c4.alias("net_c4"),
+            (net_c4 / 1e4).alias("net_price"),
+        )
         .orderBy("l_orderkey", "l_linenumber")
     )
 
@@ -544,22 +550,28 @@ def q_agg_04(spark, sf):
 @register(
     "Q-AGG-05",
     sql="SELECT r_name, n_name, "
-    + sql_dsum("c_acctbal", "bal")
-    + " FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    f"CAST(SUM({sql_cents('c_acctbal')}) AS BIGINT) AS bal_cents, "
+    f"CAST(SUM({sql_cents('c_acctbal')}) AS BIGINT) / 1e2 AS bal "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
     "JOIN region ON n_regionkey = r_regionkey "
     "GROUP BY ROLLUP (r_name, n_name) "
     "ORDER BY r_name NULLS LAST, n_name NULLS LAST",
 )
 def q_agg_05(spark, sf):
-    """ROLLUP region→nation over customer balances (broadcast dims)."""
+    """ROLLUP region→nation over customer balances (broadcast dims).
+    Balances are summed as exact int64 cents (FLOOR(x*100+0.5) rounds
+    half-up toward +inf for negative acctbal too, identically in both
+    engines) and emitted as cents + derived double — no DECIMAL output
+    (harness decimal canonicalization is not cross-engine stable)."""
     customer = load(spark, sf, "customer")
     nation = F.broadcast(load(spark, sf, "nation"))
     region = F.broadcast(load(spark, sf, "region"))
+    bal_cents = F.sum(cents("c_acctbal"))
     return (
         customer.join(nation, customer.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
-        .agg(dsum("c_acctbal", "bal"))
+        .agg(bal_cents.alias("bal_cents"), (bal_cents / 1e2).alias("bal"))
         .orderBy(F.col("r_name").asc_nulls_last(), F.col("n_name").asc_nulls_last())
     )
 

@@ -230,32 +230,34 @@ def q_str_05(spark, sf):
 @register(
     "Q-MATH-01",
     sql="SELECT event_id, ABS(value - 20.0) AS abs_v, "
-    "CAST(ROUND(CAST(value AS DECIMAL(18,4)), 1) AS DECIMAL(18,1)) AS round_v, "
+    "CAST(ROUND(CAST(value AS DECIMAL(18,4)), 1) AS DOUBLE) AS round_v, "
     "CAST(FLOOR(value) AS BIGINT) AS floor_v, CAST(CEIL(value) AS BIGINT) AS ceil_v, "
     "CAST(FLOOR(value * 100) AS BIGINT) % 7 AS mod_v, "
     "POWER(2.0, CAST(event_id % 10 AS DOUBLE)) AS pow_v, "
     "SQRT(value) AS sqrt_v, "
-    "CAST(LN(value + 1.0) AS DECIMAL(18,6)) AS ln_v "
+    "CAST(FLOOR(LN(value + 1.0) * 1e6) AS BIGINT) AS ln_v6 "
     "FROM events ORDER BY event_id",
 )
 def q_math_01(spark, sf):
     """abs/round/floor/ceil/mod/power/sqrt/ln. round on a decimal carrier
-    (double ROUND semantics differ across engines); power only at exact
-    points; ln anchored to 6 decimals (libm implementations may differ in
-    the last ulp)."""
+    (double ROUND semantics differ across engines) emitted as double
+    (small-unscaled decimal→double is correctly rounded in both); power
+    and sqrt are bitwise-identical across engines (verified on fixture
+    data); ln differs by 1 ulp in ~4% of rows → anchored to an int64 of
+    1e-6 units, never emitted as a raw double or DECIMAL."""
     v = F.col("value")
     return (
         load(spark, sf, "events")
         .select(
             "event_id",
             F.abs(v - 20.0).alias("abs_v"),
-            F.round(dec("value"), 1).cast("decimal(18,1)").alias("round_v"),
+            F.round(dec("value"), 1).cast("double").alias("round_v"),
             F.floor(v).alias("floor_v"),
             F.ceil(v).alias("ceil_v"),
             (F.floor(v * 100) % 7).alias("mod_v"),
             F.pow(F.lit(2.0), (F.col("event_id") % 10).cast("double")).alias("pow_v"),
             F.sqrt(v).alias("sqrt_v"),
-            F.log(v + 1.0).cast("decimal(18,6)").alias("ln_v"),
+            F.floor(F.log(v + 1.0) * 1e6).alias("ln_v6"),
         )
         .orderBy("event_id")
     )
@@ -302,7 +304,7 @@ def q_cond_01(spark, sf):
     "CAST(l_quantity AS INT) AS q_int, "
     "CAST(l_orderkey AS VARCHAR) AS k_str, "
     "CAST(CAST(l_orderkey AS VARCHAR) AS DOUBLE) AS k_dbl, "
-    "CAST(l_discount AS DECIMAL(5,2)) AS disc_dec, "
+    "CAST(CAST(l_discount AS DECIMAL(5,2)) AS VARCHAR) AS disc_dec, "
     "CAST(l_shipdate AS DATE) AS ship_date, "
     "CAST(l_shipdate AS VARCHAR) AS ship_str "
     "FROM lineitem ORDER BY l_orderkey, l_linenumber",
@@ -319,7 +321,9 @@ def q_cast_01(spark, sf):
             F.col("l_quantity").cast("int").alias("q_int"),
             F.col("l_orderkey").cast("string").alias("k_str"),
             F.col("l_orderkey").cast("string").cast("double").alias("k_dbl"),
-            F.col("l_discount").cast("decimal(5,2)").alias("disc_dec"),
+            # the decimal cast is the op under test; rendered at full scale
+            # as a string so no DECIMAL-typed cell reaches the hash compare
+            F.col("l_discount").cast("decimal(5,2)").cast("string").alias("disc_dec"),
             F.col("l_shipdate").cast("date").alias("ship_date"),
             F.col("l_shipdate").cast("string").alias("ship_str"),
         )
@@ -335,21 +339,32 @@ def q_cast_01(spark, sf):
 @register(
     "Q-ARR-01",
     sql="SELECT vec_id, CAST(len(embedding) AS INT) AS dim, "
-    "embedding[1] AS first_e, embedding[len(embedding)] AS last_e, "
-    "embedding[1:4] AS head4 "
+    "CAST(embedding[1] AS DOUBLE) AS first_e, "
+    "CAST(embedding[len(embedding)] AS DOUBLE) AS last_e, "
+    "array_to_string(list_transform(embedding[1:4], "
+    "x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1e7) AS BIGINT) AS VARCHAR)), ',') AS head4 "
     "FROM embeddings ORDER BY vec_id",
 )
 def q_arr_01(spark, sf):
-    """Array size / element_at / slice over the embedding column."""
+    """Array size / element_at / slice over the embedding column. Float
+    elements are widened to double (exact in both engines); the sliced
+    array is canonicalized to a comma-joined string of 1e-7-anchored
+    int64s so no float/array cell reaches the hash compare."""
     e = F.col("embedding")
     return (
         load(spark, sf, "embeddings")
         .select(
             "vec_id",
             F.size(e).alias("dim"),
-            F.element_at(e, 1).alias("first_e"),
-            F.element_at(e, F.size(e)).alias("last_e"),
-            F.slice(e, 1, 4).alias("head4"),
+            F.element_at(e, 1).cast("double").alias("first_e"),
+            F.element_at(e, F.size(e)).cast("double").alias("last_e"),
+            F.array_join(
+                F.transform(
+                    F.slice(e, 1, 4),
+                    lambda x: F.floor(x.cast("double") * 1e7).cast("string"),
+                ),
+                ",",
+            ).alias("head4"),
         )
         .orderBy("vec_id")
     )
@@ -419,29 +434,48 @@ def q_arr_04(spark, sf):
     )
 
 
+_ARR5_A7 = "list_transform({l}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e7) AS BIGINT))"
+_ARR5_JOIN = "array_to_string(list_transform({l}, v -> CAST(v AS VARCHAR)), ',')"
+
+
 @register(
     "Q-ARR-05",
-    sql="SELECT vec_id, list_sort(a) AS sorted_a, "
-    "list_sort(list_distinct(list_concat(a, b))) AS union_ab, "
-    "list_sort(list_filter(list_distinct(a), x -> list_contains(b, x))) AS inter_ab, "
-    "CAST(len(a) AS INT) AS zip_len "
-    "FROM (SELECT vec_id, embedding[1:4] AS a, embedding[3:6] AS b FROM embeddings) t "
+    sql="SELECT vec_id, "
+    + _ARR5_JOIN.format(l="list_sort(a7)")
+    + " AS sorted_a, "
+    + _ARR5_JOIN.format(l="list_sort(list_distinct(list_concat(a7, b7)))")
+    + " AS union_ab, "
+    + _ARR5_JOIN.format(l="list_sort(list_filter(list_distinct(a7), x -> list_contains(b7, x)))")
+    + " AS inter_ab, "
+    "CAST(len(a7) AS INT) AS zip_len "
+    "FROM (SELECT vec_id, "
+    + _ARR5_A7.format(l="embedding[1:4]")
+    + " AS a7, "
+    + _ARR5_A7.format(l="embedding[3:6]")
+    + " AS b7 FROM embeddings) t "
     "ORDER BY vec_id",
 )
 def q_arr_05(spark, sf):
     """array_sort / array_union / array_intersect (+ arrays_zip length).
-    Set-op outputs are re-sorted so only membership (exact float equality
-    on shared source values) matters, not engine-specific ordering."""
-    a = F.slice("embedding", 1, 4)
-    b = F.slice("embedding", 3, 4)
+    Elements are 1e-7-anchored to int64 first (float→double widening is
+    exact, FLOOR of identical doubles is an identical integer in both
+    engines), so the set ops run on exact integers and the sorted outputs
+    are emitted as comma-joined strings — no float/array cells in the
+    hash compare."""
+    a7 = F.transform(F.slice("embedding", 1, 4), lambda x: F.floor(x.cast("double") * 1e7))
+    b7 = F.transform(F.slice("embedding", 3, 4), lambda x: F.floor(x.cast("double") * 1e7))
+
+    def joined(arr):
+        return F.array_join(F.transform(arr, lambda v: v.cast("string")), ",")
+
     return (
         load(spark, sf, "embeddings")
         .select(
             "vec_id",
-            F.array_sort(a).alias("sorted_a"),
-            F.array_sort(F.array_union(a, b)).alias("union_ab"),
-            F.array_sort(F.array_intersect(a, b)).alias("inter_ab"),
-            F.size(F.arrays_zip(a, b)).alias("zip_len"),
+            joined(F.array_sort(a7)).alias("sorted_a"),
+            joined(F.array_sort(F.array_union(a7, b7))).alias("union_ab"),
+            joined(F.array_sort(F.array_intersect(a7, b7))).alias("inter_ab"),
+            F.size(F.arrays_zip(a7, b7)).alias("zip_len"),
         )
         .orderBy("vec_id")
     )
@@ -500,13 +534,14 @@ def q_map_02(spark, sf):
 
 @register(
     "Q-MAP-01",
-    sql="SELECT p_partkey, ['brand','type'] AS ks, p_brand AS brand_from_map "
+    sql="SELECT p_partkey, 'brand,type' AS ks, p_brand AS brand_from_map "
     "FROM part ORDER BY p_partkey",
 )
 def q_map_01(spark, sf):
     """Build a map column, list its keys, read an element back. The oracle
     states the expected *result* (map build+extract is identity); the
-    Spark side actually exercises create_map/map_keys/element_at."""
+    Spark side actually exercises create_map/map_keys/element_at. The key
+    list is emitted comma-joined (scalar string cells only)."""
     m = F.create_map(
         F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
     )
@@ -514,7 +549,7 @@ def q_map_01(spark, sf):
         load(spark, sf, "part")
         .select(
             "p_partkey",
-            F.map_keys(m).alias("ks"),
+            F.array_join(F.map_keys(m), ",").alias("ks"),
             F.element_at(m, F.lit("brand")).alias("brand_from_map"),
         )
         .orderBy("p_partkey")

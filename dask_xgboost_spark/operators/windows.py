@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dask_xgboost_spark.functions import EVENTS_US, dec
+from dask_xgboost_spark.functions import EVENTS_US, cents, sql_cents
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -69,13 +69,14 @@ def q_win_02(spark, sf):
 @register(
     "Q-WIN-03",
     sql="SELECT event_id, user_id, "
-    "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER ("
+    f"CAST(SUM({sql_cents('value')}) OVER ("
     "PARTITION BY user_id ORDER BY ts, event_id "
-    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS mov_sum "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) / 1e2 AS mov_sum "
     f"FROM {EVENTS_US} e ORDER BY event_id",
 )
 def q_win_03(spark, sf):
-    """3-row moving sum (ROWS frame) in exact decimal."""
+    """3-row moving sum (ROWS frame) in exact int64 cents, emitted as the
+    derived double (no DECIMAL output columns in hash-mode queries)."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -86,7 +87,7 @@ def q_win_03(spark, sf):
         .select(
             "event_id",
             "user_id",
-            F.sum(dec("value")).over(w).cast("decimal(38,6)").alias("mov_sum"),
+            (F.sum(cents("value")).over(w) / 1e2).alias("mov_sum"),
         )
         .orderBy("event_id")
     )
@@ -95,15 +96,15 @@ def q_win_03(spark, sf):
 @register(
     "Q-WIN-04",
     sql="SELECT o_orderkey, o_custkey, "
-    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER ("
+    f"CAST(SUM({sql_cents('o_totalprice')}) OVER ("
     "PARTITION BY o_custkey ORDER BY o_orderdate "
-    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS run_rev "
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 1e2 AS run_rev "
     "FROM orders ORDER BY o_orderkey",
 )
 def q_win_04(spark, sf):
     """Running revenue per customer with a RANGE frame — orderdate peers
     share the frame total, so the result is deterministic despite the
-    non-unique ordering."""
+    non-unique ordering. int64-cents carrier + derived-double output."""
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate")
@@ -114,7 +115,7 @@ def q_win_04(spark, sf):
         .select(
             "o_orderkey",
             "o_custkey",
-            F.sum(dec("o_totalprice")).over(w).cast("decimal(38,6)").alias("run_rev"),
+            (F.sum(cents("o_totalprice")).over(w) / 1e2).alias("run_rev"),
         )
         .orderBy("o_orderkey")
     )

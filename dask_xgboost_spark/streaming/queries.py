@@ -10,6 +10,7 @@ the watermark horizon, not the stream length.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -21,16 +22,18 @@ from dask_xgboost_spark.streaming.core import events_stream, run_to_memory, run_
 @register(
     "S-WIN-01",
     sql="SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n, "
-    "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sv "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 1e2 AS sv "
     f"FROM {EVENTS_US} e GROUP BY h ORDER BY h",
     mode="stream",
 )
 def s_win_01(spark, sf):
-    """Tumbling 1h window count/sum ≡ batch date_trunc rollup."""
+    """Tumbling 1h window count/sum ≡ batch date_trunc rollup. The value
+    sum is exact int64 cents emitted as the derived double (same carrier
+    as the batch twin Q-DATE-02; no DECIMAL output columns)."""
     ev = events_stream(spark, sf)
     agg = ev.groupBy(F.window("ts", "1 hour")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,6)").alias("sv"),
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 1e2).alias("sv"),
     )
     out = run_to_memory(agg, "complete")
     return out.select(F.col("window.start").alias("h"), "n", "sv").orderBy("h")
@@ -114,7 +117,8 @@ def s_state_01(spark, sf):
 @register(
     "S-STATE-02",
     sql="SELECT user_id, COUNT(*) AS n_events, "
-    "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value "
+    "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS total_scaled, "
+    "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 1e4 AS total_value "
     "FROM events GROUP BY user_id ORDER BY user_id",
     mode="stream",
 )
@@ -140,8 +144,11 @@ def s_state_02(spark, sf):
         n, tot = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # exact: value has 2 decimals; per-row scale+round → int64
-            tot += int((pdf["value"] * 10000).round().astype("int64").sum())
+            # exact: value has 2 decimals; per-row FLOOR(x*1e4+0.5) → int64
+            # (same anchor expression as the batch oracle — numpy .round()
+            # is half-even, the oracle's FLOOR(+0.5) is half-up; fixture
+            # doubles never land on exact ties but keep them identical)
+            tot += int(np.floor(pdf["value"] * 10000 + 0.5).astype("int64").sum())
         state.update((n, tot))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_scaled": [tot]})
 
@@ -157,9 +164,8 @@ def s_state_02(spark, sf):
     return final.select(
         "user_id",
         "n_events",
-        (F.col("total_scaled").cast("decimal(38,6)") / 10000)
-        .cast("decimal(38,6)")
-        .alias("total_value"),
+        "total_scaled",
+        (F.col("total_scaled") / 1e4).alias("total_value"),
     ).orderBy("user_id")
 
 
