@@ -35,9 +35,16 @@ def asof_join_backward(
     on : key column name present in both frames.
     left_ts / right_ts : event-time column in each frame.
     carry : {output_name: right_column} values carried from the matched
-        right row. The carried running value is the per-key maximum of the
-        right column among rows with ts <= left.ts — for monotone-in-ts
-        carries (like the right timestamp itself) this IS the as-of value.
+        right row — the right row with the greatest ``right_ts <=
+        left_ts`` for the key. Arbitrary (non-monotone) right columns are
+        carried correctly: the running value is ``max(struct(right_ts,
+        carries...))`` over the per-key window (max-by in one expression,
+        still a single shuffle), and the matched row's fields are
+        projected out of the struct. When several right rows share the
+        matched timestamp, the one with the lexicographically greatest
+        carried values wins (a deterministic tie-break; distributed input
+        order is not meaningful, unlike ``pandas.merge_asof``'s
+        last-input-row rule).
 
     Returns the left frame plus the carried columns (NULL when no prior
     right row exists for the key).
@@ -69,7 +76,20 @@ def asof_join_backward(
         .orderBy(F.col("_asof_ts"), F.col("_asof_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried: list[Column] = [F.max(F.col(f"_c_{out}")).over(w).alias(out) for out in carry]
+    # max-by over the window: the struct leads with the right timestamp, so
+    # the running max is the struct of the latest right row. The struct is
+    # NULL (ignored by max) for left rows — otherwise a left row, which
+    # sorts to the top of its own frame, would shadow the match with its
+    # NULL carry fields.
+    right_struct = F.when(
+        F.col("_asof_side") == 0,
+        F.struct(
+            F.col("_asof_ts").alias("_match_ts"),
+            *[F.col(f"_c_{out}").alias(out) for out in carry],
+        ),
+    )
+    matched = F.max(right_struct).over(w)
+    carried: list[Column] = [matched.getField(out).alias(out) for out in carry]
     return (
         u.select(*lcols, F.col("_asof_side"), *carried)
         .filter(F.col("_asof_side") == 1)

@@ -140,23 +140,59 @@ WHERE jaccard >= {_JACCARD_THRESHOLD} ORDER BY d1, d2
 """
 
 
-@register("L-DEDUP-03", sql=_DEDUP03_SQL)
-def l_dedup_03(spark, sf):
-    """Exact word-set Jaccard via inverted-index self-join (hash-checked
-    against the oracle's identical formulation). jaccard = |∩| / |∪| as a
-    double division of exact ints — cross-engine identical."""
-    docs = load(spark, sf, "documents")
-    tok = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
-    )
+def jaccard_pairs(docs, threshold: float = _JACCARD_THRESHOLD, max_token_df: int | None = None):
+    """Exact word-set Jaccard pairs via token inverted index.
+
+    ``max_token_df=None`` (verification scale): single-pass posting-list
+    self-join — every shared token produces a pair row, so a token
+    appearing in k documents contributes k² join rows. Exact, but a hot
+    token (a stopword in millions of docs) makes one join key quadratic —
+    the known 100 TB failure mode.
+
+    ``max_token_df=T`` (production scale): rare-token blocking. Candidate
+    pairs are generated ONLY from tokens whose document frequency is ≤ T,
+    bounding every posting list (join-key group) to T² pair rows; the
+    intersection is then re-counted exactly over ALL tokens for just the
+    candidate pairs, so reported (inter, jaccard) values are exact. A true
+    pair is missed only when every shared token is hot (df > T) — for
+    near-duplicate detection at sensible T (≥ ~10³) such pairs share only
+    ubiquitous stopwords and are far below any useful threshold anyway.
+    tests/test_golden.py asserts blocked == unblocked output on skewed
+    data and that the candidate join input actually shrinks.
+    """
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
     cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    pair = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if max_token_df is None:
+        a, b = tok.alias("a"), tok.alias("b")
+        pair = (
+            a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        rare = (
+            tok.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_token_df)
+            .select("w")
+        )
+        rare_tok = tok.join(rare, "w")
+        ra, rb = rare_tok.alias("a"), rare_tok.alias("b")
+        cand = (
+            ra.join(rb, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .distinct()
+        )
+        # exact re-count over ALL tokens, restricted to candidate pairs:
+        # cost ∝ |candidates| × tokens-per-doc, never quadratic in df
+        ta = tok.select(F.col("doc_id").alias("d1"), F.col("w").alias("wa"))
+        tb = tok.select(F.col("doc_id").alias("_d2b"), F.col("w").alias("wb"))
+        pair = (
+            cand.join(ta, "d1")
+            .join(tb, (F.col("d2") == F.col("_d2b")) & (F.col("wa") == F.col("wb")))
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     c1 = cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     c2 = cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     j = (
@@ -168,10 +204,21 @@ def l_dedup_03(spark, sf):
         )
     )
     return (
-        j.filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        j.filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "inter", "jaccard")
         .orderBy("d1", "d2")
     )
+
+
+@register("L-DEDUP-03", sql=_DEDUP03_SQL)
+def l_dedup_03(spark, sf):
+    """Exact word-set Jaccard via inverted-index self-join (hash-checked
+    against the oracle's identical formulation). jaccard = |∩| / |∪| as a
+    double division of exact ints — cross-engine identical. The fixture
+    vocabulary is tiny (~31 words, every token "hot"), so the registry
+    entry runs the exact single-pass form; production corpora use
+    ``jaccard_pairs(docs, max_token_df=...)`` — see its docstring."""
+    return jaccard_pairs(load(spark, sf, "documents"))
 
 
 @register("L-DEDUP-04", sql=None, mode="golden")

@@ -56,6 +56,16 @@ def repartition_by_key(df: DataFrame, cols: list[str], n: int | None = None) -> 
     return df.repartition(n, *[F.col(c) for c in cols]) if n else df.repartition(*cols)
 
 
+def row_salt(df: DataFrame, num_salts: int) -> Column:
+    """Deterministic shard id in [0, num_salts): xxhash64 of the full row.
+
+    Stable under repartitioning and task retry (a content hash, not a
+    position id), but varies within a hot join key because non-key
+    columns differ row to row.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts))
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -70,9 +80,16 @@ def salted_join(
     Use when one key carries a disproportionate share of rows; AQE's
     skew-join split handles moderate skew automatically, salting handles
     the pathological single-key case and pre-AQE engines.
+
+    The shard id is ``xxhash64`` of the FULL left row: deterministic under
+    task retry/recomputation (``monotonically_increasing_id`` is not — a
+    recomputed partition could re-salt rows differently mid-join), yet it
+    still spreads a hot join key because the non-key columns vary. (Hashing
+    only the join key would send the entire hot key to one shard —
+    defeating the salt. Fully identical rows do share a shard; that is
+    the irreducible case.)
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts))
-    l_salted = left.withColumn("_salt", salt)
+    l_salted = left.withColumn("_salt", row_salt(left, num_salts))
     shards = F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
     r_salted = right.withColumn("_salt", shards)
     out = l_salted.join(r_salted, on=[on, "_salt"], how=how)

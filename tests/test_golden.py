@@ -182,3 +182,36 @@ def test_watermark_drops_only_closed_windows(spark, sf_dir):
     m = stream.merge(batch, on="h", suffixes=("_s", "_b"))
     assert len(m) == len(stream), "every emitted window exists in batch"
     assert (m["n_s"] == m["n_b"]).all(), "emitted windows are complete"
+
+
+def test_jaccard_rare_token_blocking_exact_and_smaller(spark):
+    # Skewed corpus: every doc shares 3 hot filler tokens (df = n_docs);
+    # near-dup pairs share 7 of 8 rare tokens. With max_token_df between
+    # the two regimes, blocking must (a) return exactly the unblocked
+    # result — every true pair shares rare tokens — and (b) shrink the
+    # posting-list self-join input quadratically on the hot tokens.
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.operators.dedup import jaccard_pairs
+
+    rows = []
+    for i in range(30):
+        rare = " ".join(f"tok{i}_{j}" for j in range(8))
+        rows.append((2 * i, f"the a of {rare}"))
+        # near-dup: one rare token replaced
+        rows.append((2 * i + 1, f"the a of {rare.replace(f'tok{i}_7', f'tok{i}_x')}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unblocked = jaccard_pairs(docs, threshold=0.6).toPandas()
+    blocked = jaccard_pairs(docs, threshold=0.6, max_token_df=10).toPandas()
+    assert len(unblocked) == 30, unblocked
+    assert blocked.values.tolist() == unblocked.values.tolist()
+
+    # posting-join work ∝ Σ df² per token; blocking must cut it hard
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    work_all = dfreq.agg(F.sum(F.col("df") * F.col("df"))).collect()[0][0]
+    work_blocked = (
+        dfreq.filter(F.col("df") <= 10).agg(F.sum(F.col("df") * F.col("df"))).collect()[0][0]
+    )
+    assert work_blocked * 5 < work_all, (work_blocked, work_all)

@@ -112,3 +112,27 @@ def test_barrier_train_matches_closed_form(spark):
     # determinism across runs (reference "we can do this twice" pattern)
     w2 = barrier_train_linear(df, feature_col="features", label_col="y", num_partitions=4)
     np.testing.assert_allclose(w, w2, atol=0)
+
+
+def test_row_salt_stable_under_repartitioning(spark, sf_dir):
+    # The salt must be a content hash (retry/partitioning stable), not a
+    # position id: the same row gets the same shard under any layout.
+    from dask_xgboost_spark.plans.scale import row_salt
+    from dask_xgboost_spark.sources import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    a = (
+        li.repartition(3)
+        .withColumn("s", row_salt(li, 8))
+        .orderBy("l_orderkey", "l_linenumber")
+        .toPandas()
+    )
+    b = (
+        li.repartition(17)
+        .withColumn("s", row_salt(li, 8))
+        .orderBy("l_orderkey", "l_linenumber")
+        .toPandas()
+    )
+    assert a.equals(b)
+    # and it actually spreads rows across shards
+    assert a["s"].nunique() == 8
