@@ -77,6 +77,40 @@ def assemble_features(df: DataFrame, feature_col: str = "embedding") -> DataFram
     )
 
 
+def replace_missing(
+    df: DataFrame, missing: float, features_col: str = FEATURES_COL
+) -> DataFrame:
+    """Train-time missing-value sentinel (reference
+    ``dmatrix_kwargs['missing']``, core.py:300/test_core.py:366-382):
+    feature slots equal to ``missing`` are replaced by the per-dimension
+    mean of the non-missing values.
+
+    Documented divergence: xgboost routes missing values through tree
+    default directions; MLlib GBT has no missing-value routing, so the
+    Spark-idiomatic equivalent is mean imputation (the same strategy as
+    MLlib's ``Imputer``, applied inside the assembled vector). The
+    per-dimension means are one distributed aggregate (posexplode →
+    groupBy(pos)); only the dim-sized mean table is collected.
+    """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    arr = vector_to_array(F.col(features_col))
+    means_rows = (
+        df.select(F.posexplode(arr).alias("pos", "v"))
+        .filter(F.col("v") != missing)
+        .groupBy("pos")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    means = {r["pos"]: r["m"] for r in means_rows}
+    dim = int(df.select(F.size(arr).alias("d")).first()["d"])
+    mean_arr = F.array(*[F.lit(means.get(i, 0.0)) for i in range(dim)])
+    fixed = F.zip_with(
+        arr, mean_arr, lambda x, m: F.when(x == missing, m).otherwise(x)
+    )
+    return df.withColumn(features_col, array_to_vector(fixed))
+
+
 def train(
     params: dict[str, Any],
     df: DataFrame,
@@ -85,6 +119,9 @@ def train(
     sample_weight_col: str | None = None,
     eval_df: DataFrame | None = None,
     evals_result: dict | None = None,
+    sample_weight_eval_set: list[str] | None = None,
+    eval_metric: Any = None,
+    missing: float | None = None,
     **kwargs: Any,
 ):
     """Blocking distributed GBT training (reference train, core.py:268-321).
@@ -101,9 +138,46 @@ def train(
     (reference evals_result/history, core.py:120,259-260) via MLlib's
     ``evaluateEachIteration``; keys follow the reference's
     ``validation_0`` naming (core.py:148).
+
+    sample_weight_eval_set: weight-column names zipped against the eval
+    frames (reference core.py:138-151; zip truncation semantics per
+    test_core.py:166-170 — extra entries are ignored, an empty list means
+    unweighted). This engine takes one eval frame, so the first entry
+    names the weight column in ``eval_df``; it weights both the
+    early-stopping validation signal (via weightCol on the union) and the
+    reported eval history.
+
+    eval_metric: a *callable* metric is accepted and dropped with a
+    warning, exactly like the reference (core.py:454-458: custom
+    callables can't cross the distributed boundary).
+
+    missing: train-time sentinel (reference dmatrix_kwargs['missing'],
+    test_core.py:366-382) — sentinel feature slots are mean-imputed via
+    ``replace_missing`` before fitting (see its docstring for the
+    documented divergence from xgboost's tree-routing semantics).
     """
+    import warnings
+
     from pyspark.ml.classification import GBTClassifier, OneVsRest
     from pyspark.ml.regression import GBTRegressor
+
+    params = dict(params)
+    if eval_metric is None:
+        eval_metric = params.pop("eval_metric", None)
+    else:
+        params.pop("eval_metric", None)
+    if callable(eval_metric):
+        warnings.warn(
+            "callable eval_metric is not supported across the distributed "
+            "boundary and is ignored (reference behavior, core.py:454-458)",
+            UserWarning,
+            stacklevel=2,
+        )
+        eval_metric = None
+    if missing is None:
+        missing = params.pop("missing", None)
+    else:
+        params.pop("missing", None)
 
     objective = params.get("objective", "reg:squarederror")
     mlp = translate_params({**params, **kwargs})
@@ -112,15 +186,38 @@ def train(
     if sample_weight_col is not None:
         common["weightCol"] = sample_weight_col
 
+    if missing is not None:
+        df = replace_missing(df, missing, features_col)
+        if eval_df is not None:
+            eval_df = replace_missing(eval_df, missing, features_col)
+
+    # zip-truncate: first weight spec pairs with the single eval frame
+    eval_weight_col = (
+        sample_weight_eval_set[0]
+        if sample_weight_eval_set and eval_df is not None
+        else None
+    )
+
     fit_df = df
     if eval_df is not None:
         # Distributed eval sets are first-class here (the reference must
         # reject them, core.py:154-161, because its eval sets ride inside
         # the per-worker closure; a Spark indicator column needs no such
         # restriction).
-        fit_df = df.withColumn("_is_val", F.lit(False)).unionByName(
-            eval_df.withColumn("_is_val", F.lit(True))
-        )
+        train_part = df.withColumn("_is_val", F.lit(False))
+        val_part = eval_df.withColumn("_is_val", F.lit(True))
+        if eval_weight_col is not None:
+            # one weight column across the union: train rows keep their
+            # weights (or 1.0), val rows carry the eval-set weights
+            train_w = (
+                F.col(sample_weight_col) if sample_weight_col else F.lit(1.0)
+            )
+            train_part = train_part.withColumn("_w", train_w.cast("double"))
+            val_part = val_part.withColumn(
+                "_w", F.col(eval_weight_col).cast("double")
+            )
+            common["weightCol"] = "_w"
+        fit_df = train_part.unionByName(val_part, allowMissingColumns=True)
         common["validationIndicatorCol"] = "_is_val"
 
     if objective.startswith("reg"):
@@ -142,24 +239,112 @@ def train(
     else:
         raise ValueError(f"unsupported objective: {objective}")
     model = est.fit(fit_df)
-    if (
-        evals_result is not None
-        and eval_df is not None
-        and hasattr(model, "evaluateEachIteration")
-    ):
-        evals_result["validation_0"] = {
-            "loss": list(model.evaluateEachIteration(eval_df))
-        }
+    if evals_result is not None and eval_df is not None:
+        if eval_weight_col is not None and hasattr(model, "trees"):
+            evals_result["validation_0"] = {
+                "loss": _weighted_eval_history(
+                    model,
+                    eval_df,
+                    weight_col=eval_weight_col,
+                    label_col=label_col,
+                    features_col=features_col,
+                    is_classifier=not objective.startswith("reg"),
+                )
+            }
+        elif hasattr(model, "evaluateEachIteration"):
+            try:
+                history = list(model.evaluateEachIteration(eval_df))
+            except TypeError:  # the regression variant requires a loss name
+                history = list(model.evaluateEachIteration(eval_df, "squared"))
+            evals_result["validation_0"] = {"loss": history}
     return model
 
 
-def predict(model, df: DataFrame, features_col: str = FEATURES_COL) -> DataFrame:
-    """Lazy distributed inference (reference predict, core.py:340-384):
-    ``model.transform`` adds prediction/probability columns; nothing runs
-    until an action — same laziness the reference documents (P7)."""
+def _weighted_eval_history(
+    model,
+    eval_df: DataFrame,
+    weight_col: str,
+    label_col: str,
+    features_col: str,
+    is_classifier: bool,
+) -> list[float]:
+    """Per-iteration WEIGHTED validation loss (reference plumbs
+    sample_weight_eval_set into the eval DMatrix so the reported metric is
+    weighted, core.py:138-151). MLlib's ``evaluateEachIteration`` is
+    unweighted, so the cumulative GBT score is rebuilt tree by tree:
+    score_k = Σ_{i≤k} treeWeight_i · tree_i(x) — one distributed transform
+    per boosting round (bounded by maxIter), no driver-side row loops.
+    Loss: weighted RMSE (regression) / weighted error rate (binary
+    margin > 0, classification).
+    """
+    import math
+
+    cur = eval_df.withColumn("_acc", F.lit(0.0))
     if features_col != FEATURES_COL:
-        df = df.withColumnRenamed(features_col, FEATURES_COL)
-    return model.transform(df)
+        cur = cur.withColumnRenamed(features_col, FEATURES_COL)
+    w = F.col(weight_col).cast("double")
+    y = F.col(label_col).cast("double")
+    losses: list[float] = []
+    for tree, tw in zip(model.trees, model.treeWeights):
+        cur = (
+            tree.transform(cur)
+            .withColumn("_acc", F.col("_acc") + F.lit(float(tw)) * F.col("prediction"))
+            .drop("prediction")
+        )
+        if is_classifier:
+            wrong = F.when((F.col("_acc") > 0).cast("double") != y, w).otherwise(F.lit(0.0))
+            num, den = F.sum(wrong), F.sum(w)
+            row = cur.select((num / den).alias("loss")).first()
+            losses.append(float(row["loss"]))
+        else:
+            se = w * (F.col("_acc") - y) * (F.col("_acc") - y)
+            row = cur.select((F.sum(se) / F.sum(w)).alias("mse")).first()
+            losses.append(math.sqrt(float(row["mse"])))
+    return losses
+
+
+def _local_features_frame(data):
+    """Local numpy array / pandas frame / list-of-rows → (Spark frame with
+    ``features`` vector + ``_row_idx`` order column, row count)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("local-data predict needs an active SparkSession")
+    if isinstance(data, pd.DataFrame):
+        arr = data.to_numpy(dtype="float64")
+    else:
+        arr = np.asarray(data, dtype="float64")
+    if arr.ndim != 2:
+        raise ValueError(f"expected 2-D feature data, got shape {arr.shape}")
+    pdf = pd.DataFrame(
+        {"_row_idx": range(len(arr)), "_arr": [row.tolist() for row in arr]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    return assemble_features(sdf, feature_col="_arr").drop("_arr"), len(arr)
+
+
+def predict(model, data, features_col: str = FEATURES_COL):
+    """Distributed inference (reference predict, core.py:340-384):
+    ``model.transform`` adds prediction/probability columns; nothing runs
+    until an action — same laziness the reference documents (P7).
+
+    Like the reference (core.py:378-382), non-distributed input is also
+    accepted: a numpy 2-D array / pandas frame / list of feature rows is
+    lifted into a Spark frame and the predictions come back as a local
+    numpy array (local in → local out).
+    """
+    import numpy as np
+
+    if isinstance(data, DataFrame):
+        if features_col != FEATURES_COL:
+            data = data.withColumnRenamed(features_col, FEATURES_COL)
+        return model.transform(data)
+    sdf, _ = _local_features_frame(data)
+    out = model.transform(sdf).select("_row_idx", "prediction").orderBy("_row_idx")
+    return np.asarray(out.toPandas()["prediction"], dtype="float64")
 
 
 class XGBRegressor:
@@ -183,14 +368,36 @@ class XGBRegressor:
         }
         self.model_ = None
 
-    def fit(self, df: DataFrame, label_col: str = "label", sample_weight_col: str | None = None, eval_df: DataFrame | None = None):
+    def fit(
+        self,
+        df: DataFrame,
+        label_col: str = "label",
+        sample_weight_col: str | None = None,
+        eval_df: DataFrame | None = None,
+        sample_weight_eval_set: list[str] | None = None,
+    ):
         self.model_ = train(
-            self.params, df, label_col=label_col, sample_weight_col=sample_weight_col, eval_df=eval_df
+            self.params,
+            df,
+            label_col=label_col,
+            sample_weight_col=sample_weight_col,
+            eval_df=eval_df,
+            sample_weight_eval_set=sample_weight_eval_set,
         )
         return self
 
-    def predict(self, df: DataFrame) -> DataFrame:
+    def predict(self, df):
+        if not isinstance(df, DataFrame):
+            # local in → local numpy out (reference core.py:378-382)
+            return predict(self.model_, df)
         return predict(self.model_, df).select(*df.columns, "prediction")
+
+    @property
+    def feature_importances_(self):
+        """Per-feature importances as a numpy array (reference asserts
+        this attribute, test_core.py:57); MLlib's impurity-based
+        ``featureImportances`` vector."""
+        return _feature_importances(self.model_)
 
 
 class XGBClassifier:
@@ -227,6 +434,7 @@ class XGBClassifier:
         classes: list[int] | None = None,
         sample_weight_col: str | None = None,
         eval_df: DataFrame | None = None,
+        sample_weight_eval_set: list[str] | None = None,
     ):
         if classes is None:
             # eager distributed distinct, like the reference (core.py:566)
@@ -243,19 +451,44 @@ class XGBClassifier:
         self.objective_ = params["objective"]
         self.n_classes_ = len(classes)
         self.model_ = train(
-            params, df, label_col=label_col, sample_weight_col=sample_weight_col, eval_df=eval_df
+            params,
+            df,
+            label_col=label_col,
+            sample_weight_col=sample_weight_col,
+            eval_df=eval_df,
+            sample_weight_eval_set=sample_weight_eval_set,
         )
         return self
 
-    def predict(self, df: DataFrame) -> DataFrame:
+    def predict(self, df):
         """Hard labels (reference core.py:617-624: argmax / 0.5 threshold —
-        both already inside MLlib's ``prediction`` column)."""
+        both already inside MLlib's ``prediction`` column). Local input
+        returns a local numpy array (reference core.py:378-382)."""
+        if not isinstance(df, DataFrame):
+            return predict(self.model_, df)
         return predict(self.model_, df).select(*df.columns, "prediction")
 
-    def predict_proba(self, df: DataFrame) -> DataFrame:
-        """Probabilities as array<double> (reference core.py:626-631)."""
+    def predict_proba(self, df):
+        """Probabilities as array<double> (reference core.py:626-631).
+        Local input returns an (n, n_classes) numpy array."""
+        import numpy as np
+
         from pyspark.ml.functions import vector_to_array
 
+        if not isinstance(df, DataFrame):
+            sdf, _ = _local_features_frame(df)
+            out = predict(self.model_, sdf)
+            if "probability" not in out.columns:
+                raise NotImplementedError(
+                    "predict_proba requires a probabilistic backend "
+                    "(OneVsRest emits margins only)"
+                )
+            pdf = (
+                out.select("_row_idx", vector_to_array("probability").alias("proba"))
+                .orderBy("_row_idx")
+                .toPandas()
+            )
+            return np.array(pdf["proba"].tolist(), dtype="float64")
         out = predict(self.model_, df)
         if "probability" not in out.columns:
             raise NotImplementedError(
@@ -263,3 +496,26 @@ class XGBClassifier:
                 "(OneVsRest emits margins only)"
             )
         return out.select(*df.columns, vector_to_array("probability").alias("proba"))
+
+    @property
+    def feature_importances_(self):
+        """Per-feature importances as a numpy array (reference asserts
+        this attribute on the classifier, test_core.py:57). Binary →
+        MLlib ``featureImportances``; multiclass (OneVsRest) → mean of
+        the per-class binary models' importances."""
+        return _feature_importances(self.model_)
+
+
+def _feature_importances(model):
+    import numpy as np
+
+    if model is None:
+        raise AttributeError("model is not fitted")
+    if hasattr(model, "featureImportances"):
+        return np.asarray(model.featureImportances.toArray())
+    if hasattr(model, "models"):  # OneVsRestModel: average the OvR binaries
+        return np.mean(
+            [np.asarray(m.featureImportances.toArray()) for m in model.models],
+            axis=0,
+        )
+    raise AttributeError(f"{type(model).__name__} exposes no featureImportances")

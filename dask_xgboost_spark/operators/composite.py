@@ -16,6 +16,42 @@ from dask_xgboost_spark.sources import load
 
 _REV = f"{sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})"
 
+# TPC-H Q2 (min-cost supplier), adapted: the fixture has no partsupp table,
+# so lineitem's (l_partkey, l_suppkey, l_extendedprice) is the
+# part↔supplier offer list. The multi-table correlated scalar subquery —
+# min price per part among same-region suppliers — is the load-bearing
+# shape: Catalyst must decorrelate it into an aggregate + join while the
+# dim chain (supplier→nation→region) broadcasts on both sides.
+_TPCH2_SQL = (
+    "SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type, l_extendedprice AS price "
+    "FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE p_size <= 15 AND p_type = 'PROMO' AND r_name = 'EUROPE' "
+    "AND l_extendedprice = ("
+    "  SELECT MIN(l2.l_extendedprice) FROM lineitem l2 "
+    "  JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey "
+    "  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey "
+    "  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey "
+    "  WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE') "
+    "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+)
+
+
+@register("Q-TPCH-02", sql=_TPCH2_SQL)
+def q_tpch_02(spark, sf):
+    """Min-cost-supplier shape (TPC-H Q2): for each small PROMO part, the
+    EUROPE supplier(s) offering the regional minimum price. Correlated
+    scalar subquery over four tables; shared SQL text runs in Spark SQL
+    (decorrelated by Catalyst — plan-asserted in tests/test_plans.py) and
+    DuckDB. DISTINCT guards duplicate (part, supplier) offers at the min
+    price; ORDER BY ends in unique (s_name, p_partkey) so the LIMIT is a
+    deterministic top-k."""
+    for t in ("part", "lineitem", "supplier", "nation", "region"):
+        load(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH2_SQL)
+
 
 @register(
     "Q-TPCH-03",

@@ -192,3 +192,124 @@ def test_input_type_matrix(spark, sf_dir):
     )
     m2 = train({"objective": "binary:logistic", "n_estimators": 4}, sparse, label_col="y")
     assert m2.transform(sparse).count() == 120
+
+
+def test_feature_importances(spark, emb):
+    # reference test_core.py:57: the fitted classifier exposes
+    # feature_importances_; nonneg, feature-dim length, sums to ~1
+    import numpy as np
+
+    clf = XGBClassifier(**PARAMS).fit(emb, label_col="y")
+    imp = clf.feature_importances_
+    dim = len(emb.select("embedding").first()["embedding"])
+    assert imp.shape == (dim,)
+    assert (imp >= 0).all() and imp.sum() > 0
+
+    reg = XGBRegressor(**PARAMS).fit(
+        emb.withColumn("t", F.element_at("embedding", 1).cast("double")),
+        label_col="t",
+    )
+    assert reg.feature_importances_.shape == (dim,)
+
+
+def test_local_data_predict_matches_distributed(spark, emb):
+    # reference core.py:378-382: predict accepts non-distributed input;
+    # local in → local numpy out, equal to the distributed path
+    import numpy as np
+
+    clf = XGBClassifier(**PARAMS).fit(emb, label_col="y")
+    sample = emb.orderBy("vec_id").limit(20).toPandas()
+    local_X = np.array(sample["embedding"].tolist(), dtype="float64")
+
+    got = clf.predict(local_X)
+    assert isinstance(got, np.ndarray) and got.shape == (20,)
+    want = (
+        clf.predict(emb.orderBy("vec_id").limit(20))
+        .orderBy("vec_id")
+        .toPandas()["prediction"]
+        .to_numpy()
+    )
+    assert (got == want).all()
+
+    proba = clf.predict_proba(local_X)
+    assert proba.shape == (20, 2)
+    assert np.allclose(proba.sum(axis=1), 1.0)
+    assert ((proba[:, 1] > 0.5) == (got == 1.0)).all()
+
+
+def test_weighted_eval_history_differs(spark, emb):
+    # reference core.py:138-151 + test_core.py:166-170: eval-set weights
+    # flow into the reported validation history (zip-truncation: extra
+    # weight specs are ignored)
+    tr = emb.filter(F.col("vec_id") % 5 != 0)
+    va = emb.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "vw", (1 + (F.col("vec_id") % 3) * 9).cast("double")
+    )
+    plain: dict = {}
+    train({"objective": "binary:logistic", **PARAMS}, tr, label_col="y",
+          eval_df=va, evals_result=plain)
+    weighted: dict = {}
+    train({"objective": "binary:logistic", **PARAMS}, tr, label_col="y",
+          eval_df=va, evals_result=weighted,
+          sample_weight_eval_set=["vw", "ignored_extra_entry"])
+    h0 = plain["validation_0"]["loss"]
+    h1 = weighted["validation_0"]["loss"]
+    assert h0 and h1
+    # the weighted validation signal changes the history — values and/or
+    # the early-stopping point (validationIndicatorCol stops on the
+    # weighted signal)
+    assert h0 != h1, "eval-set weights must change the reported history"
+
+
+def test_callable_eval_metric_accepted_and_dropped(spark, emb):
+    # reference core.py:454-458: callable metrics are accepted with a
+    # warning and dropped (they cannot cross the distributed boundary)
+    with pytest.warns(UserWarning, match="callable eval_metric"):
+        model = train(
+            {"objective": "binary:logistic", **PARAMS},
+            emb,
+            label_col="y",
+            eval_metric=lambda y, p: 0.0,
+        )
+    assert predict(model, emb).count() == emb.count()
+
+
+def test_missing_sentinel_at_train(spark, emb):
+    # reference dmatrix_kwargs['missing'] (test_core.py:366-382): the
+    # sentinel changes training. Poison one feature slot with -999 on
+    # every 3rd row: trained WITH missing=-999 (mean-imputed) must differ
+    # from trained without, and imputation must erase the sentinel.
+    import numpy as np
+
+    from dask_xgboost_spark.ml.core import replace_missing
+    from pyspark.ml.functions import vector_to_array
+
+    poisoned = assemble_features(
+        emb.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    (i == 0) & (F.col("vec_id") % 3 == 0), F.lit(-999.0)
+                ).otherwise(x.cast("double")),
+            ),
+        )
+    )
+    fixed = replace_missing(poisoned, -999.0)
+    mn = (
+        fixed.select(F.array_min(vector_to_array("features")).alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    assert mn > -999.0, "sentinel slots must be imputed away"
+
+    naive = train({"objective": "binary:logistic", **PARAMS}, poisoned, label_col="y")
+    aware = train(
+        {"objective": "binary:logistic", **PARAMS},
+        poisoned,
+        label_col="y",
+        missing=-999.0,
+    )
+    a = predict(naive, poisoned).select("vec_id", "prediction").toPandas()
+    b = predict(aware, poisoned).select("vec_id", "prediction").toPandas()
+    assert not a.merge(b, on="vec_id").query("prediction_x != prediction_y").empty

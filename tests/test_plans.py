@@ -85,3 +85,14 @@ def test_whole_stage_codegen(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     # codegen'd operators carry the "*(n)" stage marker in the final plan
     assert "*(" in p
+
+
+def test_tpch02_correlated_min_decorrelated(spark, sf_dir):
+    # the correlated scalar MIN subquery must be rewritten to an
+    # aggregate + join (no per-row subquery execution), with the dim
+    # chain broadcast on both the outer and inner sides
+    p = plan(spark, sf_dir, "Q-TPCH-02")
+    assert "Subquery" not in p, p
+    assert "HashAggregate" in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
