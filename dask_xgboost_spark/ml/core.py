@@ -470,32 +470,37 @@ class XGBClassifier:
 
     def predict_proba(self, df):
         """Probabilities as array<double> (reference core.py:626-631).
-        Local input returns an (n, n_classes) numpy array."""
+        Binary → MLlib's calibrated ``probability`` vector; multiclass →
+        sum-normalized per-class OvR probabilities (sklearn's
+        OneVsRestClassifier convention — each binary model's P(class|x),
+        renormalized to 1; argmax agrees with ``predict`` because the
+        per-model probability is the same monotone transform of the raw
+        margin OvR itself argmaxes over). Local input returns an
+        (n, n_classes) numpy array."""
         import numpy as np
 
         from pyspark.ml.functions import vector_to_array
 
-        if not isinstance(df, DataFrame):
-            sdf, _ = _local_features_frame(df)
-            out = predict(self.model_, sdf)
-            if "probability" not in out.columns:
-                raise NotImplementedError(
-                    "predict_proba requires a probabilistic backend "
-                    "(OneVsRest emits margins only)"
-                )
+        local = not isinstance(df, DataFrame)
+        sdf = _local_features_frame(df)[0] if local else df
+        out = predict(self.model_, sdf)
+        if "probability" in out.columns:
+            proba = vector_to_array("probability")
+        elif hasattr(self.model_, "models"):
+            out = _ovr_proba_frame(self.model_, sdf)
+            proba = F.col("_ovr_proba")
+        else:
+            raise NotImplementedError(
+                "predict_proba requires a probabilistic backend"
+            )
+        if local:
             pdf = (
-                out.select("_row_idx", vector_to_array("probability").alias("proba"))
+                out.select("_row_idx", proba.alias("proba"))
                 .orderBy("_row_idx")
                 .toPandas()
             )
             return np.array(pdf["proba"].tolist(), dtype="float64")
-        out = predict(self.model_, df)
-        if "probability" not in out.columns:
-            raise NotImplementedError(
-                "predict_proba requires a probabilistic backend "
-                "(OneVsRest emits margins only)"
-            )
-        return out.select(*df.columns, vector_to_array("probability").alias("proba"))
+        return out.select(*df.columns, proba.alias("proba"))
 
     @property
     def feature_importances_(self):
@@ -504,6 +509,29 @@ class XGBClassifier:
         MLlib ``featureImportances``; multiclass (OneVsRest) → mean of
         the per-class binary models' importances."""
         return _feature_importances(self.model_)
+
+
+def _ovr_proba_frame(model, df: DataFrame) -> DataFrame:
+    """OneVsRestModel probabilities: run each per-class binary model's
+    transform (k distributed passes, k = n_classes), take its P(positive),
+    and renormalize across classes into one ``_ovr_proba`` array<double>
+    column. All column work stays JVM-side."""
+    from pyspark.ml.functions import vector_to_array
+
+    out = df
+    cols = []
+    for i, sub in enumerate(model.models):
+        sub = sub.copy()
+        sub.setPredictionCol(f"_ovr_pred_{i}")
+        sub.setRawPredictionCol(f"_ovr_raw_{i}")
+        sub.setProbabilityCol(f"_ovr_p_{i}")
+        out = sub.transform(out)
+        cols.append(F.element_at(vector_to_array(f"_ovr_p_{i}"), 2))
+    total = sum(cols[1:], cols[0])
+    arr = F.array(*[c / total for c in cols])
+    drop = [c for c in out.columns if c.startswith("_ovr_pred_")
+            or c.startswith("_ovr_raw_") or c.startswith("_ovr_p_")]
+    return out.withColumn("_ovr_proba", arr).drop(*drop)
 
 
 def _feature_importances(model):

@@ -313,3 +313,23 @@ def test_missing_sentinel_at_train(spark, emb):
     a = predict(naive, poisoned).select("vec_id", "prediction").toPandas()
     b = predict(aware, poisoned).select("vec_id", "prediction").toPandas()
     assert not a.merge(b, on="vec_id").query("prediction_x != prediction_y").empty
+
+
+def test_multiclass_predict_proba_ovr(spark, emb):
+    # reference core.py:626-631 returns softprob for multiclass; the OvR
+    # equivalent is sum-normalized per-class probabilities whose argmax
+    # agrees with predict()
+    import numpy as np
+
+    df = emb.withColumn("ym", F.col("label").cast("double"))
+    clf = XGBClassifier(n_estimators=3, max_depth=2).fit(df, label_col="ym")
+    out = (
+        clf.predict_proba(df)
+        .join(clf.predict(df).select("vec_id", "prediction"), "vec_id")
+        .select("vec_id", "proba", "prediction")
+        .toPandas()
+    )
+    proba = np.array(out["proba"].tolist())
+    assert proba.shape[1] == 10
+    assert np.allclose(proba.sum(axis=1), 1.0)
+    assert (proba.argmax(axis=1) == out["prediction"].to_numpy()).all()
