@@ -128,13 +128,18 @@ def l_dedup_02(spark, sf):
 # inflated for unrelated docs; 0.95 keeps the output to true near-dups.
 _JACCARD_THRESHOLD = 0.95
 
-_DEDUP03_SQL = f"""
-WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+# shared CTE text: tokenize → posting self-join → exact Jaccard pairs
+_DEDUP_PAIR_CTES = """
+tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
 pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
          FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
 j AS (SELECT d1, d2, inter, CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) AS jaccard
       FROM pair JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id)
+"""
+
+_DEDUP03_SQL = f"""
+WITH {_DEDUP_PAIR_CTES}
 SELECT d1, d2, CAST(inter AS BIGINT) AS inter, jaccard FROM j
 WHERE jaccard >= {_JACCARD_THRESHOLD} ORDER BY d1, d2
 """
@@ -219,6 +224,104 @@ def l_dedup_03(spark, sf):
     entry runs the exact single-pass form; production corpora use
     ``jaccard_pairs(docs, max_token_df=...)`` — see its docstring."""
     return jaccard_pairs(load(spark, sf, "documents"))
+
+
+def connected_components(
+    edges, src: str = "a", dst: str = "b", max_iter: int = 25
+):
+    """Undirected connected components over an edge list → (node,
+    component) where component = the minimum node id reachable.
+
+    HashMin label propagation, pure DataFrame ops: every node starts
+    labeled with its own id; each round every node takes the min of its
+    own and its neighbors' labels; converges in O(graph diameter) rounds
+    (each round = one shuffle on the edge key + one on the node key).
+    Near-duplicate clusters are near-cliques (diameter ≤ ~2), so this is
+    the right shape for dedup grouping; for general graphs at 100 TB with
+    long chains, the star-contraction variant (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") converges in O(log n) rounds and
+    should replace the loop body. Each iteration is truncated with
+    ``localCheckpoint`` — plain cache() flattens EXECUTION but the logical
+    plan still nests every prior round (the join + convergence check
+    reference the previous labels twice → exponential plan text); on a
+    fault-tolerant cluster use ``checkpoint()`` with a checkpoint dir
+    instead. Convergence is detected distributedly (count of changed
+    labels), never by collecting labels.
+    """
+    a, b = F.col(src), F.col(dst)
+    sym = (
+        edges.select(a.alias("s"), b.alias("t"))
+        .union(edges.select(b.alias("s"), a.alias("t")))
+        .distinct()
+        .localCheckpoint()  # materialize the (possibly expensive) edges once
+    )
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.s == labels.node)
+            .groupBy(F.col("t").alias("node2"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+_DEDUP07_SQL = f"""
+WITH RECURSIVE {_DEDUP_PAIR_CTES},
+p AS (SELECT d1, d2 FROM j WHERE jaccard >= {_JACCARD_THRESHOLD}),
+edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2 AS a, d1 AS b FROM p),
+walk(node, label) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node WHERE w.label < e.b
+),
+comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+SELECT component, COUNT(*) AS n_docs, CAST(MAX(node) AS BIGINT) AS max_doc
+FROM comp GROUP BY component ORDER BY component
+"""
+
+
+@register("L-DEDUP-07", sql=_DEDUP07_SQL)
+def l_dedup_07(spark, sf):
+    """Near-duplicate GROUPS: connected components over the exact-Jaccard
+    pair graph (L-DEDUP-03's edges) — the step a real dedup pipeline needs
+    after pairwise similarity, since keep-one-per-group requires clusters,
+    not pairs. Spark side: HashMin label propagation (see
+    ``connected_components``); oracle: DuckDB recursive CTE doing min-label
+    reachability (propagation is pruned to label < node, which every
+    min-label path satisfies). Output: one row per component with its
+    canonical keeper (= component id, the min doc_id), member count, and
+    max member."""
+    pairs = jaccard_pairs(load(spark, sf, "documents"))
+    cc = connected_components(pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")))
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.max("node").alias("max_doc"))
+        .orderBy("component")
+    )
 
 
 @register("L-DEDUP-04", sql=None, mode="golden")

@@ -215,3 +215,24 @@ def test_jaccard_rare_token_blocking_exact_and_smaller(spark):
         dfreq.filter(F.col("df") <= 10).agg(F.sum(F.col("df") * F.col("df"))).collect()[0][0]
     )
     assert work_blocked * 5 < work_all, (work_blocked, work_all)
+
+
+def test_connected_components_chain_and_isolates(spark):
+    # a 6-node path (diameter 5 — exercises multiple propagation rounds),
+    # a triangle, and a 2-clique; labels must be the per-component min
+    from dask_xgboost_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "a long, b long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    want = {(n, 1) for n in range(1, 7)} | {(n, 10) for n in (10, 11, 12)} | {
+        (20, 20), (21, 20)
+    }
+    assert got == want
