@@ -129,6 +129,23 @@ def main() -> None:
             _median_timed(lambda: con.execute(sql).fetchall()), 4
         )
 
+    # join-strategy sweep on the 4-table headliner: broadcast-hash (the
+    # default under the 64m threshold) vs shuffle-based sort-merge with
+    # broadcasting disabled — the measured cost of losing dim broadcast
+    join_spec = specs["Q-JOIN-02"]
+    # disable BOTH the planner threshold and AQE's runtime re-conversion,
+    # otherwise AQE silently turns the "SMJ" run back into broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    smj_df = join_spec.fn(spark, sf_dir)
+    smj_df.collect()
+    join_strategies = {
+        "bhj_broadcast_dims": results["q_join_02"],
+        "smj_no_broadcast": round(_median_timed(lambda: smj_df.collect()), 4),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
     total = round(sum(results.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -145,6 +162,7 @@ def main() -> None:
                 "fresh_plan_queries": fresh_plan,
                 "fresh_plan_total": round(sum(fresh_plan.values()), 4),
                 "scan_floor_lineitem_sec": scan_floor,
+                "join_strategy_q_join_02": join_strategies,
             }
         )
     )
