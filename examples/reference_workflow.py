@@ -68,6 +68,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     proba = clf.predict_proba(test_df).select("vec_id", "proba")
     print("proba sample:", proba.limit(2).collect())
 
+    # 6. feature importances (reference test_core.py:57 asserts the attr)
+    imp = clf.feature_importances_
+    print(f"feature_importances_: dim={len(imp)}, top={imp.max():.3f}")
+
+    # 7. local-data predict (reference core.py:378-382: non-distributed
+    #    input → local result)
+    local_rows = [r["embedding"] for r in test_df.select("embedding").limit(5).collect()]
+    print("local predict:", clf.predict(local_rows))
+
     spark.stop()
 
 

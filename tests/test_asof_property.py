@@ -109,3 +109,42 @@ def test_asof_carries_nonmonotone_value(spark, left, right):
         assert g.equals(w), (
             f"{got_col}:\nleft:\n{lpdf}\nright:\n{rpdf}\ngot:\n{got}\nwant:\n{want}"
         )
+
+
+# --- jaccard dedup property check (same independent-reference pattern) ---
+
+_tok = st.sampled_from(["apple", "banana", "cherry", "date", "elder", "fig", "grape"])
+_doc = st.lists(_tok, min_size=1, max_size=10)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_doc, min_size=2, max_size=10))
+def test_jaccard_pairs_matches_python_reference(spark, docs):
+    """jaccard_pairs must agree with a direct Python set-Jaccard on random
+    corpora — exact pair set, intersection sizes, and jaccard values."""
+    from dask_xgboost_spark.operators.dedup import jaccard_pairs
+
+    threshold = 0.6
+    pdf = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(pdf, "doc_id long, text string")
+
+    got = {
+        (r["d1"], r["d2"]): (r["inter"], round(r["jaccard"], 9))
+        for r in jaccard_pairs(sdf, threshold=threshold).collect()
+    }
+
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                jac = inter / union
+                if jac >= threshold:
+                    want[(i, j)] = (inter, round(jac, 9))
+    assert got == want, f"docs={docs}\ngot={got}\nwant={want}"
