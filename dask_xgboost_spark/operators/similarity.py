@@ -212,3 +212,53 @@ def l_sim_02(spark, sf):
         .select("qid", "cid", "cosine", "rnk")
         .orderBy("qid", "rnk")
     )
+
+
+_SIM04_SQL = """
+SELECT label, pos - 1 AS pos,
+       CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS csum8,
+       CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT)
+           / COUNT(*) / 1e8 AS centroid
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings) t
+GROUP BY label, pos ORDER BY label, pos
+"""
+
+
+@register("L-SIM-04", sql=_SIM04_SQL)
+def l_sim_04(spark, sf):
+    """Per-label embedding centroid (mean-pool) — the building block for
+    semantic clustering / class prototypes in a curation pipeline.
+
+    Scale shape: ONE pass over the fact table with d per-dimension sum
+    aggregates (whole-stage codegen, no explode of the big side — an
+    explode would shuffle d× the data); only the tiny (labels × d) result
+    is unpivoted to long form. Determinism: 1e-8 fixed-point anchored
+    sums (exact int64) divided by exact counts → identical doubles in
+    both engines."""
+    emb = load(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+
+    def a8(i: int) -> Column:
+        return F.floor(F.element_at("embedding", i + 1).cast("double") * 1e8)
+
+    wide = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(a8(i)).alias(f"s{i}") for i in range(dim)],
+    )
+    return (
+        wide.select(
+            "label",
+            "n",
+            F.posexplode(F.array(*[F.col(f"s{i}") for i in range(dim)])).alias(
+                "pos", "csum8"
+            ),
+        )
+        .select(
+            "label",
+            "pos",
+            "csum8",
+            (F.col("csum8") / F.col("n") / 1e8).alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )
