@@ -84,6 +84,25 @@ def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     return out
 
 
+def run_foreach_batch(df: DataFrame, fn, output_mode: str = "update") -> None:
+    """Run a streaming frame to completion through a foreachBatch sink —
+    the escape hatch for sinks Spark has no native writer for (JDBC
+    upserts, MERGE INTO transactional tables, dedup-on-write). ``fn``
+    receives (batch_df, batch_id) per micro-batch; Spark guarantees
+    at-least-once invocation with a stable batch_id, so idempotent or
+    versioned writes give exactly-once end to end."""
+    ckpt = tempfile.mkdtemp(prefix="dxs_ckpt_")
+    q = (
+        df.writeStream.foreachBatch(fn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def run_to_parquet(df: DataFrame, output_mode: str = "append") -> str:
     """Run a streaming frame to a parquet file sink; returns the sink dir."""
     out_dir = tempfile.mkdtemp(prefix="dxs_sink_")

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 
 from dask_xgboost_spark.functions import EVENTS_US
 from dask_xgboost_spark.registry import register
-from dask_xgboost_spark.streaming.core import events_stream, run_to_memory, run_to_parquet
+from dask_xgboost_spark.streaming.core import (
+    events_stream,
+    run_foreach_batch,
+    run_to_memory,
+    run_to_parquet,
+)
 
 
 @register(
@@ -224,3 +229,53 @@ def s_sink_01(spark, sf):
     ev = events_stream(spark, sf).select("event_id", "event_type")
     sink_dir = run_to_parquet(ev, "append")
     return spark.read.parquet(sink_dir).orderBy("event_id")
+
+
+@register(
+    "S-SINK-02",
+    sql="SELECT user_id, COUNT(*) AS n_events, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 1e2 AS sv "
+    "FROM events GROUP BY user_id ORDER BY user_id",
+    mode="stream",
+)
+def s_sink_02(spark, sf):
+    """foreachBatch sink: incremental per-user upsert across micro-batches
+    (4 time-ordered files, one per trigger). Each batch computes partial
+    (count, int64-cents sum) aggregates and MERGEs them into a versioned
+    parquet target (read current version → union → re-aggregate → write
+    next version — the dependency-free stand-in for MERGE INTO a
+    transactional table; versioned writes keyed by batch progress make the
+    at-least-once foreachBatch contract exactly-once). Final target state
+    ≡ the batch per-user aggregate (oracle)."""
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="dxs_fb_")
+    state = {"v": 0}
+    ev = events_stream(spark, sf, n_files=4, max_files_per_trigger=1)
+
+    def upsert(batch_df, batch_id):
+        part = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).alias("sv_c"),
+        )
+        if state["v"] > 0:
+            cur = batch_df.sparkSession.read.parquet(os.path.join(base, f"v{state['v']}"))
+            part = (
+                cur.unionByName(part)
+                .groupBy("user_id")
+                .agg(F.sum("n_events").alias("n_events"), F.sum("sv_c").alias("sv_c"))
+            )
+        part.write.mode("overwrite").parquet(os.path.join(base, f"v{state['v'] + 1}"))
+        state["v"] += 1
+
+    run_foreach_batch(ev.select("user_id", "value"), upsert)
+    out = (
+        spark.read.parquet(os.path.join(base, f"v{state['v']}"))
+        .select("user_id", "n_events", (F.col("sv_c") / 1e2).alias("sv"))
+        .orderBy("user_id")
+    )
+    out = out.localCheckpoint()  # materialize before the temp dir is removed
+    shutil.rmtree(base, ignore_errors=True)
+    return out
