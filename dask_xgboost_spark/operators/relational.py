@@ -710,6 +710,31 @@ def q_agg_10(spark, sf):
     return load(spark, sf, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
 
 
+@register(
+    "Q-AGG-13",
+    sql="SELECT o_orderstatus, "
+    "string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios, "
+    "COUNT(DISTINCT o_orderpriority) AS n_prio "
+    "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+)
+def q_agg_13(spark, sf):
+    """String aggregation (listagg/collect_set): distinct priorities per
+    status, sorted then comma-joined — sorting before the join makes the
+    output order-independent, the only deterministic listagg shape in a
+    distributed engine."""
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("prios"),
+            F.countDistinct("o_orderpriority").alias("n_prio"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # --------------------------------------------------------------------------
 # SORT
 # --------------------------------------------------------------------------

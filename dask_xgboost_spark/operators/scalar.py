@@ -201,6 +201,34 @@ def q_date_04(spark, sf):
 
 
 @register(
+    "Q-DATE-05",
+    # FLOOR before the BIGINT cast (DuckDB CAST rounds, Spark's
+    # unix_timestamp truncates) and strip the tz from to_timestamp
+    # (DuckDB returns TIMESTAMPTZ, Spark is ntz)
+    sql="SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M') AS fmt, "
+    "strftime(ts, '%Y-%m') AS ym, "
+    "CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s, "
+    "CAST(to_timestamp(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS TIMESTAMP) AS ts_roundtrip "
+    f"FROM {EVENTS_US} e ORDER BY event_id",
+)
+def q_date_05(spark, sf):
+    """Timestamp formatting + epoch round-trip: date_format (locale-free
+    numeric patterns only), unix_timestamp, and timestamp_seconds —
+    everyday partition-naming/bucketing ops."""
+    return (
+        load(spark, sf, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm").alias("fmt"),
+            F.date_format("ts", "yyyy-MM").alias("ym"),
+            F.unix_timestamp("ts").alias("epoch_s"),
+            F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts_roundtrip"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "Q-STR-05",
     sql="SELECT p_partkey, translate(p_brand, '#', '-') AS tr, "
     "reverse(p_type) AS rev, repeat(p_brand, 2) AS rep, "
