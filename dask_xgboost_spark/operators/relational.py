@@ -445,6 +445,43 @@ def q_join_10(spark, sf):
     return out.select("event_id", "last_purchase_ts").orderBy("event_id")
 
 
+@register(
+    "Q-JOIN-11",
+    # nullability is synthesized in-query (value < 5 → NULL band) so the
+    # NULL<=>NULL branch is load-bearing: plain equality would drop those
+    # rows, null-safe equality groups them
+    sql="SELECT band, band_name, COUNT(*) AS n FROM ("
+    f"  SELECT CASE WHEN value < 5 THEN NULL ELSE FLOOR(value / 10) END AS band "
+    f"  FROM {EVENTS_US} e) ev "
+    "JOIN (SELECT unnest([NULL, 0, 1, 2, 3]) AS bband, "
+    "      unnest(['missing','b0','b1','b2','b3']) AS band_name) dim "
+    "ON ev.band IS NOT DISTINCT FROM dim.bband "
+    "GROUP BY band, band_name ORDER BY band NULLS FIRST",
+)
+def q_join_11(spark, sf):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of being dropped — the join shape for
+    dimensions with an explicit 'missing' member."""
+    ev = load(spark, sf, "events").select(
+        F.when(F.col("value") < 5, None)
+        .otherwise(F.floor(F.col("value") / 10))
+        .alias("band")
+    )
+    dim = F.broadcast(
+        load(spark, sf, "events")
+        .sparkSession.createDataFrame(
+            [(None, "missing"), (0, "b0"), (1, "b1"), (2, "b2"), (3, "b3")],
+            "bband bigint, band_name string",
+        )
+    )
+    return (
+        ev.join(dim, ev.band.eqNullSafe(dim.bband))
+        .groupBy("band", "band_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("band").asc_nulls_first())
+    )
+
+
 # --------------------------------------------------------------------------
 # AGG
 # --------------------------------------------------------------------------
