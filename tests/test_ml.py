@@ -333,3 +333,23 @@ def test_multiclass_predict_proba_ovr(spark, emb):
     assert proba.shape[1] == 10
     assert np.allclose(proba.sum(axis=1), 1.0)
     assert (proba.argmax(axis=1) == out["prediction"].to_numpy()).all()
+
+
+def test_model_save_load_roundtrip(spark, emb, tmp_path):
+    # model persistence (MLlib native writer — the engine's equivalent of
+    # pickling a Booster): reloaded model must predict identically
+    from pyspark.ml.classification import GBTClassificationModel
+
+    clf = XGBClassifier(**PARAMS).fit(emb, label_col="y")
+    path = str(tmp_path / "gbt_model")
+    clf.model_.write().overwrite().save(path)
+    loaded = GBTClassificationModel.load(path)
+
+    a = clf.predict(emb).select("vec_id", "prediction").toPandas().sort_values("vec_id")
+    b = (
+        predict(loaded, emb)
+        .select("vec_id", "prediction")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
