@@ -260,3 +260,51 @@ def l_text_08(spark, sf):
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
     return load(spark, sf, "documents").select("doc_id", fp.alias("fp")).orderBy("doc_id")
+
+
+_PIPE2_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_toks
+FROM documents WHERE lang IN ('en', 'de', 'es')
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register("L-PIPE-02", sql=_PIPE2_SQL)
+def l_pipe_02(spark, sf):
+    """Sharded JSONL export round-trip — the interchange format of LLM
+    training-data pipelines. Curated docs are written as lang-partitioned
+    JSONL with bounded shard sizes (``partitionBy`` gives
+    one-directory-per-language layout for downstream partition pruning;
+    ``maxRecordsPerFile`` bounds shard size so a 100 TB export yields
+    uniformly-sized files instead of one file per task), then re-read
+    with an explicit schema and re-aggregated. Matching the oracle's
+    counts, id checksum, and token totals computed from the ORIGINAL
+    table proves content fidelity through the JSON encode/decode."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="dxs_jsonl_")
+    docs = load(spark, sf, "documents").filter(F.col("lang").isin("en", "de", "es"))
+    (
+        docs.select("doc_id", "lang", "text")
+        .repartition("lang")
+        .write.partitionBy("lang")
+        .option("maxRecordsPerFile", 500)
+        .mode("overwrite")
+        .json(out_dir)
+    )
+    back = spark.read.schema("doc_id bigint, text string, lang string").json(out_dir)
+    result = (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum(F.size(F.split("text", " "))).alias("total_toks"),
+        )
+        .orderBy("lang")
+        .localCheckpoint()  # materialize before the export dir is removed
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result
