@@ -96,3 +96,21 @@ def test_tpch02_correlated_min_decorrelated(spark, sf_dir):
     assert "HashAggregate" in p
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_centroid_explodes_only_the_result(spark, sf_dir):
+    # L-SIM-04 must aggregate the fact table with d per-dim sums and
+    # unpivot only the tiny result: in the top-down formatted plan the
+    # Generate (posexplode) sits ABOVE the aggregate, consuming its
+    # output — an exploded-fact implementation would have it below
+    p = plan(spark, sf_dir, "L-SIM-04")
+    assert "Generate" in p and "HashAggregate" in p
+    assert p.find("Generate") < p.find("HashAggregate"), p[:2000]
+
+
+def test_null_safe_join_stays_hash_join(spark, sf_dir):
+    # eqNullSafe is a supported equi-join key — the plan must be a
+    # BroadcastHashJoin, not a nested-loop fallback
+    p = plan(spark, sf_dir, "Q-JOIN-11")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
