@@ -308,3 +308,26 @@ def l_pipe_02(spark, sf):
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     return result
+
+
+@register(
+    "L-TEXT-09",
+    sql="SELECT w, COUNT(*) AS n FROM ("
+    "SELECT unnest(string_split(text, ' ')) AS w FROM documents) t "
+    "GROUP BY w ORDER BY n DESC, w LIMIT 20",
+)
+def l_text_09(spark, sf):
+    """Corpus heavy hitters: exact token frequency top-k (vocabulary
+    skew / stopword discovery — the stats that pick rare-token-blocking
+    thresholds for L-DEDUP-03). explode → count → TakeOrderedAndProject:
+    partial top-k per partition, k-row driver merge — never a global
+    sort. At 100 TB the same query runs unchanged; for sub-pass latency
+    use approx_count_distinct/count_min sketches instead."""
+    return (
+        load(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(20)
+    )
