@@ -279,3 +279,33 @@ def s_sink_02(spark, sf):
     out = out.localCheckpoint()  # materialize before the temp dir is removed
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@register(
+    "S-JOIN-02",
+    sql="SELECT c_mktsegment, COUNT(*) AS n, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 1e2 AS sv "
+    f"FROM {EVENTS_US} e JOIN customer ON user_id = c_custkey "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    mode="stream",
+)
+def s_join_02(spark, sf):
+    """Stream-static enrichment join — the most common streaming shape:
+    events enriched against a (broadcastable) dimension table, then
+    aggregated by a dim attribute. The static side re-plans per
+    micro-batch (picking up dim updates); no watermark is needed because
+    static rows never expire. Final state ≡ the batch join+rollup."""
+    from dask_xgboost_spark.sources import load
+
+    ev = events_stream(spark, sf).select("user_id", "value")
+    cust = F.broadcast(load(spark, sf, "customer").select("c_custkey", "c_mktsegment"))
+    agg = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 1e2).alias("sv"),
+        )
+    )
+    out = run_to_memory(agg, "complete")
+    return out.orderBy("c_mktsegment")

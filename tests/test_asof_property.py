@@ -148,3 +148,49 @@ def test_jaccard_pairs_matches_python_reference(spark, docs):
                 if jac >= threshold:
                     want[(i, j)] = (inter, round(jac, 9))
     assert got == want, f"docs={docs}\ngot={got}\nwant={want}"
+
+
+# --- connected components property check (vs Python union-find) ---
+
+_node = st.integers(min_value=0, max_value=20)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=st.lists(st.tuples(_node, _node), min_size=1, max_size=25))
+def test_connected_components_matches_union_find(spark, edges):
+    """HashMin label propagation must agree with a sequential union-find
+    on random graphs (self-loops and duplicate edges included)."""
+    from dask_xgboost_spark.operators.dedup import connected_components
+
+    sdf = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(sdf).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for a, b in edges:
+        union(a, b)
+    # re-canonicalize: component id = min member
+    members: dict[int, set[int]] = {}
+    for n in parent:
+        members.setdefault(find(n), set()).add(n)
+    want = {(n, min(ms)) for root, ms in members.items() for n in ms}
+    assert got == want, f"edges={edges}\ngot={got}\nwant={want}"
