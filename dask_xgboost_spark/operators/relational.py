@@ -90,6 +90,35 @@ def q_scan_04(spark, sf):
     )
 
 
+@register(
+    "Q-SCAN-05",
+    sql="SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type, COUNT(*) AS n "
+    f"FROM {EVENTS_US} e "
+    "WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-02 00:00:00' "
+    "GROUP BY d, event_type ORDER BY d, event_type",
+)
+def q_scan_05(spark, sf):
+    """Date-partitioned write + partition-pruned read — the table layout
+    every time-series fact uses at 100 TB. Events are written
+    partitioned by day (hive layout, one directory per date); the
+    filtered read lists ONLY the matching directory (PartitionFilters in
+    the scan — asserted in tests/test_plans.py::test_partition_pruning
+    for the same layout), so a one-day query on a 10-year table touches
+    1/3650th of the files."""
+    out = tempfile.mkdtemp(prefix="dxs_part_")
+    ev = load(spark, sf, "events")
+    ev.withColumn("d", F.to_date(F.date_trunc("day", "ts"))).write.partitionBy(
+        "d"
+    ).mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("d") == "2024-01-02")
+        .groupBy("d", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("d", "event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # PROJ
 # --------------------------------------------------------------------------

@@ -114,3 +114,23 @@ def test_null_safe_join_stays_hash_join(spark, sf_dir):
     p = plan(spark, sf_dir, "Q-JOIN-11")
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_persist_eliminates_rescan(spark, sf_dir):
+    # cache/persist lifecycle: after persist+materialize, downstream
+    # queries read InMemoryTableScan instead of re-reading parquet
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.sources import load
+
+    df = load(spark, sf_dir, "nation").persist()
+    try:
+        df.count()
+        p = plan(spark, sf_dir, "Q-SCAN-01")  # unrelated: still parquet
+        agg = df.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n"))
+        from dask_xgboost_spark.plans import explain_string
+
+        p2 = explain_string(agg)
+        assert "InMemoryTableScan" in p2, p2[:1500]
+    finally:
+        df.unpersist()
