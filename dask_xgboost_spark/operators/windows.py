@@ -181,3 +181,40 @@ def q_win_06(spark, sf):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "Q-WIN-08",
+    sql="WITH l AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL "
+    "OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+    f"FROM {EVENTS_US} e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s AS (SELECT user_id, ts, SUM(brk) OVER ("
+    "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM l) "
+    "SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end, COUNT(*) AS n "
+    "FROM s GROUP BY user_id, sid ORDER BY user_id, s_start",
+)
+def q_win_08(spark, sf):
+    """Batch sessionization (gaps-and-islands): lag → break flag →
+    running sum = session id → per-session rollup. One shuffle on
+    user_id; both window passes and the aggregate share that
+    partitioning. The streaming twin is S-WIN-03 (session_window);
+    identical session boundaries, proven against the same oracle."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        load(spark, sf, "events")
+        .select("user_id", "ts", "event_id", brk.alias("brk"))
+        .withColumn("sid", F.sum("brk").over(wrun))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id", "s_start")
+    )

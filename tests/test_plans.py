@@ -126,7 +126,6 @@ def test_persist_eliminates_rescan(spark, sf_dir):
     df = load(spark, sf_dir, "nation").persist()
     try:
         df.count()
-        p = plan(spark, sf_dir, "Q-SCAN-01")  # unrelated: still parquet
         agg = df.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n"))
         from dask_xgboost_spark.plans import explain_string
 
