@@ -25,8 +25,10 @@ from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 from dask_xgboost_spark.functions import (
     EVENTS_US,
     cents,
+    charge,
     dec,
     sql_cents,
+    sql_charge,
     sql_dec,
 )
 from dask_xgboost_spark.operators.asof import asof_join_backward
@@ -560,6 +562,36 @@ def q_agg_01(spark, sf):
             (F.sum(pc) / 1e2 / cnt).alias("avg_price"),
             (F.sum(dc) / 1e2 / cnt).alias("avg_disc"),
             cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "Q-AGG-14",
+    sql="SELECT l_returnflag, l_linestatus, "
+    f"CAST(CAST(SUM({sql_charge()}) AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge_str, "
+    "COUNT(*) AS n "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+)
+def q_agg_14(spark, sf):
+    """Unbounded-scale twin of Q-AGG-01's charge sum: the int64 cents³
+    carrier overflows around ~9e7 rows per group (TODO.md), so the
+    scale-proof path sums in exact DECIMAL(38,…) — 38 digits, effectively
+    unbounded — and renders the result as a STRING (both engines print
+    decimals at full scale identically; emitting the DECIMAL cell itself
+    would hit the harness's non-portable decimal canonicalization, and
+    deriving a double is only exact below 2^53 unscaled). Slower than the
+    int64 fast path (BigDecimal leaves codegen's Long fast path) — use it
+    when group cardinalities can exceed the int64 bound."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(charge()).cast("decimal(38,6)").cast("string").alias("sum_charge_str"),
+            F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
