@@ -101,3 +101,52 @@ def l_mm_02(spark, sf):
         F.size("features").alias("dim"),
         F.round(F.element_at("features", 1), 6).alias("f1"),
     ).orderBy("doc_id")
+
+
+_MM3_SQL = """
+SELECT shard, COUNT(*) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM (
+  SELECT doc_id, n_bytes,
+         CAST(FLOOR((CAST(SUM(n_bytes) OVER (ORDER BY doc_id) AS BIGINT) - n_bytes)
+              / 20000.0) AS BIGINT) AS shard
+  FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents) t
+) s GROUP BY shard ORDER BY shard
+"""
+
+
+@register("L-MM-03", sql=_MM3_SQL)
+def l_mm_03(spark, sf):
+    """Byte-budget shard packing for media decode: assign payloads to
+    decode-worker shards so every shard holds ~budget bytes of
+    contiguous (doc_id-ordered) media — the scheduling step before
+    fanning binary columns out to GPU decoders. shard = floor(exclusive
+    running byte total / budget): pure running-window arithmetic,
+    deterministic in both engines. (The global ORDER BY window is the
+    declared semantics; at 100 TB the same expression runs per
+    date-partition so each partition packs independently.)"""
+    budget = 20000.0
+    from pyspark.sql import Window
+
+    payload_bytes = F.octet_length(F.encode(F.col("text"), "utf-8")).cast("bigint")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized = load(spark, sf, "documents").select(
+        "doc_id", payload_bytes.alias("n_bytes")
+    )
+    sharded = sized.withColumn(
+        "shard",
+        F.floor((F.sum("n_bytes").over(w) - F.col("n_bytes")) / budget),
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
