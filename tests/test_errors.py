@@ -33,3 +33,47 @@ def test_missing_path_raises_path_not_found(spark):
 
     with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
         load(spark, "/root/testdata/sf_nope", "lineitem").collect()
+
+
+def test_connected_components_no_edges_is_empty(spark):
+    from dask_xgboost_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert connected_components(empty).count() == 0
+
+
+def test_local_predict_rejects_non_2d_input(spark, sf_dir):
+    import numpy as np
+    import pytest
+
+    from dask_xgboost_spark.ml.core import XGBClassifier, assemble_features
+    from dask_xgboost_spark.sources import load
+
+    emb = assemble_features(load(spark, sf_dir, "embeddings").limit(50))
+    emb = emb.withColumn("y", (emb.label < 5).cast("double"))
+    clf = XGBClassifier(n_estimators=2, max_depth=2).fit(emb, label_col="y")
+    with pytest.raises(ValueError, match="2-D"):
+        clf.predict(np.array([1.0, 2.0, 3.0]))
+
+
+def test_replace_missing_all_sentinel_dimension(spark):
+    # a dimension that is ALL sentinel has no observable mean — it falls
+    # back to 0.0 instead of propagating the sentinel or NaN
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.ml.core import assemble_features, replace_missing
+
+    df = assemble_features(
+        spark.createDataFrame(
+            [(1, [-999.0, 2.0]), (2, [-999.0, 4.0])], "id long, e array<double>"
+        ),
+        feature_col="e",
+    )
+    out = replace_missing(df, -999.0).select(
+        F.element_at(vector_to_array("features"), 1).alias("f0"),
+        F.element_at(vector_to_array("features"), 2).alias("f1"),
+    )
+    rows = out.collect()
+    assert all(r["f0"] == 0.0 for r in rows)
+    assert sorted(r["f1"] for r in rows) == [2.0, 4.0]
