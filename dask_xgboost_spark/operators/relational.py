@@ -922,3 +922,36 @@ def q_set_04(spark, sf):
     """EXCEPT (distinct semantics) over partially-overlapping sets."""
     cn, sn = _rich_nation_sets(spark, sf)
     return cn.subtract(sn).orderBy("nk")
+
+
+@register(
+    "Q-SET-05",
+    sql="WITH ia AS (SELECT o_custkey AS k FROM orders "
+    "INTERSECT ALL SELECT c_custkey FROM customer), "
+    "ea AS (SELECT o_custkey AS k FROM orders "
+    "EXCEPT ALL SELECT c_custkey FROM customer), "
+    "a AS (SELECT k, COUNT(*) AS n_ia FROM ia GROUP BY k), "
+    "b AS (SELECT k, COUNT(*) AS n_ea FROM ea GROUP BY k) "
+    "SELECT COALESCE(a.k, b.k) AS k, COALESCE(n_ia, 0) AS n_ia, "
+    "COALESCE(n_ea, 0) AS n_ea "
+    "FROM a FULL JOIN b ON a.k = b.k ORDER BY k",
+)
+def q_set_05(spark, sf):
+    """Bag semantics: INTERSECT ALL / EXCEPT ALL (multiplicity-preserving
+    — a customer with n orders keeps n-1 rows under EXCEPT ALL against
+    the one-row customer side; plain EXCEPT would keep zero)."""
+    ok = load(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    ck = load(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    n_ia = (
+        ok.intersectAll(ck).groupBy("k").agg(F.count(F.lit(1)).alias("n_ia"))
+    )
+    n_ea = ok.exceptAll(ck).groupBy("k").agg(F.count(F.lit(1)).alias("n_ea"))
+    return (
+        n_ia.join(n_ea, "k", "full")
+        .select(
+            "k",
+            F.coalesce("n_ia", F.lit(0)).alias("n_ia"),
+            F.coalesce("n_ea", F.lit(0)).alias("n_ea"),
+        )
+        .orderBy("k")
+    )
