@@ -598,6 +598,42 @@ def q_agg_14(spark, sf):
 
 
 @register(
+    "Q-AGG-15",
+    sql="SELECT r_name, n_name, "
+    "CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n, "
+    "COUNT(*) AS n "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY ROLLUP (r_name, n_name) "
+    "ORDER BY g_r, g_n, r_name NULLS LAST, n_name NULLS LAST",
+)
+def q_agg_15(spark, sf):
+    """GROUPING() flags disambiguate rollup-generated NULLs from NULL
+    data — without them a NULL group key is ambiguous in every
+    ROLLUP/CUBE result."""
+    customer = load(spark, sf, "customer")
+    nation = F.broadcast(load(spark, sf, "nation"))
+    region = F.broadcast(load(spark, sf, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_r"),
+            F.grouping("n_name").cast("int").alias("g_n"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            "g_r",
+            "g_n",
+            F.col("r_name").asc_nulls_last(),
+            F.col("n_name").asc_nulls_last(),
+        )
+        .select("r_name", "n_name", "g_r", "g_n", "n")
+    )
+
+
+@register(
     "Q-AGG-02",
     sql="SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust FROM orders "
     "GROUP BY o_orderpriority ORDER BY o_orderpriority",

@@ -603,3 +603,61 @@ def q_json_01(spark, sf):
         .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "Q-ARR-06",
+    sql="SELECT doc_id, pos, tok FROM ("
+    "  SELECT doc_id, lf AS toks FROM ("
+    "    SELECT doc_id, list_filter(string_split(text, ' '), w -> w = 'data') AS lf "
+    "    FROM documents) a"
+    ") b LEFT JOIN LATERAL ("
+    "  SELECT unnest(toks) AS tok, generate_subscripts(toks, 1) - 1 AS pos"
+    ") u ON TRUE "
+    "ORDER BY doc_id, pos NULLS FIRST",
+)
+def q_arr_06(spark, sf):
+    """posexplode_outer: rows whose array is EMPTY survive with NULL
+    pos/tok (plain explode drops them — the silent row-loss trap in
+    token pipelines). The kept-token filter makes empty arrays common,
+    so the null branch is load-bearing."""
+    toks = F.filter(F.split("text", " "), lambda w: w == "data")
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.posexplode_outer("toks").alias("pos", "tok"))
+        .orderBy("doc_id", F.col("pos").asc_nulls_first())
+    )
+
+
+@register(
+    "Q-DATE-06",
+    sql="WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo, "
+    f"date_trunc('hour', MAX(ts)) AS hi FROM {EVENTS_US} e), "
+    "spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds), "
+    "actual AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n "
+    f"FROM {EVENTS_US} e GROUP BY h) "
+    "SELECT spine.h AS h, COALESCE(n, 0) AS n FROM spine "
+    "LEFT JOIN actual ON spine.h = actual.h ORDER BY h",
+)
+def q_date_06(spark, sf):
+    """Dense time-spine densification: generate the full hourly calendar
+    between min and max event time (sequence + explode), left-join the
+    hourly counts, zero-fill gaps — the standard fix for charts/models
+    that must see empty buckets. The spine is generated, never scanned."""
+    ev = load(spark, sf, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    actual = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        spine.join(actual, "h", "left")
+        .select("h", F.coalesce("n", F.lit(0)).alias("n"))
+        .orderBy("h")
+    )
