@@ -633,6 +633,55 @@ def q_agg_15(spark, sf):
     )
 
 
+_A16_X = "CAST(l_quantity AS BIGINT)"
+_A16_Y = sql_cents("l_discount")
+
+
+@register(
+    "Q-AGG-16",
+    sql="SELECT l_returnflag, "
+    "CAST((n * sxy - sx * sy) AS DOUBLE) / "
+    "(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) "
+    "AS corr_qd, n FROM ("
+    "SELECT l_returnflag, COUNT(*) AS n, "
+    f"CAST(SUM({_A16_X}) AS BIGINT) AS sx, CAST(SUM({_A16_Y}) AS BIGINT) AS sy, "
+    f"CAST(SUM({_A16_X} * {_A16_Y}) AS BIGINT) AS sxy, "
+    f"CAST(SUM({_A16_X} * {_A16_X}) AS BIGINT) AS sxx, "
+    f"CAST(SUM({_A16_Y} * {_A16_Y}) AS BIGINT) AS syy "
+    "FROM lineitem GROUP BY l_returnflag) m ORDER BY l_returnflag",
+)
+def q_agg_16(spark, sf):
+    """Pearson correlation via exact integer moments. Native corr() sums
+    doubles and is order-DEPENDENT — a different answer per partitioning.
+    The deterministic distributed shape: five int64 moment sums (exact in
+    any order, map-side combinable) + the closed form evaluated once on
+    exact values. Columns are anchored small (quantity integral, discount
+    cents ≤ 10) so every moment stays far inside int64 and the final
+    int→double conversions are exact."""
+    x = F.col("l_quantity").cast("bigint")
+    y = cents("l_discount")
+    m = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = F.sqrt((n * F.col("sxx") - sx * sx).cast("double")) * F.sqrt(
+        (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return m.select(
+        "l_returnflag", (num / den).alias("corr_qd"), "n"
+    ).orderBy("l_returnflag")
+
+
 @register(
     "Q-AGG-02",
     sql="SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust FROM orders "
