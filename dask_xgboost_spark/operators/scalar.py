@@ -661,3 +661,30 @@ def q_date_06(spark, sf):
         .select("h", F.coalesce("n", F.lit(0)).alias("n"))
         .orderBy("h")
     )
+
+
+@register(
+    "Q-JSON-02",
+    sql="SELECT event_id, "
+    "CAST(json_extract(props, '$.k') AS INT) AS k_typed, "
+    "json_extract(props, '$.missing') IS NULL AS no_such_field, "
+    "json_valid(props) AS is_valid "
+    "FROM events ORDER BY event_id",
+)
+def q_json_02(spark, sf):
+    """Typed JSON parsing (from_json → struct field access) vs JSON-01's
+    string path extraction: schema-projected parse, absent-field NULL
+    semantics, and validity probing — the shape for JSON event payloads
+    where downstream wants typed columns, not strings."""
+    parsed = F.from_json("props", "k int, missing int")
+    return (
+        load(spark, sf, "events")
+        .select(
+            "event_id",
+            parsed.getField("k").alias("k_typed"),
+            parsed.getField("missing").isNull().alias("no_such_field"),
+            # from_json yields NULL struct for invalid JSON → validity probe
+            F.from_json("props", "k int").isNotNull().alias("is_valid"),
+        )
+        .orderBy("event_id")
+    )
