@@ -1040,3 +1040,29 @@ def q_set_05(spark, sf):
         )
         .orderBy("k")
     )
+
+
+@register("Q-AGG-17", sql=None, mode="tol")
+def q_agg_17(spark, sf):
+    """Mergeable HLL sketches — the 100 TB distinct-count architecture:
+    per-group sketches are aggregated once, and the GLOBAL estimate comes
+    from hll_union_agg over the stored group sketches — no second scan of
+    the fact table, and sketches persist/merge across partitions, days,
+    or clusters. Tolerance-checked against exact counts in tests."""
+    orders = load(spark, sf, "orders")
+    per_group = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_cust"),
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_total")
+    )
+    return (
+        per_group.select(
+            "o_orderpriority",
+            F.hll_sketch_estimate("sk").alias("approx_cust"),
+            "exact_cust",
+        )
+        .crossJoin(F.broadcast(merged))
+        .orderBy("o_orderpriority")
+    )

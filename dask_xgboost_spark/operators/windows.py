@@ -218,3 +218,39 @@ def q_win_08(spark, sf):
         )
         .orderBy("user_id", "s_start")
     )
+
+
+@register(
+    "Q-WIN-09",
+    # nullability synthesized in-query (value < 10 → NULL) so the
+    # forward-fill branch is load-bearing
+    sql="SELECT event_id, user_id, v, "
+    "LAST_VALUE(v IGNORE NULLS) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill "
+    "FROM (SELECT event_id, user_id, ts, "
+    "CASE WHEN value < 10 THEN NULL ELSE value END AS v "
+    f"FROM {EVENTS_US} e) t ORDER BY event_id",
+)
+def q_win_09(spark, sf):
+    """Forward-fill / LOCF (last observation carried forward): per-user
+    gap imputation via last(ignorenulls) over a running frame — the
+    standard time-series repair for sensor dropouts. One shuffle on the
+    partition key, same as every other per-key window."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.when(F.col("value") < 10, None).otherwise(F.col("value"))
+    return (
+        load(spark, sf, "events")
+        .select("event_id", "user_id", "ts", v.alias("v"))
+        .select(
+            "event_id",
+            "user_id",
+            "v",
+            F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
+        )
+        .orderBy("event_id")
+    )

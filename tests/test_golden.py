@@ -236,3 +236,18 @@ def test_connected_components_chain_and_isolates(spark):
         (20, 20), (21, 20)
     }
     assert got == want
+
+
+def test_hll_sketch_union_tolerance(spark, sf_dir):
+    out = SPECS["Q-AGG-17"].fn(spark, sf_dir).toPandas()
+    rel = (out["approx_cust"] - out["exact_cust"]).abs() / out["exact_cust"]
+    assert (rel <= 0.05).all(), out
+    # the merged (union) estimate must track the true global distinct
+    exact_total = (
+        SPECS["Q-AGG-02"].fn(spark, sf_dir).toPandas()  # distinct custs per prio
+    )
+    from dask_xgboost_spark.sources import load
+
+    true_total = load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    approx_total = out["approx_total"].iloc[0]
+    assert abs(approx_total - true_total) / true_total <= 0.05, (approx_total, true_total)
