@@ -251,3 +251,42 @@ def test_hll_sketch_union_tolerance(spark, sf_dir):
     true_total = load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
     approx_total = out["approx_total"].iloc[0]
     assert abs(approx_total - true_total) / true_total <= 0.05, (approx_total, true_total)
+
+
+def test_ivf_persisted_index_recall_and_pruning(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        build_ivf_index,
+        search_ivf,
+    )
+    from dask_xgboost_spark.sources import load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_cells=16)
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    got = search_ivf(spark, path, q, nprobe=10, k=TOP_K)
+
+    # partition pruning: the vectors scan must carry a partition filter
+    # on cell (only probed directories are listed)
+    from dask_xgboost_spark.plans import explain_string
+
+    p = explain_string(got)
+    assert "PartitionFilters" in p and "cell" in p.split("PartitionFilters", 1)[1][:200], (
+        p[:2000]
+    )
+
+    # recall vs exact top-k (same contract as L-SIM-03)
+    exact = SPECS["L-SIM-01"].fn(spark, sf_dir).toPandas()
+    exact = exact[exact["qid"] < N_QUERIES]
+    gp = got.toPandas()
+    want = set(map(tuple, exact[["qid", "cid"]].values))
+    have = set(map(tuple, gp[["qid", "cid"]].values))
+    recall = len(want & have) / len(want)
+    assert recall >= 0.9, f"IVF recall {recall}"
