@@ -144,3 +144,28 @@ def u_table_01(spark, sf):
         "SELECT doc_id, t.pos, t.tok FROM _udtf_docs, "
         "LATERAL tokenize_udtf(text) AS t"
     ).orderBy("doc_id", "pos")
+
+
+@register(
+    "U-SCALAR-02",
+    sql="SELECT o_orderkey, "
+    "CAST(LENGTH(o_orderpriority) AS INT) + CAST(o_orderkey % 7 AS INT) AS score "
+    "FROM orders ORDER BY o_orderkey",
+)
+def u_scalar_02(spark, sf):
+    """Arrow-optimized plain Python UDF (``useArrow=True``, Spark 3.5+):
+    the classic ``@udf`` API with Arrow batch transfer instead of pickled
+    rows — the migration path for existing row-at-a-time UDF code that
+    cannot be rewritten as a pandas UDF. Integer math only (exact in any
+    runtime)."""
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def score(prio: str, key: int) -> int:
+        return len(prio) + key % 7
+
+    return (
+        load(spark, sf, "orders")
+        .select("o_orderkey", score("o_orderpriority", "o_orderkey").alias("score"))
+        .orderBy("o_orderkey")
+    )
