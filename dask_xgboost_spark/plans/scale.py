@@ -94,3 +94,41 @@ def salted_join(
     r_salted = right.withColumn("_salt", shards)
     out = l_salted.join(r_salted, on=[on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Interval join (left.ts BETWEEN right.lo AND right.hi, same key)
+    executed as an EQUI-join on (key, time bin).
+
+    A naive range join on key alone degenerates: every left row meets
+    every right interval of its key before the range predicate filters —
+    quadratic per key. Binning replicates each right interval into the
+    bins it spans (intervals are short, so few replicas), joins on
+    (key, bin) — a hash-partitionable equi-key — then applies the exact
+    range predicate. Work is proportional to true matches + bin overlap,
+    not |left|x|right| per key, and AQE can split residual hot bins.
+    Output equals the naive range join exactly (tests/test_scale.py).
+    """
+    lbin = F.floor(F.col(left_ts).cast("long") / bin_seconds)
+    l2 = left.withColumn("_bin", lbin)
+    r2 = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo).cast("long") / bin_seconds),
+                F.floor(F.col(right_hi).cast("long") / bin_seconds),
+            )
+        ),
+    )
+    joined = l2.join(r2, on=[on, "_bin"]).filter(
+        (F.col(left_ts) >= F.col(right_lo)) & (F.col(left_ts) <= F.col(right_hi))
+    )
+    return joined.drop("_bin")

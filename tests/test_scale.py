@@ -136,3 +136,40 @@ def test_row_salt_stable_under_repartitioning(spark, sf_dir):
     assert a.equals(b)
     # and it actually spreads rows across shards
     assert a["s"].nunique() == 8
+
+
+def test_binned_range_join_equals_naive(spark, sf_dir):
+    # intervals: [purchase ts, purchase ts + 2h] per user; left: all events
+    from dask_xgboost_spark.plans.scale import binned_range_join
+    from dask_xgboost_spark.sources import load
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
+            F.col("event_id").alias("p_id"),
+        )
+    )
+    naive = (
+        left.join(right, "user_id")
+        .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi")))
+        .select("event_id", "p_id")
+    )
+    binned = binned_range_join(
+        left, right, on="user_id", left_ts="ts", right_lo="lo", right_hi="hi"
+    ).select("event_id", "p_id")
+    a = naive.orderBy("event_id", "p_id").toPandas()
+    b = binned.orderBy("event_id", "p_id").toPandas()
+    assert a.equals(b)
+    assert len(a) > 0
+
+
+def test_aqe_skew_join_config_active(spark):
+    # the engine's sessions keep AQE + skew-join splitting on — the
+    # runtime lever that partitions a hot key's shuffle blocks
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
