@@ -425,19 +425,29 @@ def q_join_07(spark, sf):
     "GROUP BY a.user_id ORDER BY a.user_id",
 )
 def q_join_09(spark, sf):
-    """Theta/range self-join: event pairs within 1h per user. The equi-key
-    (user_id) keeps this a hash/SMJ join with a range residual — never a
-    cartesian product — so it scales with per-user density, not n²."""
+    """Theta/range self-join: event pairs within 1h per user, executed as
+    a BINNED equi-join (plans/scale.py::binned_range_join): each 1h
+    interval replicates into the hour bins it spans and the join key is
+    (user_id, bin), so work scales with true pair density instead of the
+    per-user cross product a key-only range join degenerates to. The
+    exact range predicate is applied after the equi-join; output is
+    identical to the naive form (equivalence-tested in
+    tests/test_scale.py)."""
+    from dask_xgboost_spark.plans.scale import binned_range_join
+
     ev = load(spark, sf, "events").select("user_id", "ts")
-    a, b = ev.alias("a"), ev.alias("b")
-    cond = (
-        (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.col("b.ts") > F.col("a.ts"))
-        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR"))
+    intervals = ev.select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi"),
     )
     return (
-        a.join(b, cond)
-        .groupBy(F.col("a.user_id").alias("user_id"))
+        binned_range_join(
+            ev, intervals, on="user_id", left_ts="ts",
+            right_lo="lo", right_hi="hi",
+        )
+        .filter(F.col("ts") > F.col("lo"))  # exclusive lower bound
+        .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("pairs"))
         .orderBy("user_id")
     )
