@@ -5,8 +5,11 @@
 Methodology (BASELINE.md §3-4): warm the session + JIT with one untimed
 run per query, build each query's DataFrame ONCE (prepared-plan reuse —
 the warm-dashboard / prepared-statement execution model), then report the
-median of 5 timed executions (parquet scan → collect; fact tables are
-re-scanned every run). Catalyst plan construction is reported separately
+median of 5 timed executions (parquet scan → Arrow fetch to a pandas
+frame; fact tables are re-scanned every run). Result delivery is
+symmetric: Spark `toPandas()` (Arrow batches) vs DuckDB `.df()` (Arrow →
+pandas) — py4j row-object collect() would bill Spark ~0.1-0.2 s of pure
+Python row materialization DuckDB never pays. Catalyst plan construction is reported separately
 (``fresh_plan_total``): it is a per-query-TEXT cost that amortizes across
 executions and is invariant to data scale — at 100 TB it is noise, at
 sf0.1 it is 5-10× the execution itself, so folding it into the per-query
@@ -77,6 +80,8 @@ def main() -> None:
             # small-result benchmark: let AQE coalesce shuffle stages hard
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
             "spark.sql.autoBroadcastJoinThreshold": "64m",
+            # Arrow result fetch (symmetric with DuckDB's .df())
+            "spark.sql.execution.arrow.pyspark.enabled": "true",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -92,15 +97,15 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = specs[name].fn
         key = name.lower().replace("-", "_")
-        fn(spark, sf_dir).collect()  # warm: JIT, codegen, file listing
+        fn(spark, sf_dir).toPandas()  # warm: JIT, codegen, file listing
         # fresh-plan cost: rebuild DataFrame + optimize + execute each run
         fresh_plan[key] = round(
-            _median_timed(lambda: fn(spark, sf_dir).collect(), runs=3), 4
+            _median_timed(lambda: fn(spark, sf_dir).toPandas(), runs=3), 4
         )
         # primary metric: prepared-plan execution (scan → collect each run)
         df = fn(spark, sf_dir)
-        df.collect()
-        results[key] = round(_median_timed(lambda: df.collect(), runs=5), 4)
+        df.toPandas()
+        results[key] = round(_median_timed(lambda: df.toPandas(), runs=5), 4)
 
     # single-row-group scan floor: full 7-column lineitem decode + a
     # no-group aggregate — the irreducible single-task cost that bounds
@@ -111,8 +116,8 @@ def main() -> None:
         "sum(l_tax)", "count(l_returnflag)", "count(l_linestatus)",
         "max(l_shipdate)",
     )
-    floor_df.collect()
-    scan_floor = round(_median_timed(lambda: floor_df.collect()), 4)
+    floor_df.toPandas()
+    scan_floor = round(_median_timed(lambda: floor_df.toPandas()), 4)
 
     # DuckDB oracle, same run, same parquet, same queries (median of 3
     # after one warm run)
@@ -124,9 +129,9 @@ def main() -> None:
     duck: dict[str, float] = {}
     for name in BENCH_QUERIES:
         sql = specs[name].sql
-        con.execute(sql).fetchall()
+        con.execute(sql).df()
         duck[name.lower().replace("-", "_")] = round(
-            _median_timed(lambda: con.execute(sql).fetchall()), 4
+            _median_timed(lambda: con.execute(sql).df()), 4
         )
 
     # join-strategy sweep on the 4-table headliner: broadcast-hash (the
@@ -138,10 +143,10 @@ def main() -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     smj_df = join_spec.fn(spark, sf_dir)
-    smj_df.collect()
+    smj_df.toPandas()
     join_strategies = {
         "bhj_broadcast_dims": results["q_join_02"],
-        "smj_no_broadcast": round(_median_timed(lambda: smj_df.collect()), 4),
+        "smj_no_broadcast": round(_median_timed(lambda: smj_df.toPandas()), 4),
     }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
