@@ -217,3 +217,66 @@ def q_tpch_10(spark, sf):
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "Q-TPCH-12",
+    sql="SELECT l_returnflag, "
+    "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS high_line_count, "
+    "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS low_line_count "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00' "
+    "GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def q_tpch_12(spark, sf):
+    """Shipping-priority class shape (TPC-H Q12, adapted: the fixture has
+    no l_shipmode, so return flag is the grouping column): fact-fact join
+    + conditional counting via CASE inside SUM — one pass, partial
+    aggregation on both class counters."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load(spark, sf, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "Q-TPCH-14",
+    sql="SELECT "
+    f"100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END) AS BIGINT) "
+    f"/ CAST(SUM({_REV}) AS BIGINT) AS promo_revenue_pct "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1999-06-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1999-07-01 00:00:00'",
+)
+def q_tpch_14(spark, sf):
+    """Promotion-effect shape (TPC-H Q14): one-month promo revenue share.
+    Conditional revenue in exact int64 cents² on both sides of the
+    division; int64→double is correctly rounded in both engines, and the
+    division of identical doubles is identical."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-07-01 00:00:00").cast("timestamp"))
+    )
+    part = load(spark, sf, "part")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo) / F.sum(rev)).alias("promo_revenue_pct")
+        )
+    )
