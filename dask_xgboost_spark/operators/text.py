@@ -331,3 +331,40 @@ def l_text_09(spark, sf):
         .orderBy(F.desc("n"), F.asc("w"))
         .limit(20)
     )
+
+
+@register(
+    "L-TEXT-10",
+    sql="SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, "
+    "CAST(FLOOR(-SUM((CAST(c AS DOUBLE) / t) * LN(CAST(c AS DOUBLE) / t)) * 1e6) AS BIGINT) "
+    "AS ent6 FROM ("
+    "  SELECT doc_id, c, CAST(SUM(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS t FROM ("
+    "    SELECT doc_id, w, COUNT(*) AS c FROM ("
+    "      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) x "
+    "    GROUP BY doc_id, w) y"
+    ") z GROUP BY doc_id ORDER BY doc_id",
+)
+def l_text_10(spark, sf):
+    """Token-distribution entropy per document — the repetition /
+    boilerplate quality signal (low entropy = degenerate or
+    machine-looped text; used alongside the length/stopword gates of
+    L-TEXT-06). -Σ p·ln(p) over per-doc token frequencies; anchored to
+    int64 micro-nats (engine ln implementations differ by 1 ulp, so raw
+    doubles would not hash). Two shuffles, both on doc_id."""
+    from pyspark.sql import Window
+
+    tok = load(spark, sf, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    counts = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    t = F.sum("c").over(Window.partitionBy("doc_id")).cast("double")
+    p = F.col("c").cast("double") / F.col("t")
+    return (
+        counts.withColumn("t", t)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.floor(-F.sum((F.col("c") / F.col("t")) * F.log(F.col("c") / F.col("t"))) * 1e6).alias("ent6"),
+        )
+        .orderBy("doc_id")
+    )
