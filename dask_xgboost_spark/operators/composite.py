@@ -280,3 +280,48 @@ def q_tpch_14(spark, sf):
             (F.lit(100.0) * F.sum(promo) / F.sum(rev)).alias("promo_revenue_pct")
         )
     )
+
+
+@register(
+    "Q-TPCH-05",
+    sql="SELECT n_name, "
+    f"CAST(SUM({_REV}) AS BIGINT) / 1e4 AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' "
+    "AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00' "
+    "GROUP BY n_name ORDER BY revenue DESC, n_name",
+)
+def q_tpch_05(spark, sf):
+    """Local-supplier-volume shape (TPC-H Q5): six-table join where the
+    customer and the line's supplier must share a nation — the join
+    graph's cycle (customer↔supplier on nationkey) is the load-bearing
+    part. Dims broadcast; the fact-fact joins shuffle on their keys."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem")
+    supp = load(spark, sf, "supplier")
+    nation = F.broadcast(load(spark, sf, "nation"))
+    region = F.broadcast(load(spark, sf, "region").filter(F.col("r_name") == "ASIA"))
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(rev) / 1e4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
