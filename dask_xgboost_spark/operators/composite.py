@@ -325,3 +325,37 @@ def q_tpch_05(spark, sf):
         .agg((F.sum(rev) / 1e4).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+@register(
+    "Q-TPCH-13",
+    sql="SELECT c_count, COUNT(*) AS custdist FROM ("
+    "  SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+    "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "  AND o_orderpriority <> '1-URGENT' "
+    "  GROUP BY c_custkey) c_orders "
+    "GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
+)
+def q_tpch_13(spark, sf):
+    """Customer-distribution shape (TPC-H Q13): double aggregation — a
+    per-customer order count (left join keeps zero-order customers, with
+    a join-condition filter rather than a WHERE so the zeros survive)
+    re-aggregated into a histogram of counts. Two shuffles, the second
+    over the tiny count domain."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
