@@ -77,22 +77,14 @@ def assemble_features(df: DataFrame, feature_col: str = "embedding") -> DataFram
     )
 
 
-def replace_missing(
+def compute_impute_means(
     df: DataFrame, missing: float, features_col: str = FEATURES_COL
-) -> DataFrame:
-    """Train-time missing-value sentinel (reference
-    ``dmatrix_kwargs['missing']``, core.py:300/test_core.py:366-382):
-    feature slots equal to ``missing`` are replaced by the per-dimension
-    mean of the non-missing values.
-
-    Documented divergence: xgboost routes missing values through tree
-    default directions; MLlib GBT has no missing-value routing, so the
-    Spark-idiomatic equivalent is mean imputation (the same strategy as
-    MLlib's ``Imputer``, applied inside the assembled vector). The
-    per-dimension means are one distributed aggregate (posexplode →
-    groupBy(pos)); only the dim-sized mean table is collected.
-    """
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+) -> list[float]:
+    """Per-dimension means of the non-sentinel values — ONE distributed
+    aggregate (posexplode → groupBy(pos)); only the dim-sized mean table
+    is collected. Computed on the TRAINING frame and reused everywhere
+    (eval frames, predict) so there is no train/serve skew."""
+    from pyspark.ml.functions import vector_to_array
 
     arr = vector_to_array(F.col(features_col))
     means_rows = (
@@ -104,11 +96,45 @@ def replace_missing(
     )
     means = {r["pos"]: r["m"] for r in means_rows}
     dim = int(df.select(F.size(arr).alias("d")).first()["d"])
-    mean_arr = F.array(*[F.lit(means.get(i, 0.0)) for i in range(dim)])
+    return [float(means.get(i, 0.0)) for i in range(dim)]
+
+
+def apply_impute(
+    df: DataFrame,
+    missing: float,
+    means: list[float],
+    features_col: str = FEATURES_COL,
+) -> DataFrame:
+    """Replace sentinel feature slots with the given per-dimension means
+    (pure column algebra, no shuffle)."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    arr = vector_to_array(F.col(features_col))
+    mean_arr = F.array(*[F.lit(m) for m in means])
     fixed = F.zip_with(
         arr, mean_arr, lambda x, m: F.when(x == missing, m).otherwise(x)
     )
     return df.withColumn(features_col, array_to_vector(fixed))
+
+
+def replace_missing(
+    df: DataFrame, missing: float, features_col: str = FEATURES_COL
+) -> DataFrame:
+    """Train-time missing-value sentinel (reference
+    ``dmatrix_kwargs['missing']``, core.py:300/test_core.py:366-382):
+    feature slots equal to ``missing`` are replaced by the per-dimension
+    mean of the non-missing values (computed on ``df`` itself — inside
+    ``train`` the means come from the training frame only, via
+    ``compute_impute_means`` + ``apply_impute``).
+
+    Documented divergence: xgboost routes missing values through tree
+    default directions; MLlib GBT has no missing-value routing, so the
+    Spark-idiomatic equivalent is mean imputation (the same strategy as
+    MLlib's ``Imputer``, applied inside the assembled vector).
+    """
+    return apply_impute(
+        df, missing, compute_impute_means(df, missing, features_col), features_col
+    )
 
 
 def train(
@@ -186,10 +212,16 @@ def train(
     if sample_weight_col is not None:
         common["weightCol"] = sample_weight_col
 
+    impute_means: list[float] | None = None
     if missing is not None:
-        df = replace_missing(df, missing, features_col)
+        # Means come from the TRAINING frame only and are reused for the
+        # eval frame and (via attributes stamped on the returned model)
+        # at predict time — same statistics at train and serve, exactly
+        # like xgboost's missing routing applying to both.
+        impute_means = compute_impute_means(df, missing, features_col)
+        df = apply_impute(df, missing, impute_means, features_col)
         if eval_df is not None:
-            eval_df = replace_missing(eval_df, missing, features_col)
+            eval_df = apply_impute(eval_df, missing, impute_means, features_col)
 
     # zip-truncate: first weight spec pairs with the single eval frame
     eval_weight_col = (
@@ -239,6 +271,11 @@ def train(
     else:
         raise ValueError(f"unsupported objective: {objective}")
     model = est.fit(fit_df)
+    if impute_means is not None:
+        # stamp the imputation contract on the model so predict()/
+        # predict_proba() apply the SAME training-frame means
+        model._impute_missing = missing
+        model._impute_means = impute_means
     if evals_result is not None and eval_df is not None:
         if eval_weight_col is not None and hasattr(model, "trees"):
             evals_result["validation_0"] = {
@@ -274,8 +311,14 @@ def _weighted_eval_history(
     unweighted, so the cumulative GBT score is rebuilt tree by tree:
     score_k = Σ_{i≤k} treeWeight_i · tree_i(x) — one distributed transform
     per boosting round (bounded by maxIter), no driver-side row loops.
-    Loss: weighted RMSE (regression) / weighted error rate (binary
-    margin > 0, classification).
+    Each round's accumulated frame is ``localCheckpoint``-ed so round k
+    evaluates ONLY tree k over materialized scores (O(k) total tree
+    evaluations, not O(k²) re-execution of the transform chain), and the
+    lineage stays flat. Loss: weighted RMSE (regression) / weighted error
+    rate (binary margin > 0, classification) — note this is a DIFFERENT
+    metric than the unweighted ``evaluateEachIteration`` path (logLoss /
+    variance), so weighted and unweighted histories are not directly
+    comparable.
     """
     import math
 
@@ -290,6 +333,7 @@ def _weighted_eval_history(
             tree.transform(cur)
             .withColumn("_acc", F.col("_acc") + F.lit(float(tw)) * F.col("prediction"))
             .drop("prediction")
+            .localCheckpoint()
         )
         if is_classifier:
             wrong = F.when((F.col("_acc") > 0).cast("double") != y, w).otherwise(F.lit(0.0))
@@ -326,6 +370,17 @@ def _local_features_frame(data):
     return assemble_features(sdf, feature_col="_arr").drop("_arr"), len(arr)
 
 
+def _maybe_impute(model, df: DataFrame) -> DataFrame:
+    """Apply the training-time missing-sentinel imputation (training-frame
+    means stamped on the model by ``train``) at serve time — without this,
+    sentinel-bearing inference rows would flow raw into the trees while
+    training rows were imputed (train/serve skew)."""
+    missing = getattr(model, "_impute_missing", None)
+    if missing is None:
+        return df
+    return apply_impute(df, missing, model._impute_means)
+
+
 def predict(model, data, features_col: str = FEATURES_COL):
     """Distributed inference (reference predict, core.py:340-384):
     ``model.transform`` adds prediction/probability columns; nothing runs
@@ -335,14 +390,18 @@ def predict(model, data, features_col: str = FEATURES_COL):
     accepted: a numpy 2-D array / pandas frame / list of feature rows is
     lifted into a Spark frame and the predictions come back as a local
     numpy array (local in → local out).
+
+    If the model was trained with a ``missing`` sentinel, the same
+    training-frame means are applied here (see ``_maybe_impute``).
     """
     import numpy as np
 
     if isinstance(data, DataFrame):
         if features_col != FEATURES_COL:
             data = data.withColumnRenamed(features_col, FEATURES_COL)
-        return model.transform(data)
+        return model.transform(_maybe_impute(model, data))
     sdf, _ = _local_features_frame(data)
+    sdf = _maybe_impute(model, sdf)
     out = model.transform(sdf).select("_row_idx", "prediction").orderBy("_row_idx")
     return np.asarray(out.toPandas()["prediction"], dtype="float64")
 
@@ -487,7 +546,7 @@ class XGBClassifier:
         if "probability" in out.columns:
             proba = vector_to_array("probability")
         elif hasattr(self.model_, "models"):
-            out = _ovr_proba_frame(self.model_, sdf)
+            out = _ovr_proba_frame(self.model_, _maybe_impute(self.model_, sdf))
             proba = F.col("_ovr_proba")
         else:
             raise NotImplementedError(

@@ -286,6 +286,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): returned components are "
+            "incomplete. The graph diameter exceeds max_iter — raise it, or "
+            "for long-chain graphs switch to star contraction (Kiveris et "
+            "al.), which converges in O(log n) rounds.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

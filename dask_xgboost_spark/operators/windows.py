@@ -185,11 +185,11 @@ def q_win_06(spark, sf):
 
 @register(
     "Q-WIN-08",
-    sql="WITH l AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL "
+    sql="WITH l AS (SELECT user_id, ts, event_id, CASE WHEN LAG(ts) OVER w IS NULL "
     "OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
     f"FROM {EVENTS_US} e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
     "s AS (SELECT user_id, ts, SUM(brk) OVER ("
-    "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM l) "
+    "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM l) "
     "SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end, COUNT(*) AS n "
     "FROM s GROUP BY user_id, sid ORDER BY user_id, s_start",
 )

@@ -244,15 +244,18 @@ def s_sink_02(spark, sf):
     (count, int64-cents sum) aggregates and MERGEs them into a versioned
     parquet target (read current version → union → re-aggregate → write
     next version — the dependency-free stand-in for MERGE INTO a
-    transactional table; versioned writes keyed by batch progress make the
-    at-least-once foreachBatch contract exactly-once). Final target state
+    transactional table). Versions are keyed by ``batch_id`` — batch k
+    reads v{k} and overwrites v{k+1} — so a retried micro-batch
+    idempotently rewrites its own version instead of double-counting;
+    that is what upgrades foreachBatch's at-least-once delivery to
+    exactly-once target state. Final target state
     ≡ the batch per-user aggregate (oracle)."""
     import os
     import shutil
     import tempfile
 
     base = tempfile.mkdtemp(prefix="dxs_fb_")
-    state = {"v": 0}
+    state = {"last": 0}
     ev = events_stream(spark, sf, n_files=4, max_files_per_trigger=1)
 
     def upsert(batch_df, batch_id):
@@ -260,19 +263,19 @@ def s_sink_02(spark, sf):
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).alias("sv_c"),
         )
-        if state["v"] > 0:
-            cur = batch_df.sparkSession.read.parquet(os.path.join(base, f"v{state['v']}"))
+        if batch_id > 0:
+            cur = batch_df.sparkSession.read.parquet(os.path.join(base, f"v{batch_id}"))
             part = (
                 cur.unionByName(part)
                 .groupBy("user_id")
                 .agg(F.sum("n_events").alias("n_events"), F.sum("sv_c").alias("sv_c"))
             )
-        part.write.mode("overwrite").parquet(os.path.join(base, f"v{state['v'] + 1}"))
-        state["v"] += 1
+        part.write.mode("overwrite").parquet(os.path.join(base, f"v{batch_id + 1}"))
+        state["last"] = max(state["last"], batch_id + 1)
 
     run_foreach_batch(ev.select("user_id", "value"), upsert)
     out = (
-        spark.read.parquet(os.path.join(base, f"v{state['v']}"))
+        spark.read.parquet(os.path.join(base, f"v{state['last']}"))
         .select("user_id", "n_events", (F.col("sv_c") / 1e2).alias("sv"))
         .orderBy("user_id")
     )

@@ -315,6 +315,54 @@ def test_missing_sentinel_at_train(spark, emb):
     assert not a.merge(b, on="vec_id").query("prediction_x != prediction_y").empty
 
 
+def test_missing_sentinel_no_train_serve_skew(spark, emb):
+    # The training-frame means must be stamped on the model and applied at
+    # predict time: predicting on sentinel-bearing data through predict()
+    # must equal a raw transform over the explicitly pre-imputed frame
+    # (same means), NOT a raw transform over the un-imputed frame.
+    from dask_xgboost_spark.ml.core import apply_impute
+
+    poisoned = assemble_features(
+        emb.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    (i == 0) & (F.col("vec_id") % 3 == 0), F.lit(-999.0)
+                ).otherwise(x.cast("double")),
+            ),
+        )
+    )
+    model = train(
+        {"objective": "binary:logistic", **PARAMS},
+        poisoned,
+        label_col="y",
+        missing=-999.0,
+    )
+    assert model._impute_missing == -999.0
+    assert isinstance(model._impute_means, list) and len(model._impute_means) > 0
+
+    via_predict = predict(model, poisoned).select("vec_id", "prediction").toPandas()
+    pre_imputed = apply_impute(poisoned, -999.0, model._impute_means)
+    expected = model.transform(pre_imputed).select("vec_id", "prediction").toPandas()
+    m = via_predict.merge(expected, on="vec_id")
+    assert m.query("prediction_x != prediction_y").empty, (
+        "predict() must impute with the training means"
+    )
+    # and the serve-side imputation actually fires: the features reaching
+    # the trees through _maybe_impute contain no sentinel
+    from dask_xgboost_spark.ml.core import _maybe_impute
+    from pyspark.ml.functions import vector_to_array
+
+    mn = (
+        _maybe_impute(model, poisoned)
+        .select(F.array_min(vector_to_array("features")).alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    assert mn > -999.0, "sentinel must be gone at serve time"
+
+
 def test_multiclass_predict_proba_ovr(spark, emb):
     # reference core.py:626-631 returns softprob for multiclass; the OvR
     # equivalent is sum-normalized per-class probabilities whose argmax
