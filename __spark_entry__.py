@@ -26,26 +26,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dask_xgboost_spark.registry import load_all  # noqa: E402
 
-# One representative per family first (50 = the driver's check window):
-# core relational reps that anchor against round-1 results, then the
-# families a real user hits constantly (windows, arrays, scalar funcs,
-# subqueries/CTE, pivot, Python UDFs), then the LLM-pipeline flagships,
-# one streaming entry, and ML class discovery.
+# Window rotation, round 3: rounds 1+2 verified 90 distinct entries
+# (r01 = the relational core, r02 = one-per-family reps). This window is
+# the 50 highest-value entries NEVER yet driver-checked: every remaining
+# hash-mode batch query, the ANN/SimHash/ML golden flagships, and the
+# whole streaming family. Fast hash-mode batch entries lead so a
+# time-budgeted harness still lands the strong rows first.
 _DRIVER_PRIORITY = [
-    "Q-AGG-01", "Q-PROJ-02", "Q-AGG-05",
-    "Q-SCAN-02", "Q-FIL-01", "Q-JOIN-02", "Q-JOIN-10",
-    "Q-SORT-02", "Q-SET-01", "Q-STR-05", "Q-DATE-03", "Q-DATE-04",
-    "Q-MATH-01", "Q-COND-01", "Q-CAST-01",
-    "Q-WIN-01", "Q-WIN-02", "Q-WIN-03", "Q-WIN-04", "Q-WIN-05",
-    "Q-WIN-06", "Q-WIN-07",
-    "Q-ARR-01", "Q-ARR-02", "Q-ARR-03", "Q-ARR-04", "Q-ARR-05",
-    "Q-MAP-01", "Q-JSON-01",
-    "Q-SUBQ-01", "Q-SUBQ-02", "Q-SUBQ-03", "Q-CTE-01", "Q-PIVOT-01",
-    "Q-TPCH-02", "Q-TPCH-03",
-    "U-SCALAR-01", "U-AGG-01", "U-MAP-01", "U-GAPPLY-01", "U-TABLE-01",
-    "L-DEDUP-01", "L-DEDUP-02", "L-DEDUP-03",
-    "L-SIM-01", "L-TEXT-01", "L-PIPE-01", "L-MM-01",
-    "S-WIN-01", "M-PREP-02",
+    # batch, hash-checked (34)
+    "Q-SCAN-05", "Q-JOIN-11", "Q-AGG-13", "Q-AGG-14", "Q-AGG-15",
+    "Q-AGG-16", "Q-SET-05",
+    "Q-TPCH-05", "Q-TPCH-12", "Q-TPCH-13", "Q-TPCH-14",
+    "Q-DATE-05", "Q-DATE-06", "Q-PIVOT-02", "Q-MAP-02", "Q-ARR-06",
+    "Q-JSON-02", "Q-WIN-08", "Q-WIN-09", "U-SCALAR-02",
+    "L-DEDUP-06", "L-DEDUP-07", "L-SIM-04",
+    "L-TEXT-02", "L-TEXT-03", "L-TEXT-05", "L-TEXT-06", "L-TEXT-07",
+    "L-TEXT-08", "L-TEXT-09", "L-TEXT-10", "L-PIPE-02",
+    "L-MM-03", "Q-MERGE-01",
+    # golden/tolerance flagships (7)
+    "Q-SAMPLE-01", "L-DEDUP-04", "L-DEDUP-05", "L-SIM-02", "L-SIM-03",
+    "M-TRAIN-01", "M-PRED-01",
+    # streaming (9)
+    "S-WIN-02", "S-WIN-03", "S-WM-01", "S-STATE-01", "S-STATE-02",
+    "S-JOIN-01", "S-JOIN-02", "S-SINK-01", "S-SINK-02",
 ]
 
 
