@@ -398,3 +398,68 @@ def l_dedup_05(spark, sf):
         ).alias("embedding"),
     )
     return cosine_pairs(emb.unionByName(perturbed), threshold=0.95).orderBy("v1", "v2")
+
+
+_DECON_DOCS = (
+    "(SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 300000, 'prefix words added here ' || text "
+    "FROM documents WHERE doc_id % 97 = 0)"
+)
+
+_DECON_GRAMS = (
+    "(SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram "
+    f"FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {_DECON_DOCS} d) t, "
+    "unnest(range(1, len(w) - 3)) AS u(i) WHERE len(w) >= 5)"
+)
+
+_DEDUP08_SQL = (
+    f"SELECT c.doc_id, CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_hits "
+    f"FROM {_DECON_GRAMS} c "
+    f"JOIN (SELECT DISTINCT gram FROM {_DECON_GRAMS} b0 WHERE doc_id % 97 = 0) b "
+    "USING (gram) WHERE c.doc_id % 97 != 0 "
+    "GROUP BY c.doc_id ORDER BY c.doc_id"
+)
+
+
+@register("L-DEDUP-08", sql=_DEDUP08_SQL)
+def l_dedup_08(spark, sf):
+    """Benchmark decontamination — flag corpus documents sharing any word
+    5-gram with a benchmark set (here: doc_id % 97 == 0 stands in for the
+    held-out eval set), the standard leakage gate before training (cf.
+    GPT-3 appendix C / PaLM 13-gram overlap). The fixture corpus is
+    all-unique, so contaminated docs are planted in-query (each benchmark
+    doc re-appears under doc_id+300000 with a changed prefix — exactly
+    how eval text leaks into scraped corpora). Shape: explode corpus
+    n-grams once, inner-join against the (tiny, broadcast) distinct
+    benchmark-gram set, count distinct hits per doc. At 100 TB the
+    benchmark side is KBs→MBs (broadcast, no corpus shuffle); the
+    per-doc distinct count shuffles on doc_id only for the hit subset —
+    the corpus itself is never pairwise-compared."""
+    base = load(spark, sf, "documents").select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.lit("prefix words added here "), F.col("text")).alias("text"),
+    )
+    docs = base.unionByName(planted)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(F.split("text", " ")) >= 5,
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 4), "
+                    "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+                ),
+            ).otherwise(F.array())
+        ).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").cast("long").alias("n_hits"))
+        .orderBy("doc_id")
+    )

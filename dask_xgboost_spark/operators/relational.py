@@ -1076,3 +1076,30 @@ def q_agg_17(spark, sf):
         .crossJoin(F.broadcast(merged))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "Q-AGG-18",
+    # exact median over int64 cents: linear interpolation of two integers
+    # is a half-integer, exactly representable, so both engines emit the
+    # identical double (never engine-native AVG/MEDIAN over raw doubles)
+    sql="SELECT c_mktsegment, "
+    f"quantile_cont({sql_cents('c_acctbal')}, 0.5) / 1e2 AS median_bal, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+)
+def q_agg_18(spark, sf):
+    """Exact grouped median (continuous-interpolation percentile) of
+    account balance per market segment. Exact percentiles need a per-group
+    sort — fine when group cardinality is bounded (segments); the 100 TB
+    path for high-cardinality groups is percentile_approx (Q-AGG-08's
+    t-digest-style sketch, mergeable and one-pass)."""
+    return (
+        load(spark, sf, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            (F.expr(f"percentile(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT), 0.5)") / 1e2).alias("median_bal"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -368,3 +368,87 @@ def l_text_10(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "L-TEXT-11",
+    # PII is synthesized deterministically in-query (the fixture corpus
+    # has none), so the redaction branch is load-bearing: every 7th doc
+    # gains an email, every 11th a phone number.
+    sql="SELECT doc_id, "
+    "regexp_replace(regexp_replace(pii, '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'), "
+    "'555-[0-9]{4}', '<PHONE>', 'g') AS clean, "
+    "CAST(len(regexp_extract_all(pii, '[a-z0-9]+@[a-z]+\\.[a-z]+')) "
+    "+ len(regexp_extract_all(pii, '555-[0-9]{4}')) AS BIGINT) AS n_pii "
+    "FROM (SELECT doc_id, text "
+    "|| CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END "
+    "|| CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END "
+    "AS pii FROM documents) t ORDER BY doc_id",
+)
+def l_text_11(spark, sf):
+    """PII redaction — the scrub step every training-data pipeline runs
+    before a corpus ships: emails and phone numbers are replaced with
+    typed placeholders and counted. Pure regexp_replace/regexp_count
+    column algebra (whole-stage codegen, no UDFs; the patterns are kept
+    inside the RE2∩Java-regex common dialect so the DuckDB oracle runs
+    the same text). At 100 TB this is a map-only pass — no shuffle."""
+    email = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone = r"555-[0-9]{4}"
+    pii = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", pii.alias("pii"))
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace("pii", email, "<EMAIL>"), phone, "<PHONE>"
+            ).alias("clean"),
+            (F.regexp_count("pii", F.lit(email)) + F.regexp_count("pii", F.lit(phone)))
+            .cast("long")
+            .alias("n_pii"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "L-TEXT-12",
+    sql="SELECT doc_id, CAST(len(t) AS BIGINT) AS n_in, "
+    "CAST(len(kept) AS BIGINT) AS n_out, array_to_string(kept, ' ') AS clean FROM ("
+    "SELECT doc_id, t, list_filter(list_transform(range(1, len(t) + 1), "
+    "i -> CASE WHEN i = 1 OR t[i] != t[i-1] THEN t[i] ELSE NULL END), "
+    "v -> v IS NOT NULL) AS kept "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) x) y "
+    "ORDER BY doc_id",
+)
+def l_text_12(spark, sf):
+    """Consecutive-repetition removal (run-length squeeze over tokens) —
+    the within-document half of repetition cleanup (cf. Gopher/RefinedWeb
+    repetition filters): stuttered tokens from scraped or machine-looped
+    text collapse to one. Index-aware array HOF (filter with (x, i)
+    lambda), fully JVM-side, map-only — no shuffle at any scale."""
+    t = F.split(F.col("text"), " ")
+    kept = F.filter(
+        t, lambda x, i: (i == 0) | (x != F.element_at(t, i))
+    )  # element_at is 1-based: index i (0-based lambda) = previous token
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", t.alias("t"), kept.alias("kept"))
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_in"),
+            F.size("kept").cast("long").alias("n_out"),
+            F.concat_ws(" ", "kept").alias("clean"),
+        )
+        .orderBy("doc_id")
+    )

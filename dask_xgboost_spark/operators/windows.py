@@ -254,3 +254,36 @@ def q_win_09(spark, sf):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "Q-WIN-10",
+    # the frame rides integer epoch-microseconds on BOTH engines: the
+    # fixture timestamps have sub-second components, and a seconds-granular
+    # boundary would disagree with a microsecond-granular one
+    sql="SELECT event_id, user_id, CAST(COUNT(*) OVER ("
+    "PARTITION BY user_id ORDER BY epoch_us(ts) "
+    "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h "
+    f"FROM {EVENTS_US} e ORDER BY event_id",
+)
+def q_win_10(spark, sf):
+    """Value-based (RANGE) window frame: per-user rolling count of events
+    in the trailing hour — the time-decayed activity feature every
+    behavioral model wants. RANGE frames bound by the ORDER BY *value*
+    (here epoch microseconds), so tied timestamps share a frame and the
+    result is partitioning-independent. One shuffle on user_id; the
+    in-partition sliding count is O(n) two-pointer work in both engines."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return (
+        load(spark, sf, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        )
+        .orderBy("event_id")
+    )
