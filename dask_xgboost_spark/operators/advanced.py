@@ -129,3 +129,35 @@ def q_sample_01(spark, sf):
     ).crossJoin(
         li.sample(fraction=0.1, seed=42).agg(F.count(F.lit(1)).alias("bernoulli_rows"))
     )
+
+
+@register(
+    "Q-SAMPLE-02",
+    # md5 hex is identical in both engines for the same UTF-8 string, and
+    # lexicographic compare of lowercase hex is portable → a hash-mode
+    # checkable deterministic sample (unlike PRNG .sample(seed))
+    sql="SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_sampled, "
+    "CAST(MIN(c_custkey) AS BIGINT) AS min_key, "
+    "CAST(SUM(c_custkey) AS BIGINT) AS key_sum "
+    "FROM customer WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '33' "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+)
+def q_sample_02(spark, sf):
+    """Stratified deterministic sampling: ~20% of each market segment
+    (P(md5 first byte < 0x33) = 51/256), keyed on a stable column hash —
+    the sampling shape that survives retries, repartitioning, and
+    incremental re-runs at 100 TB, where seeded Bernoulli sampling does
+    not (it is partitioning-dependent). Map-only filter + one grouped
+    rollup to witness per-stratum counts; hash-checked cross-engine via
+    the md5-hex trick."""
+    return (
+        load(spark, sf, "customer")
+        .filter(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2) < "33")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.min("c_custkey").cast("long").alias("min_key"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -133,3 +133,30 @@ def test_persist_eliminates_rescan(spark, sf_dir):
         assert "InMemoryTableScan" in p2, p2[:1500]
     finally:
         df.unpersist()
+
+
+def test_tpch18_semi_join_and_topk(spark, sf_dir):
+    # the IN (grouped HAVING) subquery must plan as a semi join against
+    # the aggregate, and the bounded ORDER BY ... LIMIT as a top-k
+    p = plan(spark, sf_dir, "Q-TPCH-18")
+    assert "LeftSemi" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tpch19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    # from the 3-way OR mixing both sides' columns, Catalyst must derive
+    # per-side filters and push them into BOTH parquet scans
+    p = plan(spark, sf_dir, "Q-TPCH-19")
+    assert "PushedFilters:" in p
+    # the part side sees the brand disjunction, the lineitem side the
+    # derived quantity bounds
+    assert "Or(" in p and "p_brand" in p, p
+    assert "l_quantity" in p.split("PushedFilters:", 1)[1], p
+
+
+def test_tpch17_correlated_avg_decorrelated(spark, sf_dir):
+    # the per-part scalar AVG subquery must become an aggregate + join,
+    # never a per-row subquery execution
+    p = plan(spark, sf_dir, "Q-TPCH-17")
+    assert "HashAggregate" in p
+    assert p.count("Scan parquet") >= 2  # lineitem read for both sides
