@@ -151,6 +151,21 @@ def main() -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
+    # full TPC-H sweep: all 22 shapes (Q1 ≡ Q-AGG-01), prepared-plan
+    # execution vs DuckDB in the same run — the suite-level ratio is the
+    # honest summary of relational-engine throughput at this SF
+    tpch_names = ["Q-AGG-01"] + [f"Q-TPCH-{i:02d}" for i in range(2, 23)]
+    tpch_spark: dict[str, float] = {}
+    tpch_duck: dict[str, float] = {}
+    for name in tpch_names:
+        key = name.lower().replace("-", "_")
+        df = specs[name].fn(spark, sf_dir)
+        df.toPandas()  # warm: plan, codegen, file listing
+        tpch_spark[key] = round(_median_timed(lambda: df.toPandas()), 4)
+        sql = specs[name].sql
+        con.execute(sql).df()
+        tpch_duck[key] = round(_median_timed(lambda: con.execute(sql).df()), 4)
+
     total = round(sum(results.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -168,6 +183,10 @@ def main() -> None:
                 "fresh_plan_total": round(sum(fresh_plan.values()), 4),
                 "scan_floor_lineitem_sec": scan_floor,
                 "join_strategy_q_join_02": join_strategies,
+                "tpch_suite": tpch_spark,
+                "tpch_suite_total": round(sum(tpch_spark.values()), 4),
+                "tpch_suite_duckdb": tpch_duck,
+                "tpch_suite_duckdb_total": round(sum(tpch_duck.values()), 4),
             }
         )
     )
