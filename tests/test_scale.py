@@ -173,3 +173,59 @@ def test_aqe_skew_join_config_active(spark):
     # runtime lever that partitions a hot key's shuffle blocks
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_range_layout_enables_row_skipping(spark, sf_dir, tmp_path):
+    # identical data, two layouts: range-clustered (tight per-file/row-group
+    # min-max stats) vs round-robin shuffled (every file spans the full key
+    # range). Data skipping happens in the parquet reader from footer
+    # stats, so the load-bearing assertion is on the footers themselves:
+    # under the clustered layout only the top range's files can contain
+    # predicate rows; under the scattered layout every file overlaps.
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dask_xgboost_spark.plans.scale import write_range_layout
+    from dask_xgboost_spark.sources import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    write_range_layout(li, clustered, "l_orderkey", n_ranges=8)
+    li.repartition(8).write.mode("overwrite").parquet(scattered)
+
+    total = li.count()
+    hi = li.agg(F.max("l_orderkey")).first()[0]
+    cutoff = int(hi * 0.9)
+    sel = li.filter(F.col("l_orderkey") > cutoff).count()
+    assert 0 < sel < total * 0.2, "predicate must be selective for the test"
+    # correctness: the clustered layout holds exactly the same data
+    got = spark.read.parquet(clustered).filter(F.col("l_orderkey") > cutoff).count()
+    assert got == sel
+
+    def overlapping_files(path):
+        hits, files = 0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            files += 1
+            col_idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "l_orderkey"
+            )
+            fmax = max(
+                md.row_group(g).column(col_idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if fmax > cutoff:
+                hits += 1
+        return hits, files
+
+    c_hits, c_files = overlapping_files(clustered)
+    s_hits, s_files = overlapping_files(scattered)
+    assert c_files >= 4 and s_files >= 4
+    # clustered: only the top range file(s) can serve the predicate —
+    # a reader skips the rest from footer stats alone
+    assert c_hits <= max(1, c_files // 4), (c_hits, c_files)
+    # scattered: stats are useless — (nearly) every file overlaps
+    assert s_hits >= s_files - 1, (s_hits, s_files)
