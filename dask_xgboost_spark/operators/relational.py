@@ -1103,3 +1103,39 @@ def q_agg_18(spark, sf):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "Q-SCAN-06",
+    # schema evolution: an old write lacks a column a later write added;
+    # mergeSchema reconciles at read time, old rows surface NULL
+    sql="SELECT o_orderkey, o_totalprice, o_orderpriority FROM ("
+    "SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority "
+    "FROM orders WHERE o_orderkey % 2 = 0 "
+    "UNION ALL SELECT o_orderkey, o_totalprice, o_orderpriority "
+    "FROM orders WHERE o_orderkey % 2 = 1) t ORDER BY o_orderkey",
+)
+def q_scan_06(spark, sf):
+    """Schema-evolution read (mergeSchema): two parquet generations of the
+    same table — the older one written before a column existed — are read
+    as one frame; old rows carry NULL for the added column. The standard
+    lakehouse append-evolution pattern: at 100 TB you never rewrite old
+    files to add a column, the reader reconciles footers per file."""
+    import os
+    import tempfile
+
+    # fixed path + overwrite mode: reruns replace rather than accumulate
+    base = os.path.join(tempfile.gettempdir(), "dxs_evo_scan06")
+    orders = load(spark, sf, "orders")
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(base + "/gen=old")
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(base + "/gen=new")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(base + "/gen=old", base + "/gen=new")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )

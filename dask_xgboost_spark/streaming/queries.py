@@ -312,3 +312,47 @@ def s_join_02(spark, sf):
     )
     out = run_to_memory(agg, "complete")
     return out.orderBy("c_mktsegment")
+
+
+@register(
+    "S-GEN-01",
+    sql="SELECT CAST(range % 10 AS BIGINT) AS k, COUNT(*) AS n, "
+    "CAST(SUM(range) AS BIGINT) AS sv FROM range(1000) GROUP BY k ORDER BY k",
+    mode="stream",
+)
+def s_gen_01(spark, sf):
+    """Rate-source generation demo: the ``rate-micro-batch`` source emits
+    a DETERMINISTIC value sequence per batch (unlike plain ``rate``,
+    which is wall-clock-paced), so one triggered batch of 1000 rows is
+    exactly values 0..999 — generated load that is still hash-checkable.
+    This is the streaming twin of G-GEN-01 (synthetic sources): derived
+    key + grouped count/sum over generated rows."""
+    import shutil
+    import tempfile
+    import uuid
+
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1000)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .load()
+    )
+    agg = (
+        src.withColumn("k", F.col("value") % 10)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    name = "dxs_gen_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="dxs_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(once=True)  # rate-micro-batch has no end → exactly one batch
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).orderBy("k")
