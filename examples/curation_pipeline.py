@@ -7,8 +7,15 @@ Stages (each backed by a registered, oracle-checked operator):
   2. near-dup grouping    — Jaccard pairs → connected
                             components → keep one doc
                             per group                    (L-DEDUP-03/07)
-  3. quality gating       — lang/length/stopword gates   (L-PIPE-01 shape)
-  4. sharded JSONL export — lang-partitioned, size-
+  3. decontamination      — drop docs sharing word
+                            5-grams with the benchmark
+                            set                          (L-DEDUP-08 shape)
+  4. PII redaction        — emails/phones → typed
+                            placeholders                 (L-TEXT-11 shape)
+  5. repetition squeeze   — collapse consecutive
+                            duplicate tokens             (L-TEXT-12 shape)
+  6. quality gating       — lang/length/stopword gates   (L-PIPE-01 shape)
+  7. sharded JSONL export — lang-partitioned, size-
                             bounded shards               (L-PIPE-02 shape)
 
 Run: python examples/curation_pipeline.py [sf_dir]
@@ -54,13 +61,44 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     docs = docs.join(drop, "doc_id", "left_anti")
     n2 = docs.count()
 
-    # 3. quality gate: language + length band
+    # 3. decontamination: drop any doc sharing a word 5-gram with the
+    #    benchmark set (stand-in: doc_id % 97 == 0); benchmark grams are
+    #    tiny → broadcast, the corpus is never pairwise-compared
+    t5 = F.expr(
+        "case when size(split(text, ' ')) >= 5 then "
+        "transform(sequence(1, size(split(text, ' ')) - 4), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 5))) "
+        "else array() end"
+    )
+    grams = docs.select("doc_id", F.explode(t5).alias("gram"))
+    bench_grams = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    contaminated = (
+        grams.join(F.broadcast(bench_grams), "gram").select("doc_id").distinct()
+    )
+    docs = docs.join(contaminated, "doc_id", "left_anti")
+    n3 = docs.count()
+
+    # 4. PII redaction + 5. repetition squeeze (both map-only)
+    toks = F.split(F.col("text"), " ")
+    squeezed = F.filter(toks, lambda x, i: (i == 0) | (x != F.element_at(toks, i)))
+    docs = docs.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace("text", r"[a-z0-9.+_-]+@[a-z0-9-]+\.[a-z]+", "<EMAIL>"),
+            r"\b555-[0-9]{4}\b",
+            "<PHONE>",
+        ),
+    ).withColumn("text", F.concat_ws(" ", squeezed))
+
+    # 6. quality gate: language + length band
     curated = docs.filter(
         F.col("lang").isin("en", "de", "es") & F.col("n_chars").between(50, 450)
     )
-    n3 = curated.count()
+    n6 = curated.count()
 
-    # 4. sharded JSONL export
+    # 7. sharded JSONL export
     out = os.path.join(tempfile.mkdtemp(prefix="dxs_curated_"), "corpus")
     (
         curated.select("doc_id", "lang", "text")
@@ -74,7 +112,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     print(
         f"input {n0} → exact-dedup {n1} → near-dup-grouped {n2} "
-        f"→ quality-gated {n3} → exported {n4} docs at {out}"
+        f"→ decontaminated {n3} → quality-gated {n6} "
+        f"→ exported {n4} docs at {out}"
     )
     spark.stop()
 
