@@ -41,6 +41,7 @@ _OPERATOR_MODULES = [
     "dask_xgboost_spark.operators.relational",
     "dask_xgboost_spark.operators.composite",
     "dask_xgboost_spark.operators.tpch_full",
+    "dask_xgboost_spark.operators.analytics",
     "dask_xgboost_spark.operators.scalar",
     "dask_xgboost_spark.operators.windows",
     "dask_xgboost_spark.operators.advanced",
