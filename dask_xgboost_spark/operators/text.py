@@ -452,3 +452,52 @@ def l_text_12(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "L-PIPE-03",
+    sql="SELECT lang, seq, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_tok) AS BIGINT) AS n_tokens, "
+    "CAST(MIN(doc_id) AS BIGINT) AS first_doc, "
+    "CAST(MAX(doc_id) AS BIGINT) AS last_doc FROM ("
+    "SELECT lang, doc_id, n_tok, "
+    "CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id "
+    "ROWS UNBOUNDED PRECEDING) - n_tok) / 512.0) AS BIGINT) AS seq FROM ("
+    "SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok "
+    "FROM documents) t) s "
+    "GROUP BY lang, seq ORDER BY lang, seq",
+)
+def l_pipe_03(spark, sf):
+    """Token-budget sequence packing — the LLM-pretraining step that
+    packs documents into fixed-size context windows (budget 512 tokens
+    here): within each language stream, documents fill sequences in
+    deterministic doc_id order; seq = floor(exclusive running token
+    total / budget). Unlike L-MM-03's declared global order, the window
+    is PARTITIONED (per lang), which is the 100 TB shape: one shuffle on
+    the partition key and each stream packs independently — no global
+    sort anywhere. Output: per-sequence manifest (doc count, token
+    fill, doc range) a loader can consume directly."""
+    from pyspark.sql import Window
+
+    budget = 512.0
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = load(spark, sf, "documents").select(
+        "lang", "doc_id", n_tok.alias("n_tok")
+    )
+    seq = F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / budget).cast("long")
+    return (
+        toks.withColumn("seq", seq)
+        .groupBy("lang", "seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("lang", "seq")
+    )
