@@ -214,3 +214,44 @@ def g_gen_01(spark, sf):
         F.count(F.lit(1)).alias("n"),
         (F.sum(F.floor(F.col("x") * 1e6)) / 1e6).alias("sx"),
     ).orderBy("name")
+
+
+@register("M-TRAIN-07", sql=None, mode="golden")
+def m_train_07(spark, sf):
+    """Hyperparameter search via k-fold cross-validation (MLlib
+    CrossValidator over a maxDepth grid) — the tuning loop the reference
+    leaves to its caller, run distributed here: every (fold, param)
+    fit is an independent Spark job, parallelism=2. Deterministic under
+    the fixed seed: fold assignment hashes rows with the seed, so the
+    chosen best depth and the refit model's predictions are stable.
+    Returns the best param + per-candidate average metric (rows-only
+    driver check; determinism asserted in tests/test_ml.py)."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    df = _binary_frame(spark, sf)
+    gbt = GBTClassifier(
+        labelCol="y", featuresCol="features", maxIter=5, stepSize=0.5, seed=42
+    )
+    grid = (
+        ParamGridBuilder().addGrid(gbt.maxDepth, [2, 4]).build()
+    )
+    cv = CrossValidator(
+        estimator=gbt,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(labelCol="y"),
+        numFolds=3,
+        seed=42,
+        parallelism=2,
+    )
+    model = cv.fit(df)
+    best_depth = model.bestModel.getMaxDepth()
+    rows = [
+        (int(d), float(m), int(d == best_depth))
+        for d, m in zip([2, 4], model.avgMetrics)
+    ]
+    out = spark.createDataFrame(rows, "max_depth int, avg_auc double, is_best int")
+    return out.select(
+        "max_depth", F.round("avg_auc", 6).alias("avg_auc"), "is_best"
+    ).orderBy("max_depth")

@@ -401,3 +401,16 @@ def test_model_save_load_roundtrip(spark, emb, tmp_path):
         .sort_values("vec_id")
     )
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_cross_validator_deterministic(spark, emb):
+    # M-TRAIN-07: same seed → same fold split → same chosen params and
+    # identical per-candidate metrics across runs
+    from dask_xgboost_spark.registry import load_all
+
+    fn = load_all()["M-TRAIN-07"].fn
+    a = fn(spark, "/root/testdata/sf0.001").collect()
+    b = fn(spark, "/root/testdata/sf0.001").collect()
+    assert a == b
+    assert sum(r["is_best"] for r in a) == 1
+    assert all(0.0 <= r["avg_auc"] <= 1.0 for r in a)
