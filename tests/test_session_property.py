@@ -1,0 +1,61 @@
+"""Property-based check of gaps-and-islands sessionization: on random
+event sets, the Q-WIN-08 window shape (lag → break flag → running sum)
+must agree with a direct single-pass Python reference."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+GAP = 100  # seconds
+
+_ev = st.tuples(
+    st.integers(min_value=0, max_value=3),      # user
+    st.integers(min_value=0, max_value=2000),   # ts (seconds)
+)
+
+
+def _py_sessions(rows):
+    """Reference: per user, sort by (ts, idx), split when gap > GAP."""
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for idx, (u, ts) in enumerate(rows):
+        by_user.setdefault(u, []).append((ts, idx))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for ts, idx in evs:
+            if prev is not None and ts - prev > GAP:
+                sid += 1
+            out[idx] = (u, sid)
+            prev = ts
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_ev, min_size=1, max_size=40))
+def test_sessionization_matches_python_reference(spark, rows):
+    pdf = [(i, u, ts) for i, (u, ts) in enumerate(rows)]
+    df = spark.createDataFrame(pdf, ["idx", "u", "ts"])
+    w = Window.partitionBy("u").orderBy("ts", "idx")
+    brk = F.when(
+        F.lag("ts").over(w).isNull() | (F.col("ts") - F.lag("ts").over(w) > GAP), 1
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got_rows = (
+        df.select("idx", "u", "ts", brk.alias("brk"))
+        .withColumn("sid", F.sum("brk").over(wrun) - 1)
+        .collect()
+    )
+    got = {r["idx"]: (r["u"], r["sid"]) for r in got_rows}
+    want = _py_sessions(rows)
+    # tied (ts) rows: both sides tie-break on the event index, so the
+    # assignment must agree exactly
+    assert got == want
