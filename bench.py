@@ -151,6 +151,41 @@ def main() -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
+    # skew lever: join a synthesized hot-key fact (30% of rows collapse
+    # onto one key) against a dim, with AQE skew handling OFF, plain vs
+    # salted — quantifies what the salting strategy buys when runtime
+    # skew splitting is unavailable (plans/scale.py::salted_join)
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.plans.scale import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    skewed = li.select(
+        F.when(F.pmod(F.col("l_orderkey"), F.lit(10)) < 3, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_quantity",
+    )
+    dim = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    plain = skewed.join(dim, "k").groupBy("o_orderpriority").count()
+    salted = salted_join(skewed, dim, on="k", num_salts=8).groupBy(
+        "o_orderpriority"
+    ).count()
+    plain.toPandas()
+    salted.toPandas()
+    skew = {
+        "plain_join": round(_median_timed(lambda: plain.toPandas()), 4),
+        "salted_join": round(_median_timed(lambda: salted.toPandas()), 4),
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
     # full TPC-H sweep: all 22 shapes (Q1 ≡ Q-AGG-01), prepared-plan
     # execution vs DuckDB in the same run — the suite-level ratio is the
     # honest summary of relational-engine throughput at this SF
@@ -183,6 +218,7 @@ def main() -> None:
                 "fresh_plan_total": round(sum(fresh_plan.values()), 4),
                 "scan_floor_lineitem_sec": scan_floor,
                 "join_strategy_q_join_02": join_strategies,
+                "skew_join_hot_key": skew,
                 "tpch_suite": tpch_spark,
                 "tpch_suite_total": round(sum(tpch_spark.values()), 4),
                 "tpch_suite_duckdb": tpch_duck,
