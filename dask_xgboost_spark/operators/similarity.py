@@ -345,3 +345,60 @@ def l_sim_05(spark, sf):
 
     shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@register(
+    "L-SIM-06",
+    # int8 symmetric quantization: scale = per-vector max|x| / 127;
+    # q_i = floor(x_i / max|x| * 127 + 0.5) for x_i >= 0 (mirrored for
+    # negatives via the sign trick below) — every step is the same IEEE
+    # double op in both engines, so the int8 codes hash-match exactly
+    sql="SELECT vec_id, "
+    "CAST(FLOOR(mx * 1e6 + 0.5) AS BIGINT) AS scale6, "
+    "CAST(q_sum AS BIGINT) AS q_sum, CAST(q_min AS BIGINT) AS q_min, "
+    "CAST(q_max AS BIGINT) AS q_max FROM ("
+    "SELECT vec_id, mx, "
+    "list_sum(list_transform(embedding, x -> "
+    "CASE WHEN CAST(x AS DOUBLE) >= 0 "
+    "THEN FLOOR(CAST(x AS DOUBLE) / mx * 127 + 0.5) "
+    "ELSE -FLOOR(-CAST(x AS DOUBLE) / mx * 127 + 0.5) END)) AS q_sum, "
+    "list_min(list_transform(embedding, x -> "
+    "CASE WHEN CAST(x AS DOUBLE) >= 0 "
+    "THEN FLOOR(CAST(x AS DOUBLE) / mx * 127 + 0.5) "
+    "ELSE -FLOOR(-CAST(x AS DOUBLE) / mx * 127 + 0.5) END)) AS q_min, "
+    "list_max(list_transform(embedding, x -> "
+    "CASE WHEN CAST(x AS DOUBLE) >= 0 "
+    "THEN FLOOR(CAST(x AS DOUBLE) / mx * 127 + 0.5) "
+    "ELSE -FLOOR(-CAST(x AS DOUBLE) / mx * 127 + 0.5) END)) AS q_max "
+    "FROM (SELECT vec_id, embedding, "
+    "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx "
+    "FROM embeddings) t) s ORDER BY vec_id",
+)
+def l_sim_06(spark, sf):
+    """Embedding int8 scalar quantization — the 4× storage/bandwidth
+    reduction step a 100 TB vector corpus ships before ANN serving:
+    per-vector symmetric scale (max|x|/127), codes in [-127, 127].
+    Pure array HOFs (map-only, no shuffle, whole-stage codegen); the
+    registry row witnesses the codes via exact integer stats (sum, min,
+    max per vector) plus the micro-anchored scale. Rounding is the
+    sign-mirrored FLOOR(+0.5) anchor (half away from zero) — the one
+    rounding rule both engines evaluate identically on doubles."""
+    x = lambda c: c.cast("double")  # noqa: E731
+    emb = load(spark, sf, "embeddings")
+    mx = F.array_max(F.transform("embedding", lambda v: F.abs(x(v))))
+    emb = emb.select("vec_id", "embedding", mx.alias("mx"))
+
+    def q(v):
+        scaled = x(v) / F.col("mx") * 127
+        return F.when(x(v) >= 0, F.floor(scaled + 0.5)).otherwise(
+            -F.floor(-scaled + 0.5)
+        )
+
+    codes = F.transform("embedding", q)
+    return emb.select(
+        "vec_id",
+        F.floor(F.col("mx") * 1e6 + 0.5).cast("long").alias("scale6"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, b: a + b.cast("long")).alias("q_sum"),
+        F.array_min(codes).cast("long").alias("q_min"),
+        F.array_max(codes).cast("long").alias("q_max"),
+    ).orderBy("vec_id")
