@@ -160,3 +160,47 @@ def test_tpch17_correlated_avg_decorrelated(spark, sf_dir):
     p = plan(spark, sf_dir, "Q-TPCH-17")
     assert "HashAggregate" in p
     assert p.count("Scan parquet") >= 2  # lineitem read for both sides
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    # 100 TB lever: when the dim side of a shuffled join is selectively
+    # filtered, Spark injects a bloom filter built from the dim keys into
+    # the fact side's scan — a semi-join reduction that skips most fact
+    # rows before the shuffle. Assert the rewrite actually fires.
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.sources import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        p = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in p or "BloomFilter" in p, p[:2000]
+        # and the filtered result is still correct
+        expected = (
+            li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, expected.collect()))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
