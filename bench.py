@@ -144,10 +144,18 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     smj_df = join_spec.fn(spark, sf_dir)
     smj_df.toPandas()
+    smj_t = round(_median_timed(lambda: smj_df.toPandas()), 4)
+    # shuffle-hash: no sort on either side, but both sides still shuffle;
+    # preferred over SMJ when the build side fits per-partition memory
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    shj_df = join_spec.fn(spark, sf_dir)
+    shj_df.toPandas()
     join_strategies = {
         "bhj_broadcast_dims": results["q_join_02"],
-        "smj_no_broadcast": round(_median_timed(lambda: smj_df.toPandas()), 4),
+        "smj_no_broadcast": smj_t,
+        "shj_no_broadcast": round(_median_timed(lambda: shj_df.toPandas()), 4),
     }
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 

@@ -1139,3 +1139,30 @@ def q_scan_06(spark, sf):
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
         .orderBy("o_orderkey")
     )
+
+
+@register("Q-AGG-19", sql=None, mode="tol")
+def q_agg_19(spark, sf):
+    """Count-min-sketch frequency estimation — the second mergeable
+    sketch alongside Q-AGG-17's HLL: per-partition sketches merge
+    associatively inside the aggregate, so frequency estimates cost one
+    pass and a constant-size result no matter the input scale (the
+    1M-row and 100 TB sketch are the same 112 KB). Estimates are
+    one-sided: est ≥ exact, est ≤ exact + ε·N w.h.p. — asserted in
+    tests/test_golden.py; the registry row carries est vs exact per key
+    (rows-only driver check, tol by nature)."""
+    ev = load(spark, sf, "events")
+    sk = ev.agg(
+        F.count_min_sketch("event_type", F.lit(0.001), F.lit(0.99), F.lit(42)).alias("s")
+    ).first()["s"]
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk))
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = [
+        (t, int(jcms.estimateCount(t)), int(n)) for t, n in sorted(exact.items())
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, est bigint, exact bigint"
+    ).orderBy("event_type")

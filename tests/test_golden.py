@@ -290,3 +290,17 @@ def test_ivf_persisted_index_recall_and_pruning(spark, sf_dir, tmp_path):
     have = set(map(tuple, gp[["qid", "cid"]].values))
     recall = len(want & have) / len(want)
     assert recall >= 0.9, f"IVF recall {recall}"
+
+
+def test_count_min_sketch_bounds(spark, sf_dir):
+    # Q-AGG-19: CMS estimates are one-sided (est >= exact) and within
+    # eps*N with the configured confidence
+    from dask_xgboost_spark.registry import load_all
+    from dask_xgboost_spark.sources import load
+
+    rows = load_all()["Q-AGG-19"].fn(spark, sf_dir).collect()
+    n_total = load(spark, sf_dir, "events").count()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["est"] >= r["exact"]
+        assert r["est"] <= r["exact"] + 0.001 * n_total
