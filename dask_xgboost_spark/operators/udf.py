@@ -16,6 +16,7 @@ identical inputs, so results are hash-identical.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -168,4 +169,39 @@ def u_scalar_02(spark, sf):
         load(spark, sf, "orders")
         .select("o_orderkey", score("o_orderpriority", "o_orderkey").alias("score"))
         .orderBy("o_orderkey")
+    )
+
+
+@register("U-GAPPLY-02", sql=None, mode="golden")
+def u_gapply_02(spark, sf):
+    """Per-group model fitting via applyInPandas — the grouped-ML escape
+    hatch: one OLS fit (numpy lstsq) per event_type, value regressed on
+    hour-of-day. Each group's rows land in one Arrow batch inside one
+    task, the fit runs vectorized in-process, and only the d-sized
+    coefficient rows come back — the pattern for per-key models
+    (per-store forecasts, per-segment calibration) at scale: N models
+    train in parallel with NO driver involvement. Golden: lstsq is
+    deterministic; tests re-fit one group driver-side and compare."""
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["hour"].to_numpy(dtype="float64")
+        y = pdf["value"].to_numpy(dtype="float64")
+        A = np.stack([np.ones_like(x), x], axis=1)
+        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(pdf)],
+                "intercept6": [int(np.floor(coef[0] * 1e6 + 0.5))],
+                "slope6": [int(np.floor(coef[1] * 1e6 + 0.5))],
+            }
+        )
+
+    ev = load(spark, sf, "events").select(
+        "event_type", F.hour("ts").cast("double").alias("hour"), "value"
+    )
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(fit, "event_type string, n bigint, intercept6 bigint, slope6 bigint")
+        .orderBy("event_type")
     )

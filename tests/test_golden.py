@@ -304,3 +304,29 @@ def test_count_min_sketch_bounds(spark, sf_dir):
     for r in rows:
         assert r["est"] >= r["exact"]
         assert r["est"] <= r["exact"] + 0.001 * n_total
+
+
+def test_grouped_model_fit_matches_driver_ols(spark, sf_dir):
+    # U-GAPPLY-02: the distributed per-group OLS must equal a driver-side
+    # numpy fit on the same group's rows (and be deterministic)
+    import numpy as np
+
+    from dask_xgboost_spark.registry import load_all
+    from dask_xgboost_spark.sources import load
+
+    fn = load_all()["U-GAPPLY-02"].fn
+    got = {r["event_type"]: r for r in fn(spark, sf_dir).collect()}
+    assert set(got) == {"click", "error", "purchase", "signup", "view"}
+
+    pdf = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .selectExpr("CAST(hour(ts) AS DOUBLE) AS hour", "value")
+        .toPandas()
+    )
+    A = np.stack([np.ones(len(pdf)), pdf["hour"].to_numpy()], axis=1)
+    coef, *_ = np.linalg.lstsq(A, pdf["value"].to_numpy(), rcond=None)
+    assert got["click"]["n"] == len(pdf)
+    assert got["click"]["intercept6"] == int(np.floor(coef[0] * 1e6 + 0.5))
+    assert got["click"]["slope6"] == int(np.floor(coef[1] * 1e6 + 0.5))
+    assert fn(spark, sf_dir).collect() == fn(spark, sf_dir).collect()
