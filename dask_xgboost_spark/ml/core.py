@@ -435,6 +435,7 @@ class XGBRegressor:
         eval_df: DataFrame | None = None,
         sample_weight_eval_set: list[str] | None = None,
     ):
+        self.evals_result_: dict = {}
         self.model_ = train(
             self.params,
             df,
@@ -442,7 +443,9 @@ class XGBRegressor:
             sample_weight_col=sample_weight_col,
             eval_df=eval_df,
             sample_weight_eval_set=sample_weight_eval_set,
+            evals_result=self.evals_result_,
         )
+        _stamp_best_attrs(self, eval_df)
         return self
 
     def predict(self, df):
@@ -509,6 +512,7 @@ class XGBClassifier:
         # on the trained model (core.py:262-264, 580-586)
         self.objective_ = params["objective"]
         self.n_classes_ = len(classes)
+        self.evals_result_: dict = {}
         self.model_ = train(
             params,
             df,
@@ -516,7 +520,9 @@ class XGBClassifier:
             sample_weight_col=sample_weight_col,
             eval_df=eval_df,
             sample_weight_eval_set=sample_weight_eval_set,
+            evals_result=self.evals_result_,
         )
+        _stamp_best_attrs(self, eval_df)
         return self
 
     def predict(self, df):
@@ -591,6 +597,24 @@ def _ovr_proba_frame(model, df: DataFrame) -> DataFrame:
     drop = [c for c in out.columns if c.startswith("_ovr_pred_")
             or c.startswith("_ovr_raw_") or c.startswith("_ovr_p_")]
     return out.withColumn("_ovr_proba", arr).drop(*drop)
+
+
+def _stamp_best_attrs(est, eval_df) -> None:
+    """Mirror the reference's early-stopping attributes (core.py:477-479:
+    ``best_score`` / ``best_iteration`` / ``best_ntree_limit`` stamped on
+    the estimator after fitting with an eval set). Here the eval history
+    comes from ``evals_result_`` (validationIndicatorCol implies MLlib's
+    validationTol early stopping), ``best_iteration`` is the argmin of
+    the per-iteration validation loss, and ``best_ntree_limit`` follows
+    xgboost's convention of best_iteration + 1."""
+    if eval_df is None:
+        return
+    history = est.evals_result_.get("validation_0", {}).get("loss", [])
+    if not history:
+        return
+    est.best_score = min(history)
+    est.best_iteration = history.index(est.best_score)
+    est.best_ntree_limit = est.best_iteration + 1
 
 
 def _feature_importances(model):

@@ -414,3 +414,20 @@ def test_cross_validator_deterministic(spark, emb):
     assert a == b
     assert sum(r["is_best"] for r in a) == 1
     assert all(0.0 <= r["avg_auc"] <= 1.0 for r in a)
+
+
+def test_best_attrs_after_eval_fit(spark, emb):
+    # reference core.py:448,477-479: fitting with an eval set stamps
+    # evals_result_, best_score, best_iteration, best_ntree_limit
+    tr = emb.filter(F.col("vec_id") % 5 != 0)
+    va = emb.filter(F.col("vec_id") % 5 == 0)
+    clf = XGBClassifier(**PARAMS).fit(tr, label_col="y", eval_df=va)
+    hist = clf.evals_result_["validation_0"]["loss"]
+    assert len(hist) >= 1
+    assert clf.best_score == min(hist)
+    assert hist[clf.best_iteration] == clf.best_score
+    assert clf.best_ntree_limit == clf.best_iteration + 1
+    # and a fit WITHOUT an eval set must not invent the attributes
+    clf2 = XGBClassifier(**PARAMS).fit(tr, label_col="y")
+    assert clf2.evals_result_ == {}
+    assert not hasattr(clf2, "best_score")
