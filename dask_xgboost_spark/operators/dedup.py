@@ -463,3 +463,70 @@ def l_dedup_08(spark, sf):
         .agg(F.count_distinct("gram").cast("long").alias("n_hits"))
         .orderBy("doc_id")
     )
+
+
+_SHINGLE_DOCS = (
+    "(SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 400000, text || ' extra' FROM documents "
+    "WHERE doc_id < 40)"
+)
+
+_DEDUP09_SQL = f"""
+WITH sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {_SHINGLE_DOCS} d) t,
+                 unnest(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (SELECT d1, d2, inter, CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) AS jaccard
+      FROM pair JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id)
+SELECT d1, d2, CAST(inter AS BIGINT) AS inter, jaccard FROM j
+WHERE jaccard >= 0.8 ORDER BY d1, d2
+"""
+
+
+@register("L-DEDUP-09", sql=_DEDUP09_SQL)
+def l_dedup_09(spark, sf):
+    """Exact n-gram (3-word shingle) Jaccard near-dup pairs — the
+    order-sensitive counterpart of L-DEDUP-03's word-SET Jaccard:
+    shingles capture local word order, so shuffled bags of the same
+    words stop colliding and true re-phrasings still match. Same
+    inverted-index shape (shingle posting self-join); the fixture corpus
+    is unique, so 40 planted one-word-appended copies make the ≥0.8
+    threshold load-bearing. Shingle frequencies are far less skewed than
+    token frequencies, which is why shingle posting joins survive much
+    larger corpora before needing the rare-token blocking that word
+    Jaccard requires (L-DEDUP-03's max_token_df)."""
+    base = load(spark, sf, "documents").select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    docs = base.unionByName(planted)
+    shingles = F.expr(
+        "case when size(split(text, ' ')) >= 3 then "
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) "
+        "else array() end"
+    )
+    sh = docs.select("doc_id", F.explode(shingles).alias("g")).distinct()
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pair = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c1 = cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    c2 = cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        pair.join(c1, "d1")
+        .join(c2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("d1", "d2", F.col("inter").cast("long").alias("inter"), "jaccard")
+        .orderBy("d1", "d2")
+    )

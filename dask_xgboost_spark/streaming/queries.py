@@ -75,7 +75,14 @@ def s_win_02(spark, sf):
     mode="stream",
 )
 def s_win_03(spark, sf):
-    """Session window (30-min gap) ≡ batch gaps-and-islands SQL."""
+    """Session window (30-min gap) ≡ batch gaps-and-islands SQL.
+
+    The oracle's windows order by ts alone, but unlike Q-WIN-08 no
+    event_id tie-break is needed HERE: tied timestamps always get
+    brk = 0 (their lag gap is 0 ≤ 30 min, and a tied partition head
+    makes exactly one of them the brk=1 row), so every permutation of
+    tied rows yields the same running-sum sid, and the grouped
+    MIN(ts)/COUNT output is order-independent."""
     ev = events_stream(spark, sf)
     agg = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
         F.count(F.lit(1)).alias("n")
