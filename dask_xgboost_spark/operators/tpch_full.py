@@ -134,16 +134,20 @@ def q_tpch_09(spark, sf):
 
 
 _Q11_SQL = (
+    # scale-free threshold: parts above 2x the MEAN part value (TPC-H's
+    # own fraction is 0.0001/SF for the same reason — a fixed fraction of
+    # the total empties out as the part count grows with SF)
     "SELECT l_partkey AS ps_partkey, "
     f"CAST(SUM({sql_cents('l_extendedprice')} * {_QTY}) AS BIGINT) / 1e2 AS value "
     "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
     "JOIN nation ON s_nationkey = n_nationkey "
-    "WHERE n_name = 'NATION_5' "
+    "WHERE n_nationkey % 3 = 1 "
     "GROUP BY l_partkey "
     f"HAVING CAST(SUM({sql_cents('l_extendedprice')} * {_QTY}) AS BIGINT) > ("
-    f"SELECT 0.001 * CAST(SUM({sql_cents('l_extendedprice')} * {_QTY}) AS BIGINT) "
+    f"SELECT 2.0 * CAST(SUM({sql_cents('l_extendedprice')} * {_QTY}) AS BIGINT) "
+    "/ COUNT(DISTINCT l_partkey) "
     "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
-    "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_5') "
+    "JOIN nation ON s_nationkey = n_nationkey WHERE n_nationkey % 3 = 1) "
     "ORDER BY value DESC, ps_partkey"
 )
 
@@ -151,10 +155,12 @@ _Q11_SQL = (
 @register("Q-TPCH-11", sql=_Q11_SQL)
 def q_tpch_11(spark, sf):
     """Important-stock shape (TPC-H Q11, adapted: lineitem stands in for
-    partsupp): per-part offer value from NATION_5 suppliers, keeping
-    parts above a fraction of the nation's total — a grouped aggregate
+    partsupp): per-part offer value from a third of the nations' suppliers
+    (n_nationkey % 3 = 1 — a single named nation can be absent at tiny SFs), keeping
+    parts above twice the mean per-part value — a grouped aggregate
     HAVING-compared against a scalar subquery over the SAME aggregate
-    input. Spark side shares the SQL text: Catalyst plans the scalar
+    input (mean-relative so the threshold is scale-free; TPC-H's own
+    fraction is 0.0001/SF for the same reason). Spark side shares the SQL text: Catalyst plans the scalar
     subquery as its own (reusable-exchange) stage and broadcasts the
     single-row result; the comparison stays exact int64 vs double of an
     int64. Deterministic ORDER BY (value DESC, key)."""
@@ -332,26 +338,30 @@ def q_tpch_19(spark, sf):
 
 @register(
     "Q-TPCH-20",
+    # nation predicate covers a FRACTION of nations (n_nationkey % 3 = 0)
+    # rather than one name: at sf0.001 only 10 suppliers exist and any
+    # single nation can be absent entirely
     sql="SELECT s_name, s_acctbal FROM supplier "
     "JOIN nation ON s_nationkey = n_nationkey "
-    "WHERE n_name = 'NATION_9' AND s_suppkey IN ("
+    "WHERE n_nationkey % 3 = 0 AND s_suppkey IN ("
     "SELECT l_suppkey FROM lineitem "
     "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') "
     "AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00' "
     "AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00' "
-    f"GROUP BY l_suppkey HAVING SUM({_QTY}) > 100) "
+    f"GROUP BY l_suppkey HAVING SUM({_QTY}) > 50) "
     "ORDER BY s_name",
 )
 def q_tpch_20(spark, sf):
     """Potential-part-promotion shape (TPC-H Q20, adapted: shipped volume
-    stands in for the availqty threshold): NATION_9 suppliers who moved
-    >100 units of 'red' parts in 1999 — nested IN subqueries (parts
+    stands in for the availqty threshold): suppliers in a third of the
+    nations who moved >50 units of 'red' parts in 1999 — nested IN
+    subqueries (parts
     inside lineitem inside supplier) → a semi-join chain. The part
     filter broadcasts into the lineitem aggregate; the aggregate's
     supplier set broadcasts into the supplier semi join."""
     supp = load(spark, sf, "supplier")
     nation = F.broadcast(
-        load(spark, sf, "nation").filter(F.col("n_name") == "NATION_9")
+        load(spark, sf, "nation").filter(F.col("n_nationkey") % 3 == 0)
     )
     red_parts = load(spark, sf, "part").filter(
         F.col("p_name").like("red%")
@@ -364,7 +374,7 @@ def q_tpch_20(spark, sf):
         li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
-        .filter(F.col("q") > 100)
+        .filter(F.col("q") > 50)
         .select("l_suppkey")
     )
     return (
