@@ -363,3 +363,34 @@ def s_gen_01(spark, sf):
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).orderBy("k")
+
+
+@register(
+    "S-STATE-03",
+    sql="SELECT user_id, COUNT(*) AS n_events, "
+    "MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS mn_c, "
+    "MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS mx_c, "
+    "MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 1e2 AS mn_value, "
+    "MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 1e2 AS mx_value "
+    "FROM events GROUP BY user_id ORDER BY user_id",
+    mode="stream",
+)
+def s_state_03(spark, sf):
+    """transformWithState (Spark 4 StatefulProcessor) custom operator:
+    per-user running (count, min¢, max¢) across 4 time-ordered
+    micro-batches; final state ≡ batch aggregate (oracle).
+
+    Routed by streaming/state_v2.py: the TWS path when the runtime has
+    protobuf (real clusters), the applyInPandasWithState twin here —
+    both fold through the same _fold_batch, so this entry checks the
+    operator's semantics in either environment and state_v2's unit
+    tests pin the processor class itself.
+    """
+    from dask_xgboost_spark.streaming.state_v2 import (
+        finalize_emissions,
+        per_key_min_max_count,
+    )
+
+    ev = events_stream(spark, sf, n_files=4, max_files_per_trigger=1)
+    out = run_to_memory(per_key_min_max_count(ev), "update")
+    return finalize_emissions(out)

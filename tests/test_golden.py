@@ -330,3 +330,29 @@ def test_grouped_model_fit_matches_driver_ols(spark, sf_dir):
     assert got["click"]["intercept6"] == int(np.floor(coef[0] * 1e6 + 0.5))
     assert got["click"]["slope6"] == int(np.floor(coef[1] * 1e6 + 0.5))
     assert fn(spark, sf_dir).collect() == fn(spark, sf_dir).collect()
+
+
+def test_state_v2_fold_and_capability_gate(spark, sf_dir):
+    """S-STATE-03's processor: _fold_batch is exact over int64 cents, the
+    TWS capability gate matches the environment, and the StatefulProcessor
+    class is constructible (only the runtime worker needs protobuf)."""
+    import importlib.util
+
+    import pandas as pd
+
+    from dask_xgboost_spark.streaming import state_v2
+
+    # fold two chunks == fold the concatenation (associativity across batches)
+    a = pd.DataFrame({"value": [1.005, 2.344, 9.99]})
+    b = pd.DataFrame({"value": [0.01, 123.455]})
+    st = state_v2._fold_batch(a, 0, None, None)
+    st = state_v2._fold_batch(b, *st)
+    whole = state_v2._fold_batch(pd.concat([a, b]), 0, None, None)
+    # cents = FLOOR(x*100+0.5): min 0.01→1, max 123.455→12346
+    assert st == whole == (5, 1, 12346)
+    proc = state_v2.MinMaxCountProcessor()
+    assert hasattr(proc, "handleInputRows")
+    has_pb = importlib.util.find_spec("google") is not None and (
+        importlib.util.find_spec("google.protobuf") is not None
+    )
+    assert state_v2.HAS_TWS == has_pb
