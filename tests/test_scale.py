@@ -229,3 +229,64 @@ def test_range_layout_enables_row_skipping(spark, sf_dir, tmp_path):
     assert c_hits <= max(1, c_files // 4), (c_hits, c_files)
     # scattered: stats are useless — (nearly) every file overlaps
     assert s_hits >= s_files - 1, (s_hits, s_files)
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order by (user_id, value): a selective predicate on EITHER column
+    alone must be servable from a strict subset of files by footer stats,
+    while a round-robin layout overlaps everywhere. Single-key range
+    clustering can only do this for its one sort key — the multi-column
+    pruning is what the Morton interleave buys."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dask_xgboost_spark.plans.scale import write_zorder_layout
+    from dask_xgboost_spark.sources import load
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "scattered")
+    write_zorder_layout(ev, zpath, ["user_id", "value"], n_files=16, bits=6)
+    ev.repartition(16).write.mode("overwrite").parquet(spath)
+
+    total = ev.count()
+    assert spark.read.parquet(zpath).count() == total  # layout preserves rows
+
+    # cuts at the 95th percentile: ~5% of rows qualify, enough to land in
+    # every scattered file but only the top Z-range of clustered ones
+    u_cut, v_cut = (
+        ev.select(
+            F.expr("percentile(user_id, 0.95)"), F.expr("percentile(value, 0.95)")
+        ).first()
+    )
+
+    def overlapping(path, col, cut):
+        hits, files = 0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            files += 1
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            fmax = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if fmax > cut:
+                hits += 1
+        return hits, files
+
+    for col, cut in [("user_id", u_cut), ("value", v_cut)]:
+        sel = ev.filter(F.col(col) > cut).count()
+        assert 0 < sel < total * 0.2, (col, sel, total)
+        got = spark.read.parquet(zpath).filter(F.col(col) > cut).count()
+        assert got == sel  # correctness through the layout
+        z_hits, z_files = overlapping(zpath, col, cut)
+        s_hits, s_files = overlapping(spath, col, cut)
+        assert z_files >= 8 and s_files >= 8
+        # each clustered dimension prunes a real fraction of files...
+        assert z_hits <= z_files // 2, (col, z_hits, z_files)
+        # ...while the scattered layout's stats prune (almost) nothing
+        assert s_hits >= s_files - 1, (col, s_hits, s_files)
