@@ -1166,3 +1166,123 @@ def q_agg_19(spark, sf):
     return spark.createDataFrame(
         rows, "event_type string, est bigint, exact bigint"
     ).orderBy("event_type")
+
+
+@register(
+    "Q-SCAN-07",
+    sql="SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key, "
+    "MAX(o_orderkey) AS max_key, MAX(epoch_us(o_orderdate)) AS max_od_us "
+    "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+)
+def q_scan_07(spark, sf):
+    """CSV source round-trip: orders written as headered CSV, read back
+    with an explicit DDL schema (no inferSchema pass — at 100 TB schema
+    inference is a full extra scan), aggregated identically to the
+    parquet original (oracle). Timestamps travel as epoch-µs int64 —
+    the lossless text carrier; bigint/string columns are exact by
+    construction."""
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "dxs_csv_scan07")
+    (
+        load(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            # o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC
+            # (session.py) so the cast is the exact epoch DuckDB sees
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+        )
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(base)
+    )
+    back = (
+        spark.read.option("header", "true")
+        .schema("o_orderkey bigint, o_custkey bigint, o_orderstatus string, od_us bigint")
+        .csv(base)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.max("od_us").alias("max_od_us"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "Q-SCAN-08",
+    sql="SELECT c_mktsegment, COUNT(*) AS n, MIN(c_custkey) AS min_key, "
+    "MAX(c_custkey) AS max_key, "
+    "SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS bal_c "
+    "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+)
+def q_scan_08(spark, sf):
+    """JSON-lines source round-trip: customer written as newline-delimited
+    JSON, read back with an explicit schema, aggregated ≡ the parquet
+    original. Jackson serializes doubles shortest-round-trip, so the
+    int64-cents balance sum is exact across the text hop; the explicit
+    read schema again avoids the inference scan."""
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "dxs_json_scan08")
+    (
+        load(spark, sf, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite")
+        .json(base)
+    )
+    back = spark.read.schema(
+        "c_custkey bigint, c_name string, c_mktsegment string, c_acctbal double"
+    ).json(base)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+            F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")).alias("bal_c"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "Q-SCAN-09",
+    sql="SELECT l_returnflag, COUNT(*) AS n, "
+    "SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c, "
+    "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_c "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def q_scan_09(spark, sf):
+    """ORC source round-trip: the lineitem projection written as ORC
+    (Spark's second first-class columnar format — binary-identical
+    doubles, predicate pushdown and column pruning work the same as
+    parquet), read back and aggregated ≡ the parquet original."""
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "dxs_orc_scan09")
+    (
+        load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        .write.mode("overwrite")
+        .orc(base)
+    )
+    back = spark.read.orc(base)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")).alias("qty_c"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")).alias("price_c"),
+        )
+        .orderBy("l_returnflag")
+    )
