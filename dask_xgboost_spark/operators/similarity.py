@@ -402,3 +402,147 @@ def l_sim_06(spark, sf):
         F.array_min(codes).cast("long").alias("q_min"),
         F.array_max(codes).cast("long").alias("q_max"),
     ).orderBy("vec_id")
+
+
+def train_pq_codebook(vecs, m: int = 8, k: int = 16, iters: int = 12, seed: int = 7):
+    """Lloyd's k-means per subspace on a driver-side sample → codebook of
+    shape (m, k, d/m). Sample-based codebook training is the production
+    shape (Faiss trains PQ on ~100k sampled vectors no matter the corpus
+    size); only ENCODING must be distributed. Deterministic: fixed seed,
+    fixed iteration count, ties broken by lowest centroid index."""
+    import numpy as np
+
+    X = np.asarray(vecs, dtype=np.float64)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    codebook = np.empty((m, k, sub))
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        C = Xj[rng.choice(n, size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xj[mask].mean(axis=0)
+        codebook[j] = C
+    return codebook
+
+
+@register("L-SIM-07", sql=None, mode="tol")
+def l_sim_07(spark, sf):
+    """ANN top-k via product quantization (PQ) + asymmetric distance:
+    vectors are unit-normalized, split into m=16 subspaces, each encoded
+    as its nearest of k=16 sample-trained centroids → 16 nibble codes =
+    8 bytes per vector (32× smaller than float32×64). Queries score
+    candidates from per-query (m×k) distance tables — ADC: approx L2² =
+    Σ_j table_j[code_j], nothing but m array lookups per corpus vector —
+    then exact cosine re-scores the ADC top-8k and keeps TOP_K. The
+    fixture vectors are structureless (uniform on the sphere — the
+    hardest case for PQ), hence the deep re-score margin; clustered real
+    embeddings rank far better per candidate.
+
+    The 100 TB shape: the codebook is constant-size, encoding is one
+    map-only Arrow-batched pass, and serving scans CODES (8 B/vector)
+    not raw floats — memory-bandwidth-bound ANN at 1/32 the bytes.
+    Recall vs exact L-SIM-01 is asserted in tests/test_golden.py.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    m, k = 16, 16
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+
+    # normalize to the unit sphere so L2² = 2 − 2·cos: PQ-L2 ranking ≡ cosine
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    unit = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double") / norm).alias("ue"),
+    )
+
+    # codebook from a bounded driver-side sample (fixture: the whole corpus)
+    sample = [r.ue for r in unit.limit(2000).collect()]
+    codebook = train_pq_codebook(sample, m=m, k=k)
+    sub = codebook.shape[2]
+    bc_cb = spark.sparkContext.broadcast(codebook)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = bc_cb.value  # (m, k, sub)
+        for pdf in batches:
+            X = np.stack(pdf["ue"].to_numpy())  # (n, d)
+            n = X.shape[0]
+            codes = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                d2 = ((Xj[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    coded = unit.mapInPandas(encode, "vec_id bigint, codes array<bigint>")
+
+    # per-query ADC tables (m×k), flattened so a JVM HOF does the lookup sum
+    queries = unit.filter(F.col("vec_id") < N_QUERIES).collect()
+    rows = []
+    for r in queries:
+        qv = np.asarray(r.ue)
+        table = np.empty((m, k))
+        for j in range(m):
+            qj = qv[j * sub : (j + 1) * sub]
+            table[j] = ((codebook[j] - qj[None, :]) ** 2).sum(axis=1)
+        rows.append((r.vec_id, [float(x) for x in table.ravel()], list(r.ue)))
+    qdf = spark.createDataFrame(
+        rows, "qid bigint, table array<double>, qe array<double>"
+    )
+
+    # ADC: approx_d2 = Σ_j table[j*k + code_j] — pure column algebra over
+    # the broadcast-joined tables; candidates = ADC top-4k per query
+    adc = (
+        F.broadcast(qdf)
+        .crossJoin(coded)
+        .filter(F.col("qid") != F.col("vec_id"))
+        .withColumn(
+            "approx_d2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda c, j: F.element_at(
+                        F.col("table"), (j * k + c + 1).cast("int")
+                    ),
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy("approx_d2", "vec_id")
+    cand = (
+        adc.withColumn("ar", F.row_number().over(wq))
+        .filter(F.col("ar") <= 8 * TOP_K)
+        .select("qid", "qe", "vec_id")
+    )
+    rescored = cand.join(unit.withColumnRenamed("ue", "ce"), "vec_id").withColumn(
+        "cosine",
+        F.aggregate(
+            F.zip_with("qe", "ce", lambda a, b: a * b), F.lit(0.0), lambda a, b: a + b
+        ),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("cid"), "cosine", "rnk")
+        .orderBy("qid", "rnk")
+    )

@@ -67,7 +67,7 @@ def test_simhash_deterministic_and_discriminative(spark, sf_dir):
 def test_ann_recall_vs_exact(spark, sf_dir):
     exact = SPECS["L-SIM-01"].fn(spark, sf_dir).toPandas()
     want = set(map(tuple, exact[["qid", "cid"]].values))
-    for ann_id in ("L-SIM-02", "L-SIM-03"):
+    for ann_id in ("L-SIM-02", "L-SIM-03", "L-SIM-07"):
         ann = SPECS[ann_id].fn(spark, sf_dir).toPandas()
         got = set(map(tuple, ann[["qid", "cid"]].values))
         recall = len(got & want) / len(want)
