@@ -501,3 +501,57 @@ def l_pipe_03(spark, sf):
         )
         .orderBy("lang", "seq")
     )
+
+
+@register(
+    "L-TEXT-13",
+    sql="WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
+    "FROM documents), "
+    "dfreq AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w), "
+    "n AS (SELECT COUNT(*) AS nt FROM tok), "
+    "j AS (SELECT t.doc_id, "
+    "length(printf('%b', (SELECT nt FROM n))) - length(printf('%b', d.df)) AS ib "
+    "FROM tok t JOIN dfreq d USING (w)) "
+    "SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(ib) AS BIGINT) AS sum_ib, "
+    "CAST(SUM(ib) AS DOUBLE) / COUNT(*) AS mean_ib "
+    "FROM j GROUP BY doc_id ORDER BY doc_id",
+)
+def l_text_13(spark, sf):
+    """Unigram-LM quality score (perplexity proxy): per-token *integer
+    surprisal* ib = bitlen(N) − bitlen(df(w)) ≈ log2(N/df) — a corpus-
+    trained language model score with no transcendentals, so it is
+    hash-exact across engines (ln/log2 of doubles are not; bit lengths
+    of int64 counts are). High mean surprisal = the doc's tokens are
+    corpus-rare — the standard "looks like noise" curation signal;
+    low = stopword soup.
+
+    Scale shape: one shuffle to count the vocabulary (map-side combined),
+    then the df table joins back to the token stream — broadcast when the
+    vocabulary is small (fixture; most corpora ~10M tokens ≈ 100s of MB,
+    still broadcastable), shuffle-hash otherwise; the doc-level rollup
+    reuses the token stream's partitioning. The corpus total N is a
+    1-row broadcast."""
+    toks = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    )
+    dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    total = toks.agg(F.count(F.lit(1)).alias("nt"))
+
+    def bitlen(c):
+        return F.length(F.conv(c.cast("string"), 10, 2))
+
+    j = (
+        toks.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (bitlen(F.col("nt")) - bitlen(F.col("df"))).alias("ib"))
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("ib").cast("long").alias("sum_ib"),
+            (F.sum("ib") / F.count(F.lit(1))).alias("mean_ib"),
+        )
+        .orderBy("doc_id")
+    )

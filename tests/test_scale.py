@@ -290,3 +290,48 @@ def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
         assert z_hits <= z_files // 2, (col, z_hits, z_files)
         # ...while the scattered layout's stats prune (almost) nothing
         assert s_hits >= s_files - 1, (col, s_hits, s_files)
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark):
+    """Beyond config flags: AQE's OptimizeSkewedJoin must actually split a
+    hot shuffle partition. One key carrying ~80% of the fact rows (the
+    canonical hot-user/hot-token shape) under fixture-scale thresholds →
+    the final adaptive plan marks the join skew=true, meaning the hot
+    partition was chunked and the matching build rows duplicated — the
+    runtime defense that makes un-salted joins survive skew at 100 TB."""
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        hot = spark.range(400_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("a")
+        )
+        cold = spark.range(99_000).select(
+            (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("a")
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") + 7).alias("v")
+        )
+        j = hot.unionAll(cold).join(right, "k").agg(
+            F.sum(F.col("a") + F.col("v")).alias("s")
+        )
+        [row] = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        # and the split must not change the answer
+        expect = (
+            400_000 * 7  # hot key joins v=7
+            + sum(range(400_000))
+            + sum(i + (i % 99 + 1 + 7) for i in range(99_000))
+        )
+        assert row.s == expect
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
