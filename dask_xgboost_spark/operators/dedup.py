@@ -530,3 +530,65 @@ def l_dedup_09(spark, sf):
         .select("d1", "d2", F.col("inter").cast("long").alias("inter"), "jaccard")
         .orderBy("d1", "d2")
     )
+
+
+_BOILER = "subscribe to our newsletter for updates right now"
+
+
+@register(
+    "L-DEDUP-10",
+    sql="WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+    f"THEN '{_BOILER} ' || text ELSE text END AS text2 FROM documents), "
+    "t AS (SELECT doc_id, string_split(text2, ' ') AS toks FROM d), "
+    "s AS (SELECT doc_id, unnest(list_transform("
+    "range(0, ((len(toks) - 1) // 8) + 1), "
+    "i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' '))) AS seg FROM t), "
+    "fq AS (SELECT seg, COUNT(DISTINCT doc_id) AS dfq FROM s GROUP BY seg) "
+    "SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_seg, "
+    "CAST(SUM(CASE WHEN fq.dfq >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, "
+    "CAST(SUM(CASE WHEN fq.dfq < 3 THEN len(string_split(s.seg, ' ')) ELSE 0 END) "
+    "AS BIGINT) AS clean_n_tok "
+    "FROM s JOIN fq USING (seg) GROUP BY s.doc_id ORDER BY s.doc_id",
+)
+def l_dedup_10(spark, sf):
+    """Boilerplate line removal (the C4/RefinedWeb rule: drop any line
+    that repeats across ≥ K documents). The fixture text has no line
+    structure, so lines are deterministic 8-token segments and a known
+    8-token boilerplate segment is planted at the head of every 5th doc
+    in-query (head-aligned so it occupies exactly one segment) — the op
+    must strip exactly those (load-bearing: ~20% of docs carry it,
+    organic segments never repeat across 3+ docs at the fixture vocab).
+
+    Scale shape: segment → one shuffle to count distinct-doc frequency
+    per segment (map-side combined), frequency table joins back
+    (broadcast when the hot-segment table is small — it is: only
+    segments with dfq ≥ 2 matter, and those are by definition few
+    relative to the corpus after a pre-filter; shuffle-hash otherwise),
+    per-doc rollup. No pairwise comparisons anywhere — cost is linear
+    in corpus size, the only shape that survives 100 TB."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(_BOILER + " "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text2"),
+    )
+    toks = F.split(F.col("text2"), " ")
+    last = F.floor((F.size(toks) - 1) / 8).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), last),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    s = docs.select("doc_id", F.explode(segs).alias("seg"))
+    fq = s.groupBy("seg").agg(F.countDistinct("doc_id").alias("dfq"))
+    return (
+        s.join(F.broadcast(fq), "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_seg"),
+            F.sum(F.when(F.col("dfq") >= 3, 1).otherwise(0)).alias("n_removed"),
+            F.sum(
+                F.when(F.col("dfq") < 3, F.size(F.split(F.col("seg"), " "))).otherwise(0)
+            ).alias("clean_n_tok"),
+        )
+        .orderBy("doc_id")
+    )

@@ -356,3 +356,17 @@ def test_state_v2_fold_and_capability_gate(spark, sf_dir):
         importlib.util.find_spec("google.protobuf") is not None
     )
     assert state_v2.HAS_TWS == has_pb
+
+
+def test_boilerplate_removal_strips_exactly_planted_segment(spark, sf_dir):
+    """L-DEDUP-10 must be load-bearing, not vacuously zero: every 5th doc
+    carries the head-aligned planted boilerplate segment and must lose at
+    least that segment. A small tail of organic docs also loses segments
+    — the fixture's planted exact/near-duplicate doc groups share aligned
+    8-token segments across ≥3 docs, which is precisely what the C4 rule
+    is supposed to strip — but the vast majority must pass untouched."""
+    out = SPECS["L-DEDUP-10"].fn(spark, sf_dir).toPandas()
+    planted = out[out.doc_id % 5 == 0]
+    organic = out[out.doc_id % 5 != 0]
+    assert len(planted) > 0 and (planted.n_removed >= 1).all()
+    assert (organic.n_removed == 0).mean() >= 0.9
