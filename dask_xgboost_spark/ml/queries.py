@@ -4,6 +4,7 @@ tests/test_ml.py, mirroring the reference's parity-test strategy §5)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.ml.core import XGBClassifier, XGBRegressor, assemble_features
@@ -255,3 +256,44 @@ def m_train_07(spark, sf):
     return out.select(
         "max_depth", F.round("avg_auc", 6).alias("avg_auc"), "is_best"
     ).orderBy("max_depth")
+
+
+@register(
+    "M-PREP-03",
+    # StringIndexer's default order is frequencyDesc with alphabetic
+    # tie-break — expressible exactly as a window rank, so the encoding
+    # hash-checks against the oracle
+    sql="WITH f AS (SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer "
+    "GROUP BY c_mktsegment), "
+    "ix AS (SELECT seg, ROW_NUMBER() OVER (ORDER BY n DESC, seg) - 1 AS idx FROM f) "
+    "SELECT c.c_custkey, ix.idx AS seg_index, "
+    "CAST(f.n AS BIGINT) AS seg_count "
+    "FROM customer c JOIN ix ON c.c_mktsegment = ix.seg "
+    "JOIN f ON c.c_mktsegment = f.seg ORDER BY c.c_custkey",
+)
+def m_prep_03(spark, sf):
+    """Categorical encoding (StringIndexer semantics, computed
+    declaratively): index = rank of the category by frequencyDesc with
+    alphabetic tie-break — MLlib StringIndexer's default order — built
+    from a groupBy + window over the CATEGORY table (dim-sized, tiny)
+    broadcast-joined back to the fact. The one-hot step is then
+    `idx == k` column algebra. At 100 TB the heavy side never shuffles:
+    one map-side-combined count over the facts, window over ≤ |categories|
+    rows, broadcast join back.
+
+    The same mapping is what `assemble_features`-based pipelines feed to
+    the estimator facade; hash-checking it here pins the exact
+    integer encoding cross-engine."""
+    cust = load(spark, sf, "customer")
+    f = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("c_mktsegment"))
+    ix = f.select(
+        "c_mktsegment",
+        (F.row_number().over(w) - 1).alias("seg_index"),
+        F.col("n").alias("seg_count"),
+    )
+    return (
+        cust.join(F.broadcast(ix), "c_mktsegment")
+        .select("c_custkey", "seg_index", "seg_count")
+        .orderBy("c_custkey")
+    )

@@ -431,3 +431,24 @@ def test_best_attrs_after_eval_fit(spark, emb):
     clf2 = XGBClassifier(**PARAMS).fit(tr, label_col="y")
     assert clf2.evals_result_ == {}
     assert not hasattr(clf2, "best_score")
+
+
+def test_categorical_encoding_matches_stringindexer(spark, sf_dir):
+    """M-PREP-03's declarative frequencyDesc window must reproduce MLlib
+    StringIndexer's default encoding exactly (same index per category)."""
+    from pyspark.ml.feature import StringIndexer
+
+    from dask_xgboost_spark.registry import load_all
+    from dask_xgboost_spark.sources import load
+
+    ours = load_all()["M-PREP-03"].fn(spark, sf_dir).toPandas()
+    cust = load(spark, sf_dir, "customer")
+    si = StringIndexer(inputCol="c_mktsegment", outputCol="mllib_idx").fit(cust)
+    theirs = (
+        si.transform(cust)
+        .select("c_custkey", F.col("mllib_idx").cast("int").alias("mllib_idx"))
+        .toPandas()
+    )
+    m = ours.merge(theirs, on="c_custkey")
+    assert len(m) == len(ours) > 0
+    assert (m.seg_index == m.mllib_idx).all()
