@@ -86,12 +86,27 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     n = emb.count()
     fp32 = n * dim * 4
     int8 = n * (dim + 8)  # codes + per-vector scale
+    pq_bytes = n * 8  # L-SIM-07: 16 nibble codes/vector
     print(
         f"queries={N_QUERIES} k={K}: ANN recall vs exact = {recall:.2f} "
         f"(index at {idx}); int8 quantization: {fp32 / 1e3:.0f} KB fp32 → "
-        f"{int8 / 1e3:.0f} KB ({fp32 / int8:.1f}x smaller)"
+        f"{int8 / 1e3:.0f} KB ({fp32 / int8:.1f}x smaller); "
+        f"PQ codes: {pq_bytes / 1e3:.0f} KB ({fp32 / pq_bytes:.0f}x smaller)"
     )
     assert recall >= 0.8, "ANN recall degraded"
+
+    # 6. product quantization serving path (L-SIM-07): sample-trained
+    # codebook, Arrow-batched encode, ADC candidates, exact re-score
+    from dask_xgboost_spark.registry import load_all
+
+    pq_top = load_all()["L-SIM-07"].fn(spark, sf_dir)
+    pq_sets: dict[int, set] = {}
+    for r in pq_top.collect():
+        pq_sets.setdefault(r["qid"], set()).add(r["cid"])
+    pq_hits = sum(len(pq_sets.get(q, set()) & s) for q, s in exact_sets.items())
+    pq_recall = pq_hits / total if total else 0.0
+    print(f"PQ(ADC) recall vs exact = {pq_recall:.2f}")
+    assert pq_recall >= 0.8, "PQ recall degraded"
     spark.stop()
 
 
