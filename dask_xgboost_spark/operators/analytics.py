@@ -160,3 +160,33 @@ def q_cohort_01(spark, sf):
         .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "Q-BASKET-01",
+    sql="WITH pairs AS ("
+    "SELECT a.l_partkey AS p1, b.l_partkey AS p2 "
+    "FROM lineitem a JOIN lineitem b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) "
+    "SELECT p1, p2, COUNT(*) AS support "
+    "FROM pairs GROUP BY p1, p2 "
+    "ORDER BY support DESC, p1, p2 LIMIT 50",
+)
+def q_basket_01(spark, sf):
+    """Market-basket co-occurrence: part pairs ordered together, by
+    support (the counting core of association-rule mining). The self-join
+    is on the ORDER key, so fan-out is items-per-order² (~25-50), never
+    corpus² — cost stays linear in order count at 100 TB; one shuffle for
+    the join (or zero if lineitem is bucketed by l_orderkey —
+    plans/scale.py::write_bucketed), one map-side-combined count, and the
+    top-k is TakeOrderedAndProject (no global sort)."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("p1") < F.col("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "p1", "p2")
+        .limit(50)
+    )

@@ -335,3 +335,27 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_analyze_table_stats_reach_the_optimizer(spark, sf_dir):
+    """Cost-based optimization needs catalog statistics: after ANALYZE
+    TABLE COMPUTE STATISTICS, the optimized plan must carry the exact row
+    count (not a size guess). At 100 TB, stats are what let Catalyst pick
+    join order and broadcast sides for multi-join queries where static
+    size heuristics are wrong."""
+    from dask_xgboost_spark.sources import load
+
+    spark.sql("DROP TABLE IF EXISTS nation_stats_t")
+    load(spark, sf_dir, "nation").write.saveAsTable("nation_stats_t")
+    old_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    try:
+        # plan-level rowCount is only surfaced under CBO
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.sql("ANALYZE TABLE nation_stats_t COMPUTE STATISTICS")
+        df = spark.table("nation_stats_t")
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined(), "ANALYZE must populate rowCount"
+        assert stats.rowCount().get() == df.count() == 25
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+        spark.sql("DROP TABLE IF EXISTS nation_stats_t")
