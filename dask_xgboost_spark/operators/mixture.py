@@ -1,0 +1,124 @@
+"""Corpus mixture / data-mixing operators (SURVEY.md §2G extensions).
+
+Training-data pipelines end with a *mixing* step: each source (crawl,
+curated, code, ...) and each language is sampled at its own rate so the
+final corpus matches a target composition. These operators implement the
+two canonical shapes — rate-based source mixing and exact per-language
+balancing — with the same determinism discipline as Q-SAMPLE-02: keyed
+md5-hash sampling, never seeded PRNGs, so the sample is reproducible
+across retries, repartitioning, engines, and incremental re-runs.
+
+Reference parity: dask/dask-xgboost has no corpus ops; these extend the
+declared LLM-pipeline surface (SURVEY.md §2G) alongside operators/text.py
+and operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.sources import load
+
+
+def _doc_hash():
+    """Stable per-document sampling key: md5 hex of the doc id string.
+
+    Identical bytes in Spark and DuckDB for the same input, and
+    lexicographic compare of lowercase hex is portable — the basis of
+    every hash-checkable sampling operator here.
+    """
+    return F.md5(F.col("doc_id").cast("string"))
+
+
+@register(
+    "L-MIX-01",
+    # crawl-like sources (src0..src9, LENGTH = 4) are downsampled to
+    # P(md5 first byte < 0x20) = 32/256 = 12.5%; curated sources
+    # (src10.., LENGTH = 5) are kept in full ('g' sorts above every hex
+    # digit, so the filter passes everything).
+    sql="SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+    "CAST(SUM(doc_id) AS BIGINT) AS id_sum, "
+    "CAST(SUM(n_chars) AS BIGINT) AS chars_kept "
+    "FROM documents "
+    "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < "
+    "(CASE WHEN length(source) = 5 THEN 'g' ELSE '20' END) "
+    "GROUP BY source ORDER BY source",
+)
+def l_mix_01(spark, sf):
+    """Source-mixture sampling: each source is sampled at its own target
+    rate (here: crawl-tier sources at 12.5%, curated-tier in full) via a
+    per-document md5 threshold — the data-mixing step that sets corpus
+    composition before training.
+
+    Scale shape: a map-only filter (the rate lookup is a CASE on a
+    column already in the row — for a real N-source rate table, broadcast
+    a tiny source→threshold dim and join), then one map-side-combined
+    rollup to witness per-source kept counts. No global state, no PRNG:
+    the keep/drop decision for a document never changes when the corpus
+    is repartitioned or a partition is recomputed, so incremental runs
+    at 100 TB produce byte-identical mixtures.
+    """
+    docs = load(spark, sf, "documents")
+    threshold = F.when(F.length("source") == 5, F.lit("g")).otherwise(F.lit("20"))
+    return (
+        docs.filter(F.substring(_doc_hash(), 1, 2) < threshold)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "L-MIX-02",
+    sql="WITH ranked AS (SELECT doc_id, lang, "
+    "ROW_NUMBER() OVER (PARTITION BY lang "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+    "FROM documents), "
+    "tgt AS (SELECT MIN(cnt) AS target FROM "
+    "(SELECT COUNT(*) AS cnt FROM documents GROUP BY lang) c) "
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+    "CAST(SUM(doc_id) AS BIGINT) AS id_sum "
+    "FROM ranked, tgt WHERE rn <= target "
+    "GROUP BY lang ORDER BY lang",
+)
+def l_mix_02(spark, sf):
+    """Language-balanced exact downsample: every language keeps exactly
+    `min(lang count)` documents — the head languages are cut to the tail
+    language's size (uniform language mixture). Selection is the first
+    `target` docs per language in md5-hash order, so which documents
+    survive is a pure function of their ids: deterministic, engine- and
+    partitioning-independent.
+
+    Scale shape: one shuffle to rank within language (the per-lang
+    row_number window), one 1-row broadcast for the global target, and
+    a map-side-combined witness rollup. The window sort is per-language
+    — at 100 TB each language partition sorts independently; for
+    pathologically large single languages, swap row_number for an
+    md5-threshold rate (L-MIX-01 shape) computed from the counts, which
+    drops the sort entirely at the cost of ±binomial jitter in the kept
+    count.
+    """
+    docs = load(spark, sf, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(_doc_hash(), "doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    target = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("target"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .filter(F.col("rn") <= F.col("target"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )

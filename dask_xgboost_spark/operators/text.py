@@ -555,3 +555,40 @@ def l_text_13(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "L-TEXT-14",
+    # bucket = bit length of n_chars = floor(log2) + 1, computed in
+    # INTEGER space (binary-string length) on both engines — float LOG2
+    # at exact powers of two is a cross-engine hash hazard
+    sql="SELECT CAST(length(printf('%b', n_chars)) AS BIGINT) AS len_bucket, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(MIN(n_chars) AS BIGINT) AS min_chars, "
+    "CAST(MAX(n_chars) AS BIGINT) AS max_chars, "
+    "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+    "FROM documents GROUP BY len_bucket ORDER BY len_bucket",
+)
+def l_text_14(spark, sf):
+    """Document-length histogram on power-of-two buckets — the
+    sequence-length profile that sizes context-window packing
+    (L-PIPE-03) and flags truncation risk before training. Bucket id is
+    the integer bit length of n_chars (floor(log2)+1), computed via
+    binary-string length so both engines bucket identically at exact
+    powers of two.
+
+    Scale shape: map-only bucket assignment + one map-side-combined
+    rollup over ~64 possible buckets — the cheapest possible shuffle
+    (tiny key cardinality), trivially 100 TB-safe."""
+    docs = load(spark, sf, "documents")
+    bucket = F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)).cast("long")
+    return (
+        docs.groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("len_bucket")
+    )

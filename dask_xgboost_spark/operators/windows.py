@@ -287,3 +287,42 @@ def q_win_10(spark, sf):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "Q-WIN-11",
+    # tie-break on c_custkey makes NTILE deterministic: equal balances
+    # would otherwise land in engine-dependent tiles
+    sql="WITH t AS (SELECT c_custkey, "
+    f"{sql_cents('c_acctbal')} AS bal_c, "
+    f"NTILE(4) OVER (ORDER BY {sql_cents('c_acctbal')}, c_custkey) AS tile "
+    "FROM customer) "
+    "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_cust, "
+    "CAST(MIN(bal_c) AS BIGINT) AS min_bal_c, "
+    "CAST(MAX(bal_c) AS BIGINT) AS max_bal_c, "
+    "CAST(SUM(bal_c) AS BIGINT) AS sum_bal_c "
+    "FROM t GROUP BY tile ORDER BY tile",
+)
+def q_win_11(spark, sf):
+    """NTILE quartile assignment over account balance (cents) with a
+    unique-key tie-break, rolled up to per-tile count/min/max/sum — the
+    equal-depth binning step behind quantile features and score-band
+    reporting. NTILE over an un-partitioned ORDER BY is a single global
+    sort: fine for dimension-sized inputs like customer; for fact-scale
+    equal-depth binning use approx quantile cutpoints (Q-AGG-12 shape)
+    and a map-only bucket join instead."""
+    cust = load(spark, sf, "customer").select(
+        "c_custkey", cents("c_acctbal").alias("bal_c")
+    )
+    w = Window.orderBy("bal_c", "c_custkey")
+    return (
+        cust.withColumn("tile", F.ntile(4).over(w))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.min("bal_c").cast("long").alias("min_bal_c"),
+            F.max("bal_c").cast("long").alias("max_bal_c"),
+            F.sum("bal_c").cast("long").alias("sum_bal_c"),
+        )
+        .orderBy("tile")
+    )

@@ -50,6 +50,7 @@ _OPERATOR_MODULES = [
     "dask_xgboost_spark.operators.similarity",
     "dask_xgboost_spark.operators.text",
     "dask_xgboost_spark.operators.multimodal",
+    "dask_xgboost_spark.operators.mixture",
     "dask_xgboost_spark.operators.merge",
     "dask_xgboost_spark.streaming.queries",
     "dask_xgboost_spark.ml.queries",
