@@ -122,3 +122,64 @@ def l_mix_02(spark, sf):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "L-MIX-03",
+    # quality signal = integer stopword percent (100*n_stop // n_tok:
+    # integer division on both engines — no float boundary risk);
+    # fluent-band docs keep 100%, low-stopword docs 50%, rest 12.5%
+    sql="WITH q AS (SELECT doc_id, "
+    "(100 * len(list_filter(string_split(text, ' '), w -> w IN "
+    "('the', 'a', 'of', 'and', 'to'))) // len(string_split(text, ' '))) AS swp "
+    "FROM documents), "
+    "b AS (SELECT doc_id, swp, "
+    "CASE WHEN swp >= 20 THEN 2 WHEN swp >= 5 THEN 1 ELSE 0 END AS bin, "
+    "CASE WHEN swp >= 20 THEN 'g' WHEN swp >= 5 THEN '80' ELSE '20' END AS thr "
+    "FROM q) "
+    "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < thr "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+    "CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < thr "
+    "THEN doc_id ELSE 0 END) AS BIGINT) AS id_sum_kept "
+    "FROM b GROUP BY bin ORDER BY bin",
+)
+def l_mix_03(spark, sf):
+    """Quality-stratified mixing: documents are binned by a fluency
+    signal (integer stopword percent — high-stopword text reads like
+    natural language) and each bin is sampled at its own md5-threshold
+    rate: fluent band 100%, middle 50%, low 12.5%. This is the
+    FineWeb/DCLM-style quality-weighted mixture — upweight what the
+    classifier likes without hard-dropping the rest.
+
+    Scale shape: the quality score is map-only column algebra (token
+    HOFs, integer division — no UDFs), the keep decision is a map-only
+    hash compare, and the witness rollup groups on a 3-value key. One
+    tiny shuffle total; the full corpus streams through exactly once.
+    """
+    from dask_xgboost_spark.operators.text import STOPWORDS
+
+    toks = F.split(F.col("text"), " ")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+    docs = (
+        load(spark, sf, "documents")
+        .select("doc_id", n_stop.alias("n_stop"), F.size(toks).alias("n_tok"))
+        .select("doc_id", F.expr("(100 * n_stop) div n_tok").alias("swp"))
+    )
+    bin_ = F.when(F.col("swp") >= 20, 2).when(F.col("swp") >= 5, 1).otherwise(0)
+    thr = (
+        F.when(F.col("swp") >= 20, "g").when(F.col("swp") >= 5, "80").otherwise("20")
+    )
+    kept = F.substring(_doc_hash(), 1, 2) < F.col("thr")
+    return (
+        docs.select("doc_id", bin_.alias("bin"), thr.alias("thr"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("doc_id")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("id_sum_kept"),
+        )
+        .orderBy("bin")
+    )

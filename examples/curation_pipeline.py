@@ -15,6 +15,8 @@ Stages (each backed by a registered, oracle-checked operator):
   5. repetition squeeze   — collapse consecutive
                             duplicate tokens             (L-TEXT-12 shape)
   6. quality gating       — lang/length/stopword gates   (L-PIPE-01 shape)
+  6b. language balancing  — every lang keeps min(lang
+                            count) docs, md5-hash order  (L-MIX-02 shape)
   7. sharded JSONL export — lang-partitioned, size-
                             bounded shards               (L-PIPE-02 shape)
 
@@ -98,6 +100,26 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     n6 = curated.count()
 
+    # 6b. mixture: balance languages to the smallest lang's size,
+    # selecting survivors in md5-hash order (L-MIX-02 shape) — the
+    # sample is a pure function of doc ids, stable under re-runs
+    from pyspark.sql import Window
+
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    target = (
+        curated.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("target"))
+    )
+    curated = (
+        curated.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(target))
+        .filter(F.col("rn") <= F.col("target"))
+        .drop("rn", "target")
+    )
+    n6b = curated.count()
+
     # 7. sharded JSONL export
     out = os.path.join(tempfile.mkdtemp(prefix="dxs_curated_"), "corpus")
     (
@@ -113,7 +135,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(
         f"input {n0} → exact-dedup {n1} → near-dup-grouped {n2} "
         f"→ decontaminated {n3} → quality-gated {n6} "
-        f"→ exported {n4} docs at {out}"
+        f"→ lang-balanced {n6b} → exported {n4} docs at {out}"
     )
     spark.stop()
 
