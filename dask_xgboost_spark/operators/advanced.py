@@ -161,3 +161,50 @@ def q_sample_02(spark, sf):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "Q-SUBQ-04",
+    # the oracle exercises DuckDB's correlated LATERAL; the Spark side
+    # computes the same top-2-per-key via a ranked window — the plan
+    # Catalyst would want anyway (lateral-with-limit decorrelates poorly)
+    sql="SELECT c.c_custkey, t.o_orderkey, t.price_c, t.rn "
+    "FROM customer c, LATERAL ("
+    "SELECT o_orderkey, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c, "
+    "ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "FROM orders WHERE o_custkey = c.c_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t "
+    "ORDER BY c.c_custkey, t.rn",
+)
+def q_subq_04(spark, sf):
+    """Correlated LATERAL top-k: each customer's two largest orders (rank
+    included) — the per-entity top-N join every feature store and
+    leaderboard needs. The declarative lateral form re-executes the inner
+    query per outer row; the scalable physical plan is rank-then-filter:
+    one window over orders partitioned by the correlation key, filter
+    rn <= k, then join the (already tiny) winners to the dimension. One
+    shuffle on o_custkey for the window, broadcast-join back to customer
+    — no per-row re-execution, no nested loops, survives 100 TB where a
+    naive lateral nested-loop would not."""
+    from pyspark.sql import Window
+
+    from dask_xgboost_spark.functions import cents
+
+    o = load(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", cents("o_totalprice").alias("price_c")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    top2 = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "price_c", "rn")
+    )
+    c = load(spark, sf, "customer").select("c_custkey")
+    return (
+        c.join(top2, c.c_custkey == top2.o_custkey)
+        .select("c_custkey", "o_orderkey", "price_c", "rn")
+        .orderBy("c_custkey", "rn")
+    )

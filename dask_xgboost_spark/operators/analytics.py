@@ -190,3 +190,151 @@ def q_basket_01(spark, sf):
         .orderBy(F.desc("support"), "p1", "p2")
         .limit(50)
     )
+
+
+@register(
+    "Q-PROF-01",
+    # each column's min/max is rendered as VARCHAR (dates render
+    # identically; o_totalprice goes through int64 cents first — raw
+    # DECIMAL→VARCHAR trailing-zero rendering differs across engines)
+    sql="SELECT 'o_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull, "
+    "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct, "
+    "CAST(MIN(o_orderkey) AS VARCHAR) AS min_s, CAST(MAX(o_orderkey) AS VARCHAR) AS max_s "
+    "FROM orders "
+    "UNION ALL SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), "
+    "COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS VARCHAR), "
+    "CAST(MAX(o_custkey) AS VARCHAR) FROM orders "
+    "UNION ALL SELECT 'o_totalprice_c', COUNT(*), COUNT(o_totalprice), "
+    "COUNT(DISTINCT o_totalprice), "
+    f"CAST(MIN({sql_cents('o_totalprice')}) AS VARCHAR), "
+    f"CAST(MAX({sql_cents('o_totalprice')}) AS VARCHAR) FROM orders "
+    "UNION ALL SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate), "
+    "COUNT(DISTINCT o_orderdate), strftime(MIN(o_orderdate), '%Y-%m-%d'), "
+    "strftime(MAX(o_orderdate), '%Y-%m-%d') FROM orders "
+    "UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus), "
+    "COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus) "
+    "FROM orders ORDER BY col",
+)
+def q_prof_01(spark, sf):
+    """Column profiling (the `describe`/Deequ-analyzer shape): per-column
+    row count, non-null count, exact distinct count, and min/max rendered
+    as strings — the schema-on-read health report a data team runs before
+    trusting a new drop.
+
+    Scale shape: ONE scan computes every column's aggregates in a single
+    HashAggregate pass (count/min/max are cheap; the exact distincts are
+    the expensive part — Spark expands multiple COUNT(DISTINCT x) into an
+    expand+aggregate, still one scan). The wide 1-row result is unpivoted
+    to rows with stack(), driver-side-free. For 100 TB profiling swap
+    exact distincts for approx_count_distinct (Q-AGG-08 shape) — same
+    plan minus the expand."""
+    from dask_xgboost_spark.functions import cents
+
+    o = load(spark, sf, "orders")
+    date_s = F.date_format("o_orderdate", "yyyy-MM-dd")
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("nn_ok"),
+        F.count_distinct("o_orderkey").alias("nd_ok"),
+        F.min("o_orderkey").cast("string").alias("mn_ok"),
+        F.max("o_orderkey").cast("string").alias("mx_ok"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.count_distinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("string").alias("mn_ck"),
+        F.max("o_custkey").cast("string").alias("mx_ck"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.count_distinct("o_totalprice").alias("nd_tp"),
+        F.min(cents("o_totalprice")).cast("string").alias("mn_tp"),
+        F.max(cents("o_totalprice")).cast("string").alias("mx_tp"),
+        F.count("o_orderdate").alias("nn_od"),
+        F.count_distinct("o_orderdate").alias("nd_od"),
+        F.min(date_s).alias("mn_od"),
+        F.max(date_s).alias("mx_od"),
+        F.count("o_orderstatus").alias("nn_os"),
+        F.count_distinct("o_orderstatus").alias("nd_os"),
+        F.min("o_orderstatus").alias("mn_os"),
+        F.max("o_orderstatus").alias("mx_os"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(5, "
+            "'o_orderkey', n, nn_ok, nd_ok, mn_ok, mx_ok, "
+            "'o_custkey', n, nn_ck, nd_ck, mn_ck, mx_ck, "
+            "'o_totalprice_c', n, nn_tp, nd_tp, mn_tp, mx_tp, "
+            "'o_orderdate', n, nn_od, nd_od, mn_od, mx_od, "
+            "'o_orderstatus', n, nn_os, nd_os, mn_os, mx_os) "
+            "AS (col, n_rows, n_nonnull, n_distinct, min_s, max_s)"
+        )
+    ).orderBy("col")
+
+
+@register(
+    "Q-QUAL-01",
+    # the FK check is made load-bearing by treating custkey % 3 = 0
+    # customers as deleted — every orders row pointing at one is a
+    # violation (nonzero at every SF)
+    sql="SELECT 'pk_unique_orderkey' AS chk, "
+    "CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations "
+    "FROM orders "
+    "UNION ALL SELECT 'fk_custkey_resolves', CAST(COUNT(*) AS BIGINT) "
+    "FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c "
+    "WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 3 != 0) "
+    "UNION ALL SELECT 'range_totalprice_pos', CAST(COUNT(*) AS BIGINT) "
+    "FROM orders WHERE o_totalprice <= 0 "
+    "UNION ALL SELECT 'domain_orderstatus', CAST(COUNT(*) AS BIGINT) "
+    "FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P') "
+    "UNION ALL SELECT 'freshness_has_1997', "
+    "CAST(CASE WHEN SUM(CASE WHEN o_orderdate >= DATE '1997-01-01' "
+    "THEN 1 ELSE 0 END) > 0 THEN 0 ELSE 1 END AS BIGINT) FROM orders "
+    "ORDER BY chk",
+)
+def q_qual_01(spark, sf):
+    """Data-quality constraint suite (the Deequ/dbt-test shape): primary-key
+    uniqueness, foreign-key integrity against a reduced dimension (keys
+    divisible by 3 are treated as deleted, so the check is load-bearing),
+    value-range and domain checks, and a freshness assertion — each
+    reported as a named violation count.
+
+    Scale shape: the four single-table checks fold into scans with
+    conditional aggregation (no shuffle beyond the final 1-row combines);
+    the FK check is a left-anti join against the (dimension-sized,
+    broadcastable) valid-key set. Nothing here is quadratic; the suite
+    runs as a handful of independent map-side-combined passes, and at
+    100 TB each check prunes to the columns it reads."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer").filter(F.col("c_custkey") % 3 != 0)
+
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("n_violations")
+    ).select(F.lit("pk_unique_orderkey").alias("chk"), "n_violations")
+    fk = (
+        o.join(
+            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("fk_custkey_resolves").alias("chk"), "n_violations")
+    )
+    rng = o.agg(
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).cast("long").alias("n_violations")
+    ).select(F.lit("range_totalprice_pos").alias("chk"), "n_violations")
+    dom = o.agg(
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long"))
+        .cast("long")
+        .alias("n_violations")
+    ).select(F.lit("domain_orderstatus").alias("chk"), "n_violations")
+    fresh = o.agg(
+        F.when(
+            F.sum((F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")).cast("long"))
+            > 0,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("n_violations")
+    ).select(F.lit("freshness_has_1997").alias("chk"), "n_violations")
+    return pk.unionAll(fk).unionAll(rng).unionAll(dom).unionAll(fresh).orderBy("chk")
