@@ -297,3 +297,54 @@ def m_prep_03(spark, sf):
         .select("c_custkey", "seg_index", "seg_count")
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "M-PREP-04",
+    # bal cents are exact int64 on both engines; the (x-mn)/(mx-mn)
+    # double division of exact ints is correctly rounded → identical
+    # bits cross-engine (same discipline as L-TEXT-06's ratios)
+    sql="WITH b AS (SELECT c_custkey, "
+    "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer), "
+    "s AS (SELECT MIN(bal_c) AS mn, MAX(bal_c) AS mx, "
+    "SUM(bal_c) AS sm, COUNT(*) AS n FROM b) "
+    "SELECT c_custkey, "
+    "CAST(bal_c - mn AS DOUBLE) / (mx - mn) AS bal_minmax, "
+    "CAST(bal_c AS DOUBLE) - CAST(sm AS DOUBLE) / n AS bal_centered "
+    "FROM b, s ORDER BY c_custkey",
+)
+def m_prep_04(spark, sf):
+    """Min-max feature scaling + mean centering (the MinMaxScaler /
+    StandardScaler(withStd=False) pre-training step), computed on exact
+    int64 cents so the scaled doubles are bit-identical cross-engine.
+
+    Scale shape: one map-side-combined pass for the 1-row stats frame,
+    broadcast back over the corpus as a map-only transform — exactly how
+    MLlib's scalers execute (fit = treeAggregate, transform = map). No
+    per-row Python, no second shuffle."""
+    from dask_xgboost_spark.functions import cents
+
+    b = load(spark, sf, "customer").select(
+        "c_custkey", cents("c_acctbal").alias("bal_c")
+    )
+    stats = b.agg(
+        F.min("bal_c").alias("mn"),
+        F.max("bal_c").alias("mx"),
+        F.sum("bal_c").alias("sm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        b.crossJoin(F.broadcast(stats))
+        .select(
+            "c_custkey",
+            (
+                (F.col("bal_c") - F.col("mn")).cast("double")
+                / (F.col("mx") - F.col("mn"))
+            ).alias("bal_minmax"),
+            (
+                F.col("bal_c").cast("double")
+                - F.col("sm").cast("double") / F.col("n")
+            ).alias("bal_centered"),
+        )
+        .orderBy("c_custkey")
+    )

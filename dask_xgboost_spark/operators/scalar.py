@@ -688,3 +688,30 @@ def q_json_02(spark, sf):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "Q-STR-06",
+    sql="SELECT p_partkey, "
+    "CAST(levenshtein(p_brand, 'Brand#33') AS INT) AS d_brand, "
+    "CAST(levenshtein(substring(p_name, 1, 8), 'burnishe') AS INT) AS d_name "
+    "FROM part ORDER BY p_partkey",
+)
+def q_str_06(spark, sf):
+    """Edit-distance fuzzy matching (levenshtein) against probe strings —
+    the record-linkage / typo-tolerant lookup primitive. Integer output,
+    so it hash-checks exactly cross-engine. Map-only JVM expression; for
+    fuzzy *joins* at scale, block first (length band or first-char
+    bucket) so the distance runs on candidate pairs, never the cross
+    product."""
+    return (
+        load(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.levenshtein("p_brand", F.lit("Brand#33")).alias("d_brand"),
+            F.levenshtein(F.substring("p_name", 1, 8), F.lit("burnishe")).alias(
+                "d_name"
+            ),
+        )
+        .orderBy("p_partkey")
+    )

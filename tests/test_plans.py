@@ -204,3 +204,36 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lateral_topk_avoids_nested_loop(spark, sf_dir):
+    # Q-SUBQ-04's scalable form: ranked window + hash join — a naive
+    # correlated-lateral plan would be a per-outer-row nested loop
+    p = plan(spark, sf_dir, "Q-SUBQ-04")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" in p
+
+
+def test_basket_pairs_topk_and_partial_agg(spark, sf_dir):
+    # pair support counting must combine map-side and take the top-k
+    # without a global sort
+    p = plan(spark, sf_dir, "Q-BASKET-01")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_profiling_scans_orders_once(spark, sf_dir):
+    # Q-PROF-01 computes every column's stats in one pass — five
+    # per-column scans would read the table five times
+    p = plan(spark, sf_dir, "Q-PROF-01")
+    # one scan node in the plan tree (formatted explain repeats the node
+    # name in its detail section, so count tree edges, not substrings);
+    # the multi-distinct is the single-scan Expand rewrite
+    assert p.count("+- Scan parquet") == 1, p
+    assert "Expand" in p
+
+
+def test_quality_fk_check_is_broadcast_anti_join(spark, sf_dir):
+    p = plan(spark, sf_dir, "Q-QUAL-01")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
