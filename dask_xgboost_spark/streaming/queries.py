@@ -394,3 +394,27 @@ def s_state_03(spark, sf):
     ev = events_stream(spark, sf, n_files=4, max_files_per_trigger=1)
     out = run_to_memory(per_key_min_max_count(ev), "update")
     return finalize_emissions(out)
+
+
+@register(
+    "S-STATE-04",
+    sql="SELECT DISTINCT event_id FROM events ORDER BY event_id",
+    mode="stream",
+)
+def s_state_04(spark, sf):
+    """Bounded-state streaming dedup via dropDuplicatesWithinWatermark:
+    unlike plain dropDuplicates (S-STATE-01), whose key state lives
+    forever unless an event-time column is part of the key, this operator
+    evicts a key's state once the watermark passes its event time — the
+    state size is bounded by the watermark window, not the key
+    cardinality. That is the only viable dedup contract for an unbounded
+    100 TB/day stream where exact duplicates arrive close together
+    (retries, at-least-once sources). The replay duplicates every row
+    within the same micro-batch, well inside the 2h window, so the final
+    output ≡ batch DISTINCT."""
+    ev = events_stream(spark, sf, n_files=4, duplicate=True, max_files_per_trigger=1)
+    deduped = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_to_memory(deduped.select("event_id"), "append")
+    return out.select("event_id").orderBy("event_id")
