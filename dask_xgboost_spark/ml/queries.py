@@ -348,3 +348,72 @@ def m_prep_04(spark, sf):
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "M-PREP-05",
+    sql="SELECT c_custkey, "
+    "CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT) AS seg_idx "
+    "FROM customer ORDER BY c_custkey",
+)
+def m_prep_05(spark, sf):
+    """Categorical label encoding via MLlib StringIndexer with
+    stringOrderType='alphabetAsc' — the only deterministic ordering
+    (frequencyDesc ties are unspecified), and exactly DENSE_RANK()-1 over
+    the category, which is the oracle.
+
+    Scale shape: fit() is one distinct-aggregate over the category column
+    (tiny result, collected to the driver as the label map — legitimate:
+    the map is O(cardinality), not O(rows)); transform() is a map-only
+    broadcast lookup. High-cardinality categories (>~10M labels) should
+    switch to a hash encoding (M-PREP-03 shape) instead of an index."""
+    from pyspark.ml.feature import StringIndexer
+
+    df = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    idx = StringIndexer(
+        inputCol="c_mktsegment", outputCol="seg_idx_d", stringOrderType="alphabetAsc"
+    )
+    out = idx.fit(df).transform(df)
+    return out.select(
+        "c_custkey", F.col("seg_idx_d").cast("long").alias("seg_idx")
+    ).orderBy("c_custkey")
+
+
+@register(
+    "M-PREP-06",
+    # indicator columns keyed off DENSE_RANK so the oracle needs no
+    # hardcoded category list; all SFs share the 5 TPC-H segments
+    sql="WITH r AS (SELECT c_custkey, "
+    "DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS i FROM customer) "
+    "SELECT c_custkey, "
+    "CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS BIGINT) AS seg_0, "
+    "CAST(CASE WHEN i = 1 THEN 1 ELSE 0 END AS BIGINT) AS seg_1, "
+    "CAST(CASE WHEN i = 2 THEN 1 ELSE 0 END AS BIGINT) AS seg_2, "
+    "CAST(CASE WHEN i = 3 THEN 1 ELSE 0 END AS BIGINT) AS seg_3, "
+    "CAST(CASE WHEN i = 4 THEN 1 ELSE 0 END AS BIGINT) AS seg_4 "
+    "FROM r ORDER BY c_custkey",
+)
+def m_prep_06(spark, sf):
+    """One-hot encoding: StringIndexer(alphabetAsc) → OneHotEncoder
+    (dropLast=False) → vector_to_array → int64 indicator columns. The
+    dense indicator form exists for model inputs that need explicit
+    columns; MLlib's sparse vector is the memory-correct carrier
+    internally (1 of k set), so the expansion is presentation-only.
+
+    Scale shape: two map-only transforms after an O(cardinality) fit;
+    the vector→columns expansion is codegen'd element_at, no UDF."""
+    from pyspark.ml.feature import OneHotEncoder, StringIndexer
+    from pyspark.ml.functions import vector_to_array
+
+    df = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    idx = StringIndexer(
+        inputCol="c_mktsegment", outputCol="seg_idx", stringOrderType="alphabetAsc"
+    ).fit(df)
+    n = len(idx.labels)
+    enc = OneHotEncoder(inputCol="seg_idx", outputCol="seg_vec", dropLast=False)
+    out = enc.fit(idx.transform(df)).transform(idx.transform(df))
+    arr = vector_to_array("seg_vec")
+    return out.select(
+        "c_custkey",
+        *[arr[i].cast("long").alias(f"seg_{i}") for i in range(n)],
+    ).orderBy("c_custkey")

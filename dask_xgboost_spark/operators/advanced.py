@@ -208,3 +208,62 @@ def q_subq_04(spark, sf):
         .select("c_custkey", "o_orderkey", "price_c", "rn")
         .orderBy("c_custkey", "rn")
     )
+
+
+@register(
+    "Q-CTE-02",
+    sql="WITH RECURSIVE h AS ("
+    "SELECT c_custkey AS node, 0 AS depth FROM customer WHERE c_custkey = 0 "
+    "UNION ALL "
+    "SELECT c.c_custkey, h.depth + 1 FROM customer c "
+    "JOIN h ON c.c_custkey // 2 = h.node AND c.c_custkey > h.node) "
+    "SELECT CAST(node AS BIGINT) AS node, CAST(depth AS BIGINT) AS depth "
+    "FROM h ORDER BY node",
+)
+def q_cte_02(spark, sf):
+    """Recursive CTE (hierarchy walk) — Spark has no WITH RECURSIVE, so
+    the engine runs the standard distributed equivalent: level-synchronous
+    frontier BFS. The hierarchy is synthesized in-query from customer keys
+    (parent(k) = k // 2, a binary tree rooted at key 0, contiguous TPC-H
+    keys guarantee every parent exists); the oracle is DuckDB's native
+    WITH RECURSIVE over the same tree.
+
+    Scale shape: each level is ONE hash-join shuffle of the (shrinking)
+    frontier against the child index, truncated with localCheckpoint so
+    the logical plan stays flat (see connected_components: cache() alone
+    nests plans exponentially). Rounds = tree depth = O(log n) for this
+    tree; the frontier-count convergence check is distributed (count()),
+    never a collect of rows. On a real cluster, pre-partition the edge
+    table by parent key so every round reuses the same partitioning."""
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("node")
+    )
+    edges = (
+        cust.filter(F.col("node") > 0)
+        .select(
+            F.floor(F.col("node") / 2).cast("long").alias("parent"),
+            F.col("node").alias("child"),
+        )
+        .localCheckpoint()
+    )
+    frontier = (
+        cust.filter(F.col("node") == 0)
+        .withColumn("depth", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    result = frontier
+    for _ in range(64):  # bound = bit-length of any realistic key space
+        frontier = (
+            edges.join(frontier, edges.parent == frontier.node)
+            .select(
+                F.col("child").alias("node"),
+                (F.col("depth") + F.lit(1)).alias("depth"),
+            )
+            .localCheckpoint()
+        )
+        if frontier.count() == 0:
+            break
+        result = result.union(frontier)
+    else:  # pragma: no cover - depth beyond bound means a malformed tree
+        raise RuntimeError("hierarchy deeper than 64 levels (cycle?)")
+    return result.orderBy("node")

@@ -1286,3 +1286,49 @@ def q_scan_09(spark, sf):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "Q-AGG-20",
+    # ord = cents * 1e7 + custkey is a unique int64, monotone in the
+    # (acctbal, custkey) lexicographic order (custkey in [0, 1e7)), so
+    # arg_max/max_by ties are impossible — the only way these aggregates
+    # are deterministic cross-engine.
+    sql="WITH b AS (SELECT c_nationkey, c_custkey, "
+    f"{sql_cents('c_acctbal')} * 10000000 + c_custkey AS ord FROM customer) "
+    "SELECT CAST(c_nationkey AS BIGINT) AS nation, "
+    "CAST(arg_max(c_custkey, ord) AS BIGINT) AS top_cust, "
+    "CAST(arg_min(c_custkey, ord) AS BIGINT) AS bottom_cust, "
+    "CAST(MAX(ord) AS BIGINT) AS max_ord "
+    "FROM b GROUP BY c_nationkey ORDER BY nation",
+)
+def q_agg_20(spark, sf):
+    """MAX_BY / MIN_BY (DuckDB arg_max/arg_min): per nation, the customer
+    holding the highest / lowest account balance. The ordering key is a
+    unique tie-broken int64 (balance cents scaled, custkey added) because
+    max_by on a non-unique key is nondeterministic in BOTH engines.
+
+    Scale shape: single map-side-combined hash aggregate carrying
+    (key, ord, payload) triples — no window, no sort, no second shuffle;
+    the cheapest possible "top-1 per group" plan and the one to prefer
+    over row_number()-then-filter when k = 1."""
+    b = load(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        (cents("c_acctbal") * 10000000 + F.col("c_custkey")).alias("ord"),
+    )
+    return (
+        b.groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_custkey", "ord").cast("long").alias("top_cust"),
+            F.min_by("c_custkey", "ord").cast("long").alias("bottom_cust"),
+            F.max("ord").cast("long").alias("max_ord"),
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            "top_cust",
+            "bottom_cust",
+            "max_ord",
+        )
+        .orderBy("nation")
+    )

@@ -715,3 +715,31 @@ def q_str_06(spark, sf):
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "Q-STR-07",
+    # the pattern stays inside the regex subset Java (Spark) and RE2
+    # (DuckDB) evaluate identically: literal class + bounded repetition
+    sql="SELECT doc_id, "
+    # DuckDB renders the no-match empty list as NULL; Spark as ''
+    "COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{6,}'), ' '), '') AS long_words, "
+    "CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT) AS n_long "
+    "FROM documents ORDER BY doc_id",
+)
+def q_str_07(spark, sf):
+    """regexp_extract_all: every ≥6-letter word per document, in document
+    order, plus the match count. The array is carried as a joined string
+    (the repo-wide rule: no array/float hash carriers), and the regex is
+    restricted to the Java∩RE2 common subset so both engines tokenize
+    identically.
+
+    Scale shape: map-only (narrow) — regex evaluation is JVM-side
+    codegen'd, no UDF, no shuffle beyond the final presentation sort."""
+    docs = load(spark, sf, "documents")
+    matches = F.regexp_extract_all("text", F.lit("[a-z]{6,}"), 0)
+    return docs.select(
+        "doc_id",
+        F.array_join(matches, " ").alias("long_words"),
+        F.size(matches).cast("long").alias("n_long"),
+    ).orderBy("doc_id")

@@ -592,3 +592,59 @@ def l_text_14(spark, sf):
         )
         .orderBy("len_bucket")
     )
+
+
+@register(
+    "L-TEXT-15",
+    sql="WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "g AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g "
+    "FROM w, UNNEST(range(1, len(w) - 6)) AS t(i) WHERE len(w) >= 8), "
+    "c AS (SELECT g, COUNT(*) AS cnt FROM g GROUP BY g) "
+    "SELECT g.doc_id, "
+    "CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams, "
+    "CAST(COUNT(*) AS BIGINT) AS tot_grams "
+    "FROM g JOIN c USING (g) GROUP BY g.doc_id ORDER BY doc_id",
+)
+def l_text_15(spark, sf):
+    """Duplicate n-gram fraction (Lee et al. \"Deduplicating Training Data
+    Makes Language Models Better\"; Gopher's dup-span quality rule): for
+    each document, how many of its 8-gram instances occur more than once
+    in the corpus. Emitted as exact int64 (dup, total) counts — the
+    fraction is a trivial downstream division and floats never enter the
+    hash. The planted exact/near duplicates in the fixture make the
+    counts load-bearing (2101/23665 instances at sf0.01).
+
+    Scale shape: explode to ~|tokens| 8-gram rows, one map-side-combined
+    groupBy(g) for global counts, one shuffle join back on g, one
+    groupBy(doc_id) rollup. At 100 TB, replace the raw-string gram key
+    with xxhash64(g) BEFORE the shuffle (8-byte keys, not ~50-byte
+    strings) — kept as the readable form here because the oracle must
+    hash identical keys; guard hot grams (boilerplate) with a
+    max-document-frequency cut as in L-DEDUP-03."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    grams = (
+        docs.filter(F.size("w") >= 8)  # sequence(1, 0) is DESCENDING in Spark
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 7),"
+                    " i -> array_join(slice(w, i, 8), ' '))"
+                )
+            ).alias("g"),
+        )
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        grams.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_grams"),
+            F.count(F.lit(1)).cast("long").alias("tot_grams"),
+        )
+        .orderBy("doc_id")
+    )

@@ -326,3 +326,47 @@ def q_win_11(spark, sf):
         )
         .orderBy("tile")
     )
+
+
+@register(
+    "Q-WIN-12",
+    sql="SELECT event_id, "
+    "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING"
+    ") AS BIGINT) AS purchases_so_far, "
+    "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING"
+    ") AS BIGINT) AS errors_so_far "
+    f"FROM {EVENTS_US} e ORDER BY event_id",
+)
+def q_win_12(spark, sf):
+    """Conditional running aggregates (count-if over a frame): per user,
+    the cumulative number of purchases and errors as of each event — the
+    standard behavioral-feature shape (\"purchases before this event\")
+    for training-data generation without label leakage: the frame ends at
+    the CURRENT row, so no future information enters the feature.
+
+    Scale shape: one shuffle on user_id; both running sums share the same
+    window sort (ts, event_id — unique tie-break, see ADVICE r2 on
+    Q-WIN-08), so Catalyst evaluates them in a single Window operator."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = load(spark, sf, "events")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_e"),
+        )
+        .select(
+            "event_id",
+            F.sum("is_p").over(w).cast("long").alias("purchases_so_far"),
+            F.sum("is_e").over(w).cast("long").alias("errors_so_far"),
+        )
+        .orderBy("event_id")
+    )
