@@ -1332,3 +1332,27 @@ def q_agg_20(spark, sf):
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "Q-SORT-03",
+    # default null placement DIFFERS: Spark sorts NULLs first ASC, DuckDB
+    # last — explicit NULLS FIRST/LAST on every key is the portable form
+    sql="SELECT event_id, CASE WHEN value < 2 THEN NULL ELSE value END AS v "
+    "FROM events ORDER BY v DESC NULLS LAST, event_id LIMIT 100",
+)
+def q_sort_03(spark, sf):
+    """Explicit NULL placement in ORDER BY. The engines disagree on the
+    default (Spark: NULLS FIRST ascending; DuckDB/Postgres: NULLS LAST),
+    so the operator always emits an explicit desc_nulls_last /
+    asc_nulls_first — silent default reliance is a portability bug this
+    entry pins down. NULLs are synthesized in-query (value < 2) because
+    the fixture column has none.
+
+    Scale shape: top-k with limit → TakeOrderedAndProject (per-partition
+    heap + driver merge), same as Q-SORT-02 — no global sort."""
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("value") < 2, None).otherwise(F.col("value")).alias("v"),
+    )
+    return ev.orderBy(F.col("v").desc_nulls_last(), "event_id").limit(100)

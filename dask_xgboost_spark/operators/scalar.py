@@ -743,3 +743,40 @@ def q_str_07(spark, sf):
         F.array_join(matches, " ").alias("long_words"),
         F.size(matches).cast("long").alias("n_long"),
     ).orderBy("doc_id")
+
+
+@register(
+    "Q-DATE-07",
+    # last_day → DATE in both engines; month-add clamps to month end in
+    # both (Jan 31 + 1 month = Feb 28/29); datediff is day-granular
+    sql="SELECT o_orderkey, "
+    "CAST(last_day(o_orderdate) AS DATE) AS month_end, "
+    "CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS due_3m, "
+    "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) "
+    "AS days_to_close, "
+    "CAST(date_diff('day', CAST(date_trunc('quarter', o_orderdate) AS DATE), "
+    "CAST(o_orderdate AS DATE)) AS INT) AS day_in_quarter "
+    "FROM orders ORDER BY o_orderkey",
+)
+def q_date_07(spark, sf):
+    """Calendar-edge date arithmetic: last_day, add_months (end-of-month
+    CLAMPING — Jan 31 + 1 month is Feb 28, identical convention in Spark
+    and DuckDB/Postgres), day diffs against a fixed close date, and
+    position within the quarter. These are the SCD/retention building
+    blocks where naive `+ 30 days` arithmetic silently drifts.
+
+    Scale shape: map-only, whole-stage codegen'd; no shuffle beyond the
+    presentation sort."""
+    o = load(spark, sf, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("due_3m"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).cast("int").alias(
+            "days_to_close"
+        ),
+        F.datediff(d, F.to_date(F.date_trunc("quarter", "o_orderdate"))).cast(
+            "int"
+        ).alias("day_in_quarter"),
+    ).orderBy("o_orderkey")

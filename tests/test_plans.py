@@ -237,3 +237,32 @@ def test_profiling_scans_orders_once(spark, sf_dir):
 def test_quality_fk_check_is_broadcast_anti_join(spark, sf_dir):
     p = plan(spark, sf_dir, "Q-QUAL-01")
     assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+
+
+def test_max_by_is_single_aggregate_no_window(spark, sf_dir):
+    # Q-AGG-20's point: top-1-per-group as ONE partial+final hash
+    # aggregate — no Window operator, no row_number sort
+    p = plan(spark, sf_dir, "Q-AGG-20")
+    assert "Window" not in p, p
+    assert p.count("HashAggregate") >= 2 or "SortAggregate" in p, p
+
+
+def test_running_conditional_aggs_share_one_window(spark, sf_dir):
+    # Q-WIN-12: both running sums must evaluate in a single Window
+    # operator (same partitioning + ordering), not two window passes
+    p = plan(spark, sf_dir, "Q-WIN-12")
+    # count tree edges, not substrings (formatted explain repeats the
+    # node name in its detail section)
+    assert p.count("+- Window") == 1, p
+
+
+def test_dup_ngram_counts_combine_map_side(spark, sf_dir):
+    # L-TEXT-15: the global gram count must partial-aggregate before the
+    # shuffle; the join back is on the gram key
+    p = plan(spark, sf_dir, "L-TEXT-15")
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_topk_null_placement_uses_take_ordered(spark, sf_dir):
+    p = plan(spark, sf_dir, "Q-SORT-03")
+    assert "TakeOrderedAndProject" in p, p
