@@ -226,3 +226,116 @@ def write_zorder_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def hilbert_index_np(ranks, bits: int):
+    """Hilbert distance of integer grid cells, vectorized over rows.
+
+    ``ranks``: (N, k) non-negative ints < 2^bits. Returns (N,) int64.
+    Skilling's axes→transpose transform ("Programming the Hilbert
+    Curve", AIP Conf. Proc. 707, 2004 — public algorithm) followed by
+    bit interleave of the transpose form. Pure numpy bit ops; the loops
+    run bits×k times (tiny), each step full-width vectorized.
+    """
+    import numpy as np
+
+    X = np.ascontiguousarray(ranks, dtype=np.int64).copy()
+    n = X.shape[1]
+    if n < 2:
+        raise ValueError("hilbert needs >= 2 columns")
+    M = 1 << (bits - 1)
+    Q = M
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            mask = (X[:, i] & Q) != 0
+            X[mask, 0] ^= P  # invert low bits of axis 0
+            nm = ~mask
+            t = (X[nm, 0] ^ X[nm, i]) & P  # exchange low bits 0 <-> i
+            X[nm, 0] ^= t
+            X[nm, i] ^= t
+        Q >>= 1
+    for i in range(1, n):  # Gray encode
+        X[:, i] ^= X[:, i - 1]
+    t = np.zeros(len(X), dtype=np.int64)
+    Q = M
+    while Q > 1:
+        m = (X[:, n - 1] & Q) != 0
+        t[m] ^= Q - 1
+        Q >>= 1
+    X ^= t[:, None]
+    # interleave: bit j of transpose axis i → index bit j*n + (n-1-i)
+    out = np.zeros(len(X), dtype=np.int64)
+    for j in range(bits):
+        for i in range(n):
+            out |= ((X[:, i] >> j) & 1) << (j * n + (n - 1 - i))
+    return out
+
+
+def hilbert_value(
+    df: DataFrame, cols: list[str], bits: int = 6, sample_frac: float | None = None
+) -> Column:
+    """Hilbert-curve key over ``cols``: same quantile-bucket ranks as
+    :func:`zorder_value`, composed with the Hilbert distance instead of
+    the Morton interleave. Hilbert keeps CONSECUTIVE key values in
+    ADJACENT grid cells (Morton has long jumps at power-of-two
+    boundaries), so range-partitioned files cover more compact regions —
+    tighter per-file footer stats at high selectivity, the same reason
+    table formats offer Hilbert alongside Z-order.
+
+    The rank computation is JVM-side (bounded HOF over literal cut
+    arrays, as in z-order); the bit-twiddled Hilbert transform runs in an
+    Arrow-batched pandas UDF — acceptable here because layout writing is
+    a one-off batch job, not a query hot path."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if not 1 <= bits <= 10:
+        raise ValueError("bits must be in [1, 10]")
+    k = len(cols)
+    if k < 2:
+        raise ValueError("hilbert needs >= 2 columns (write_range_layout for 1)")
+    n_cuts = (1 << bits) - 1
+    probe = df
+    if sample_frac:
+        probe = df.sample(fraction=sample_frac, seed=7)
+    probe = probe.select([F.col(c).cast("double").alias(c) for c in cols])
+    quantiles = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
+    cut_lists = probe.approxQuantile(cols, quantiles, 0.01)
+
+    def bucket(col: str, cuts: list[float]) -> Column:
+        arr = F.array(*[F.lit(float(c)) for c in cuts])
+        v = F.col(col).cast("double")
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, c: acc + F.when(v >= c, F.lit(1)).otherwise(F.lit(0)),
+        )
+
+    def _hkey(*rank_cols):
+        import numpy as np
+
+        ranks = np.stack([r.to_numpy(dtype="int64") for r in rank_cols], axis=1)
+        return pd.Series(hilbert_index_np(ranks, bits))
+
+    # explicit form: type-hint inference rejects *args signatures
+    hkey = pandas_udf(_hkey, "long")
+
+    return hkey(*[bucket(c, cuts) for c, cuts in zip(cols, cut_lists)])
+
+
+def write_hilbert_layout(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8, bits: int = 6
+) -> None:
+    """Hilbert-clustered parquet layout (see :func:`hilbert_value`);
+    drop-in alternative to :func:`write_zorder_layout` where query
+    predicates are highly selective on individual clustered columns."""
+    h = hilbert_value(df, cols, bits=bits)
+    (
+        df.withColumn("__h", h)
+        .repartitionByRange(n_files, F.col("__h"))
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

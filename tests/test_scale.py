@@ -359,3 +359,77 @@ def test_analyze_table_stats_reach_the_optimizer(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old_cbo)
         spark.sql("DROP TABLE IF EXISTS nation_stats_t")
+
+
+def test_hilbert_index_bijective_and_continuous():
+    """The two defining properties, checked exhaustively on the 2-D and
+    3-D grids: (a) bijection onto [0, 2^(bits*k)) — every cell gets a
+    unique Hilbert distance; (b) CONTINUITY — consecutive distances are
+    Manhattan-adjacent cells. (b) is what Morton z-order lacks (its
+    power-of-two boundary jumps), and the reason Hilbert files cover
+    more compact regions."""
+    import itertools
+
+    import numpy as np
+
+    from dask_xgboost_spark.plans.scale import hilbert_index_np
+
+    for bits, k in [(3, 2), (2, 3)]:
+        side = 1 << bits
+        cells = np.array(list(itertools.product(range(side), repeat=k)))
+        idx = hilbert_index_np(cells, bits)
+        assert sorted(idx) == list(range(side**k))  # bijective
+        order = cells[np.argsort(idx)]
+        steps = np.abs(np.diff(order, axis=0)).sum(axis=1)
+        assert (steps == 1).all()  # each step moves to an adjacent cell
+
+
+def test_hilbert_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Same footer-stats methodology as the z-order test: a selective
+    predicate on either clustered column must be servable from a strict
+    subset of Hilbert-clustered files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dask_xgboost_spark.plans.scale import write_hilbert_layout
+    from dask_xgboost_spark.sources import load
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    hpath = str(tmp_path / "hilbert")
+    write_hilbert_layout(ev, hpath, ["user_id", "value"], n_files=16, bits=6)
+
+    total = ev.count()
+    assert spark.read.parquet(hpath).count() == total
+
+    u_cut, v_cut = (
+        ev.select(
+            F.expr("percentile(user_id, 0.95)"), F.expr("percentile(value, 0.95)")
+        ).first()
+    )
+
+    def overlapping(path, col, cut):
+        hits, files = 0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            files += 1
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            fmax = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if fmax > cut:
+                hits += 1
+        return hits, files
+
+    for col, cut in [("user_id", u_cut), ("value", v_cut)]:
+        sel = ev.filter(F.col(col) > cut).count()
+        assert 0 < sel < total * 0.2, (col, sel, total)
+        got = spark.read.parquet(hpath).filter(F.col(col) > cut).count()
+        assert got == sel
+        h_hits, h_files = overlapping(hpath, col, cut)
+        assert h_files >= 8
+        assert h_hits <= h_files // 2, (col, h_hits, h_files)
