@@ -417,3 +417,36 @@ def m_prep_06(spark, sf):
         "c_custkey",
         *[arr[i].cast("long").alias(f"seg_{i}") for i in range(n)],
     ).orderBy("c_custkey")
+
+
+@register(
+    "M-PREP-07",
+    # md5-hex-prefix thresholding is portable across engines (same trick
+    # as Q-SAMPLE-02); first 4 hex chars = 16 bits → threshold 'c000'
+    # keeps 3/4 in train
+    sql="SELECT c_custkey, CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) "
+    "< 'c000' THEN 'train' ELSE 'test' END AS split "
+    "FROM customer ORDER BY c_custkey",
+)
+def m_prep_07(spark, sf):
+    """Deterministic 75/25 train/test split keyed on the entity id — the
+    split every pipeline needs BEFORE feature work so no leakage crosses
+    it. ``randomSplit`` is the wrong tool at scale: its assignment
+    depends on partitioning and re-execution order, so a retried stage or a
+    repartitioned rerun silently reshuffles rows across the split.
+    Hashing the key (md5 hex prefix vs threshold) is stable under
+    retries, repartitioning, AND engine choice — the oracle runs the
+    identical expression in DuckDB.
+
+    Scale shape: map-only, no shuffle; the split column can also feed a
+    partitioned write so train/test land in separate directories."""
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 4) < "c000",
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("c_custkey")

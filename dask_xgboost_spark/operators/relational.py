@@ -1356,3 +1356,40 @@ def q_sort_03(spark, sf):
         F.when(F.col("value") < 2, None).otherwise(F.col("value")).alias("v"),
     )
     return ev.orderBy(F.col("v").desc_nulls_last(), "event_id").limit(100)
+
+
+@register(
+    "Q-AGG-21",
+    sql="SELECT l_returnflag, "
+    "CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk, "
+    "CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_discount > 0.05) AS BIGINT) "
+    "AS n_disc_supp, "
+    "bool_and(l_quantity > 0) AS all_pos, "
+    "bool_or(l_discount > 0.09) AS any_deep_disc "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def q_agg_21(spark, sf):
+    """FILTER-clause conditional aggregates + boolean aggregates
+    (count_if / distinct-if / every / any) — the idiomatic way to compute
+    many differently-filtered measures in ONE pass instead of N
+    self-joined subqueries.
+
+    Scale shape: a single partial+final hash aggregate; every FILTER
+    predicate is evaluated map-side, so adding measures adds zero
+    shuffles. The DISTINCT-if measure triggers Spark's Expand rewrite —
+    still one scan."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).cast("long").alias("n_bulk"),
+            F.count_distinct(
+                F.when(F.col("l_discount") > 0.05, F.col("l_suppkey"))
+            )
+            .cast("long")
+            .alias("n_disc_supp"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_disc"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -648,3 +648,42 @@ def l_text_15(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "L-TEXT-16",
+    sql="WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t "
+    "FROM documents), "
+    "cnt AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab, "
+    "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax, "
+    "CAST(SUM(c) AS BIGINT) AS tokens "
+    "FROM cnt GROUP BY source ORDER BY source",
+)
+def l_text_16(spark, sf):
+    """Per-source vocabulary statistics: vocabulary size, hapax-legomena
+    count (tokens occurring once — the Zipf tail), and total token count.
+    vocab/tokens (type-token ratio) and hapax/vocab are the standard
+    corpus-diversity profile read before mixing sources (L-MIX-01); a
+    crawl slice whose TTR collapses is boilerplate-heavy. Emitted as
+    exact int64 counts; ratios are downstream divisions.
+
+    Scale shape: explode → two cascaded map-side-combined aggregates
+    (token counts, then per-source rollup). The (source, token) key space
+    is vocabulary-sized, not corpus-sized, after the first combine —
+    this is the classic wordcount shape that scales linearly."""
+    tok = load(spark, sf, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+            F.sum("c").cast("long").alias("tokens"),
+        )
+        .orderBy("source")
+    )
