@@ -27,16 +27,20 @@ def events_stream(
     n_files: int = 1,
     duplicate: bool = False,
     max_files_per_trigger: int | None = None,
+    late_rows: int = 0,
 ) -> DataFrame:
     """events.parquet replayed as a file-source stream.
 
     n_files > 1 splits the table into time-ordered files (distinct mtimes)
     so watermark semantics are observable across micro-batches;
-    duplicate=True appends a copy of every row (dedup fixtures).
+    duplicate=True appends a copy of every row (dedup fixtures);
+    late_rows > 0 carves the N earliest rows out of the first file and
+    delivers them LAST — genuinely late data, far below the watermark by
+    the time it arrives (S-WM-02's dropped-row accounting fixture).
     """
     ensure_session_confs(spark)
     src = f"{sf_dir}/events.parquet"
-    if n_files == 1 and not duplicate:
+    if n_files == 1 and not duplicate and not late_rows:
         # file-stream sources require a directory
         stream_dir = tempfile.mkdtemp(prefix="dxs_stream_")
         os.symlink(src, os.path.join(stream_dir, "events.parquet"))
@@ -44,9 +48,13 @@ def events_stream(
     else:
         stream_dir = tempfile.mkdtemp(prefix="dxs_stream_")
         batch = spark.read.parquet(src).orderBy("ts")
-        total = batch.count()
-        per = (total + n_files - 1) // n_files
         pdf = batch.toPandas()
+        late = None
+        if late_rows:
+            late = pdf.iloc[:late_rows]
+            pdf = pdf.iloc[late_rows:]
+        total = len(pdf)
+        per = (total + n_files - 1) // n_files
         for i in range(n_files):
             part = pdf.iloc[i * per : (i + 1) * per]
             if duplicate:
@@ -56,6 +64,11 @@ def events_stream(
             path = os.path.join(stream_dir, f"part-{i:04d}.parquet")
             part.to_parquet(path, index=False)
             os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        if late is not None:
+            path = os.path.join(stream_dir, "part-9999-late.parquet")
+            late.to_parquet(path, index=False)
+            t = 1_700_000_000 + n_files * 60
+            os.utime(path, (t, t))
         schema = spark.read.parquet(stream_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -82,6 +95,31 @@ def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     out = spark.table(name)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+def run_to_memory_progress(df: DataFrame, output_mode: str):
+    """Like :func:`run_to_memory`, but also returns the per-micro-batch
+    ``StreamingQueryProgress`` dicts — the production observability
+    surface (state rows, watermark position, numRowsDroppedByWatermark).
+    A pipeline that silently drops late data without a metric alert is
+    a correctness incident waiting to be noticed; S-WM-02 pins the
+    accounting down."""
+    name = "dxs_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="dxs_ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress]
+    spark = df.sparkSession
+    out = spark.table(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out, progresses
 
 
 def run_foreach_batch(df: DataFrame, fn, output_mode: str = "update") -> None:

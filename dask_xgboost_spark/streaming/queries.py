@@ -418,3 +418,39 @@ def s_state_04(spark, sf):
     )
     out = run_to_memory(deduped.select("event_id"), "append")
     return out.select("event_id").orderBy("event_id")
+
+
+@register("S-WM-02", sql=None, mode="golden")
+def s_wm_02(spark, sf):
+    """Late-data DROP ACCOUNTING: the stream replays with its 64 earliest
+    rows delivered in the final file — by then the watermark (1 hour
+    behind the 30-day max event time) is weeks past their windows, so the
+    state operator drops them and reports ``numRowsDroppedByWatermark``.
+    The metric counts dropped STATE-INPUT rows, i.e. post-map-side-combine
+    window partials, not raw events (the 64 planted rows collapse to
+    their 35 distinct hour-windows before reaching the state store —
+    verified empirically, and asserted against a batch computation of
+    the same distinct-window count in tests/test_golden.py). Returns a
+    one-row witness (emitted windows, dropped state updates).
+
+    At 100 TB this metric IS the data-loss audit: watermark drops are
+    silent by design, and the only correct operational posture is
+    alerting on this counter and routing late data to a reconciliation
+    path (e.g. a daily batch backfill over the same parquet)."""
+    from dask_xgboost_spark.streaming.core import run_to_memory_progress
+
+    ev = events_stream(spark, sf, n_files=6, max_files_per_trigger=1, late_rows=64)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out, progresses = run_to_memory_progress(agg, "append")
+    dropped = sum(
+        int(so.get("numRowsDroppedByWatermark", 0))
+        for p in progresses
+        for so in (p.get("stateOperators") or [])
+    )
+    return spark.createDataFrame(
+        [(out.count(), dropped)], "n_windows long, dropped_updates long"
+    )

@@ -370,3 +370,20 @@ def test_boilerplate_removal_strips_exactly_planted_segment(spark, sf_dir):
     organic = out[out.doc_id % 5 != 0]
     assert len(planted) > 0 and (planted.n_removed >= 1).all()
     assert (organic.n_removed == 0).mean() >= 0.9
+
+
+def test_swm02_drop_accounting_matches_batch(spark, sf_dir):
+    """S-WM-02's dropped-updates metric must equal the batch-computed
+    number of distinct hour-windows among the planted late rows, and the
+    emitted window set must exclude every late-only window below the
+    final watermark (no silent partial acceptance)."""
+    from dask_xgboost_spark.registry import load_all
+    from dask_xgboost_spark.sources import load
+
+    row = load_all()["S-WM-02"].fn(spark, sf_dir).first()
+    ev = load(spark, sf_dir, "events").orderBy("ts")
+    expected_dropped = (
+        ev.limit(64).select(F.date_trunc("hour", "ts")).distinct().count()
+    )
+    assert row.dropped_updates == expected_dropped
+    assert row.n_windows > 0
