@@ -14,7 +14,7 @@ rewrite:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -53,6 +53,7 @@ def merge_into(
     return merged
 
 
+from dask_xgboost_spark.functions import EVENTS_US
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -132,3 +133,44 @@ def compact(
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").parquet(dst_dir)
     return spark.read.parquet(dst_dir).count()
+
+
+@register(
+    "Q-MERGE-02",
+    sql="WITH c AS (SELECT user_id, ts, event_id, "
+    "CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, "
+    "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c "
+    f"FROM {EVENTS_US} e), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+    "ORDER BY ts DESC, event_id DESC) AS rn FROM c) "
+    "SELECT user_id, v_c AS last_value_c FROM r WHERE rn = 1 AND op <> 'D' "
+    "ORDER BY user_id",
+)
+def q_merge_02(spark, sf):
+    """CDC apply / changelog compaction: the events stream read as a
+    Debezium-style change feed per user (every event upserts the user's
+    value; 'error' rows are deletes), compacted to the CURRENT state —
+    last op per key wins in (ts, event_id) order, and a trailing delete
+    removes the key entirely. This is the batch half of every
+    incremental-materialization pipeline (the streaming half is
+    S-SINK-02's foreachBatch upsert).
+
+    Scale shape: one shuffle on the key for the latest-wins window. When
+    keys are hot (celebrity users), switch to the Q-AGG-20 shape —
+    max_by(struct(op, v), unique_ord) — which partial-aggregates
+    map-side and never materializes the per-key sort; kept as the window
+    form here because it also demonstrates rn > 1 history retention."""
+    c = load(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_c"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("user_id", F.col("v_c").alias("last_value_c"))
+        .orderBy("user_id")
+    )

@@ -780,3 +780,35 @@ def q_date_07(spark, sf):
             "int"
         ).alias("day_in_quarter"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "Q-ARR-07",
+    # list_distinct order is engine-internal → always sort after distinct;
+    # carriers are joined strings (repo rule: no raw array hash columns)
+    sql="WITH w AS (SELECT doc_id, string_split(text, ' ')[1:12] AS a "
+    "FROM documents) "
+    "SELECT doc_id, "
+    "array_to_string(list_sort(a), ' ') AS sorted_toks, "
+    "array_to_string(list_sort(list_distinct(a)), ' ') AS uniq_toks, "
+    "CAST(len(list_distinct(a)) AS INT) AS n_uniq "
+    "FROM w ORDER BY doc_id",
+)
+def q_arr_07(spark, sf):
+    """sort_array + array_distinct over the first-12-token prefix.
+    array_distinct's output ORDER is engine-internal (Spark keeps first
+    occurrence, DuckDB's list_distinct reorders) — portable code must
+    re-sort after distinct, which is the discipline this entry pins.
+
+    Scale shape: map-only array HOFs, whole-stage codegen, no shuffle."""
+    a = F.slice(F.split("text", " "), 1, 12)
+    return (
+        load(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.array_join(F.sort_array(a), " ").alias("sorted_toks"),
+            F.array_join(F.sort_array(F.array_distinct(a)), " ").alias("uniq_toks"),
+            F.size(F.array_distinct(a)).alias("n_uniq"),
+        )
+        .orderBy("doc_id")
+    )
