@@ -1,0 +1,163 @@
+"""Physical-plan linter: flag the patterns that kill jobs at 100 TB.
+
+A query that is correct at sf0.01 and catastrophic at cluster scale
+usually telegraphs it in the physical plan — a Cartesian product, a
+row-at-a-time Python UDF inside the scan-heavy stage, a parquet scan
+whose predicate never reached the reader. ``lint_plan`` inspects a
+DataFrame's (executed) plan and returns structured findings, so
+pipelines can gate deployment on an empty finding list the same way
+they gate on tests. Heuristics operate on the plan text Spark itself
+prints — no private APIs.
+
+Severities: ``error`` = will not survive a 100× scale-up;
+``warn`` = costs real money at scale, sometimes legitimate;
+``info`` = worth a look.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class Finding:
+    severity: str  # error | warn | info
+    code: str
+    message: str
+
+
+def _formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def lint_plan(df: DataFrame, max_exchanges: int = 4) -> list[Finding]:
+    """Lint a DataFrame's physical plan for scale anti-patterns.
+
+    Checks (each maps to a Finding code):
+
+    - ``CARTESIAN``: CartesianProduct / BroadcastNestedLoopJoin — O(n·m)
+      row pairing; at fact-table sizes this never finishes. (Broadcast
+      NLJ is legitimate ONLY for tiny broadcast sides, e.g. L-SIM-01's
+      query set — suppress by passing that expectation explicitly.)
+    - ``PYTHON_UDF``: BatchEvalPython (row-at-a-time Python) in the
+      plan — 10-100× slower than Arrow-batched evaluation; ArrowEvalPython
+      (pandas UDFs) is reported as info only.
+    - ``NO_PUSHDOWN``: a parquet scan with an empty PushedFilters list
+      while a Filter node sits in the same plan — the predicate is being
+      applied AFTER decode instead of inside the reader. (Heuristic:
+      filters on derived columns genuinely can't push — review, don't
+      panic.)
+    - ``MANY_EXCHANGES``: more than ``max_exchanges`` shuffle Exchanges —
+      usually a missed co-partitioning or a plan that should reuse one
+      repartition across stages.
+    - ``NO_CODEGEN``: no WholeStageCodegen span at all — the hot path is
+      running interpreted.
+    """
+    plan = _formatted_plan(df)
+    findings: list[Finding] = []
+
+    if "CartesianProduct" in plan:
+        findings.append(
+            Finding(
+                "error",
+                "CARTESIAN",
+                "CartesianProduct in plan: unbounded row pairing — add a join "
+                "key, or broadcast + filter if one side is provably tiny.",
+            )
+        )
+    if "BroadcastNestedLoopJoin" in plan:
+        findings.append(
+            Finding(
+                "warn",
+                "CARTESIAN_BNLJ",
+                "BroadcastNestedLoopJoin: every probe row scans the whole "
+                "broadcast side — fine for a tiny broadcast (top-k query "
+                "sets), fatal if the broadcast side grows with the data.",
+            )
+        )
+    if "BatchEvalPython" in plan:
+        findings.append(
+            Finding(
+                "error",
+                "PYTHON_UDF",
+                "Row-at-a-time Python UDF (BatchEvalPython): move the logic "
+                "to built-in functions or an Arrow-batched pandas UDF.",
+            )
+        )
+    if "ArrowEvalPython" in plan:
+        findings.append(
+            Finding(
+                "info",
+                "ARROW_UDF",
+                "Arrow-batched Python present: acceptable off the hot path; "
+                "prefer built-in functions where expressible.",
+            )
+        )
+
+    # scans whose PushedFilters carry no real predicate (empty or only the
+    # IsNotNull side-conditions Spark always derives) while a Filter node
+    # still evaluates rows post-decode
+    # tree lines look like "* Filter (3)" / "+- Filter (5)"
+    has_filter_node = re.search(r"\bFilter \(\d+\)", plan) is not None
+    pushed_lists = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    trivial_pushed = any(
+        not any(
+            part.strip() and not part.strip().startswith("IsNotNull")
+            for part in lst.split(",")
+        )
+        for lst in pushed_lists
+    )
+    if has_filter_node and pushed_lists and trivial_pushed:
+        findings.append(
+            Finding(
+                "warn",
+                "NO_PUSHDOWN",
+                "A scan has PushedFilters: [] while the plan filters rows — "
+                "the predicate is evaluated after decode. If the filter is on "
+                "a stored column, restructure so it reaches the reader.",
+            )
+        )
+
+    n_exchanges = len(re.findall(r"\bExchange\b", plan.split("\n\n")[0]))
+    if n_exchanges > max_exchanges:
+        findings.append(
+            Finding(
+                "info",
+                "MANY_EXCHANGES",
+                f"{n_exchanges} shuffle Exchanges: check for a reusable "
+                "partitioning (bucketing / repartition once, consume twice).",
+            )
+        )
+
+    # codegen markers ("*(n)") only appear in the executed-plan string,
+    # not in formatted explain
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    if "*(" not in executed:
+        findings.append(
+            Finding(
+                "info",
+                "NO_CODEGEN",
+                "No WholeStageCodegen span: the plan runs interpreted — "
+                "usually a UDF/UDTF or an exotic operator breaking fusion.",
+            )
+        )
+    return findings
+
+
+def assert_scales(df: DataFrame, allow: set[str] | frozenset[str] = frozenset()) -> None:
+    """Raise if the plan has error-severity findings (codes in ``allow``
+    are suppressed) — the deploy-gate form of :func:`lint_plan`."""
+    bad = [
+        f
+        for f in lint_plan(df)
+        if f.severity == "error" and f.code not in allow
+    ]
+    if bad:
+        raise AssertionError(
+            "plan fails scale lint:\n" + "\n".join(f"  [{f.code}] {f.message}" for f in bad)
+        )

@@ -266,3 +266,58 @@ def test_dup_ngram_counts_combine_map_side(spark, sf_dir):
 def test_topk_null_placement_uses_take_ordered(spark, sf_dir):
     p = plan(spark, sf_dir, "Q-SORT-03")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_lint_flags_cartesian_and_python_udf(spark, sf_dir):
+    from pyspark.sql import functions as F2
+    from pyspark.sql.functions import udf
+
+    from dask_xgboost_spark.plans.lint import assert_scales, lint_plan
+    from dask_xgboost_spark.sources import load
+
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+
+    cross = n.crossJoin(r)
+    codes = {f.code for f in lint_plan(cross)}
+    assert codes & {"CARTESIAN", "CARTESIAN_BNLJ"}, codes
+
+    slow = udf(lambda x: (x or "") + "!", "string")
+    with_udf = n.select(slow(F2.col("n_name")).alias("x"))
+    assert "PYTHON_UDF" in {f.code for f in lint_plan(with_udf)}
+
+    try:
+        assert_scales(with_udf)
+    except AssertionError as e:
+        assert "PYTHON_UDF" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("assert_scales should have raised")
+
+
+def test_lint_passes_clean_plans(spark, sf_dir):
+    """Every bench headliner must be lint-clean at error severity — the
+    deploy gate the linter exists for."""
+    from dask_xgboost_spark.plans.lint import lint_plan
+    from dask_xgboost_spark.registry import load_all
+
+    specs = load_all()
+    for name in ["Q-AGG-01", "Q-JOIN-02", "Q-SORT-02", "Q-DATE-02", "Q-TPCH-03"]:
+        df = specs[name].fn(spark, sf_dir)
+        errors = [f for f in lint_plan(df) if f.severity == "error"]
+        assert not errors, (name, errors)
+
+
+def test_lint_detects_missing_pushdown(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from dask_xgboost_spark.plans.lint import lint_plan
+    from dask_xgboost_spark.sources import load
+
+    li = load(spark, sf_dir, "lineitem")
+    # filter on a derived expression → cannot push to the reader
+    blocked = li.filter(F2.sha2(F2.col("l_returnflag"), 256).startswith("a"))
+    assert "NO_PUSHDOWN" in {f.code for f in lint_plan(blocked)}
+
+    # filter on a stored column → pushes, no finding
+    pushed = li.filter(F2.col("l_quantity") > 30)
+    assert "NO_PUSHDOWN" not in {f.code for f in lint_plan(pushed)}
