@@ -321,3 +321,41 @@ def test_lint_detects_missing_pushdown(spark, sf_dir):
     # filter on a stored column → pushes, no finding
     pushed = li.filter(F2.col("l_quantity") > 30)
     assert "NO_PUSHDOWN" not in {f.code for f in lint_plan(pushed)}
+
+
+def test_lint_sweep_headline_families(spark, sf_dir):
+    """Registry-wide lint gate over the relational + pipeline families:
+    no error-severity finding anywhere, except the documented
+    allowances (broadcast-NLJ for tiny broadcast query sets in the
+    similarity ops). Streaming/ML/UDF entries are exercised elsewhere;
+    UDF entries are Python BY DESIGN and the UDTF is row-at-a-time by
+    API contract."""
+    from dask_xgboost_spark.plans.lint import lint_plan
+
+    allow = {
+        # brute-force verification twins / broadcast query sets: the
+        # broadcast side is k query rows, documented in the op docstrings
+        "L-SIM-01": {"CARTESIAN_BNLJ"},
+        "L-DEDUP-05": {"CARTESIAN_BNLJ"},
+    }
+    names = [
+        n
+        for n, s in SPECS.items()
+        if s.sql is not None
+        and getattr(s, "mode", "hash") not in ("stream", "golden")
+        and n.startswith(("Q-AGG", "Q-JOIN", "Q-TPCH", "Q-WIN", "Q-FIL",
+                          "Q-SORT", "Q-SET", "Q-SUBQ", "Q-CTE-01",
+                          "L-TEXT", "L-DEDUP-0", "L-MIX", "L-PIPE-01"))
+    ]
+    assert len(names) >= 60, len(names)
+    bad = {}
+    for n in names:
+        df = SPECS[n].fn(spark, sf_dir)
+        findings = [
+            f
+            for f in lint_plan(df)
+            if f.severity == "error" and f.code not in allow.get(n, set())
+        ]
+        if findings:
+            bad[n] = findings
+    assert not bad, bad
