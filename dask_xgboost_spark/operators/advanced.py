@@ -267,3 +267,36 @@ def q_cte_02(spark, sf):
     else:  # pragma: no cover - depth beyond bound means a malformed tree
         raise RuntimeError("hierarchy deeper than 64 levels (cycle?)")
     return result.orderBy("node")
+
+
+@register(
+    "Q-SUBQ-05",
+    # the subquery synthesizes a NULL row (custkey 0 → NULL): plain
+    # NOT IN must then return EMPTY (3-valued logic) — so the operator
+    # uses the NULL-filtered form, which is what users almost always mean
+    sql="SELECT c_custkey FROM customer WHERE c_custkey NOT IN ("
+    "SELECT CASE WHEN o_custkey = 0 THEN NULL ELSE o_custkey END "
+    "FROM orders WHERE "
+    "CASE WHEN o_custkey = 0 THEN NULL ELSE o_custkey END IS NOT NULL) "
+    "ORDER BY c_custkey",
+)
+def q_subq_05(spark, sf):
+    """NOT IN with a nullable subquery — the classic 3-valued-logic trap:
+    one NULL in the subquery makes plain NOT IN return ZERO rows (x <>
+    NULL is unknown), identically in Spark and DuckDB. The registered
+    form filters the NULLs (the intent users have ~always); Spark plans
+    the unfiltered form as a NullAwareAntiJoin (asserted in
+    tests/test_plans.py), which at scale degrades to a broadcast of the
+    whole subquery — another reason to write NOT EXISTS / filter NULLs.
+
+    Scale shape (filtered form): LeftAnti hash join — shuffles once on
+    the key, no null-aware broadcast."""
+    load(spark, sf, "customer").createOrReplaceTempView("customer")
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN ("
+        "SELECT CASE WHEN o_custkey = 0 THEN NULL ELSE o_custkey END "
+        "FROM orders WHERE "
+        "CASE WHEN o_custkey = 0 THEN NULL ELSE o_custkey END IS NOT NULL) "
+        "ORDER BY c_custkey"
+    )

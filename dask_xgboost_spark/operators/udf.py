@@ -18,9 +18,11 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from dask_xgboost_spark.functions import EVENTS_US
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -204,4 +206,46 @@ def u_gapply_02(spark, sf):
         ev.groupBy("event_type")
         .applyInPandas(fit, "event_type string, n bigint, intercept6 bigint, slope6 bigint")
         .orderBy("event_type")
+    )
+
+
+@register(
+    "U-WIN-01",
+    sql="SELECT event_id, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_c "
+    f"FROM {EVENTS_US} e ORDER BY event_id",
+)
+def u_win_01(spark, sf):
+    """Grouped-aggregate pandas UDF evaluated OVER A WINDOW FRAME — the
+    third pandas-UDF execution mode (after groupBy.agg and select):
+    Spark re-evaluates the Arrow-batched UDF per sliding frame, here a
+    3-row trailing sum of exact int64 cents. Use for frame logic numpy
+    expresses better than SQL (decayed sums, custom robust stats); for a
+    plain SUM the built-in is faster — this entry exists to pin the API
+    and its exact-arithmetic discipline.
+
+    Scale shape: one shuffle on user_id (same as any window), UDF cost
+    amortized over Arrow batches; bounded frames only (unbounded frames
+    fall back to full-partition transfer)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+
+    @pandas_udf("long")
+    def roll_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_c"),
+    )
+    return (
+        ev.select("event_id", roll_sum("v_c").over(w).alias("roll_c"))
+        .orderBy("event_id")
     )

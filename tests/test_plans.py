@@ -359,3 +359,31 @@ def test_lint_sweep_headline_families(spark, sf_dir):
         if findings:
             bad[n] = findings
     assert not bad, bad
+
+
+def test_not_in_nullable_plans_null_aware_anti_join(spark, sf_dir):
+    """The UNfiltered NOT IN over a nullable subquery must plan as
+    Spark's single-column NullAwareAntiJoin (broadcast) — the expensive
+    fallback Q-SUBQ-05's docstring warns about; the registered filtered
+    form stays a plain LeftAnti."""
+    from dask_xgboost_spark.sources import load
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    raw = spark.sql(
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN ("
+        "SELECT CASE WHEN o_custkey = 0 THEN NULL ELSE o_custkey END FROM orders)"
+    )
+    from dask_xgboost_spark.plans import explain_string
+
+    p_raw = explain_string(raw)
+    # the null-aware single-column plan: broadcast LeftAnti with NO join
+    # condition (the null handling lives in the hashed relation; the flag
+    # itself is not printed in formatted mode)
+    assert "BroadcastHashJoin LeftAnti" in p_raw, p_raw[:1500]
+    assert "Join condition: None" in p_raw, p_raw[:1500]
+    # and the 3-valued-logic outcome: one NULL in the subquery → 0 rows,
+    # even though most customers have no order with a transformed match
+    assert raw.count() == 0
+    p_filtered = plan(spark, sf_dir, "Q-SUBQ-05")
+    assert "LeftAnti" in p_filtered
