@@ -28,6 +28,7 @@ def events_stream(
     duplicate: bool = False,
     max_files_per_trigger: int | None = None,
     late_rows: int = 0,
+    future_sentinels: list[str] | None = None,
 ) -> DataFrame:
     """events.parquet replayed as a file-source stream.
 
@@ -36,11 +37,16 @@ def events_stream(
     duplicate=True appends a copy of every row (dedup fixtures);
     late_rows > 0 carves the N earliest rows out of the first file and
     delivers them LAST — genuinely late data, far below the watermark by
-    the time it arrives (S-WM-02's dropped-row accounting fixture).
+    the time it arrives (S-WM-02's dropped-row accounting fixture);
+    future_sentinels adds one far-future row (ts = max + 3 days) per
+    listed event_type, with event_id/user_id = -1, -2, ... — they push
+    the final watermark past every real row's eviction horizon so OUTER
+    stream-stream joins flush their unmatched state before availableNow
+    terminates (filter ids < 0 out of the result).
     """
     ensure_session_confs(spark)
     src = f"{sf_dir}/events.parquet"
-    if n_files == 1 and not duplicate and not late_rows:
+    if n_files == 1 and not duplicate and not late_rows and not future_sentinels:
         # file-stream sources require a directory
         stream_dir = tempfile.mkdtemp(prefix="dxs_stream_")
         os.symlink(src, os.path.join(stream_dir, "events.parquet"))
@@ -68,6 +74,22 @@ def events_stream(
             path = os.path.join(stream_dir, "part-9999-late.parquet")
             late.to_parquet(path, index=False)
             t = 1_700_000_000 + n_files * 60
+            os.utime(path, (t, t))
+        if future_sentinels:
+            rows = []
+            for i, etype in enumerate(future_sentinels):
+                r = pdf.iloc[-1].copy()
+                r["event_id"] = -(i + 1)
+                r["user_id"] = -(i + 1)
+                r["event_type"] = etype
+                r["ts"] = r["ts"] + 3 * 86400 * 1_000_000_000  # ns
+                rows.append(r)
+            import pandas as pd
+
+            sent = pd.DataFrame(rows).astype(pdf.dtypes.to_dict())
+            path = os.path.join(stream_dir, "part-9999-sentinel.parquet")
+            sent.to_parquet(path, index=False)
+            t = 1_700_000_000 + (n_files + 1) * 60
             os.utime(path, (t, t))
         schema = spark.read.parquet(stream_dir).schema
     reader = spark.readStream.schema(schema)

@@ -454,3 +454,56 @@ def s_wm_02(spark, sf):
     return spark.createDataFrame(
         [(out.count(), dropped)], "n_windows long, dropped_updates long"
     )
+
+
+@register(
+    "S-JOIN-03",
+    sql="SELECT c.event_id AS click_id, p.event_id AS purchase_id "
+    f"FROM {EVENTS_US} c LEFT JOIN {EVENTS_US} p "
+    "ON c.user_id = p.user_id AND p.event_type = 'purchase' "
+    "AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE "
+    "WHERE c.event_type = 'click' "
+    "ORDER BY click_id, purchase_id",
+    mode="stream",
+)
+def s_join_03(spark, sf):
+    """LEFT OUTER stream-stream join — the hard corner of streaming
+    joins: an unmatched left row can only emit its null-padded result
+    once the watermark proves no future match can arrive (c_ts + 30 min
+    + the join delay), so outer results trail the inner ones by the
+    eviction horizon. The replay appends far-future sentinel rows (one
+    per side, ids < 0, filtered from the result) that push the final
+    watermark past every real row's horizon — otherwise availableNow
+    would end with unmatched state still unflushed and the result would
+    be silently missing rows. Final output ≡ the batch LEFT JOIN oracle,
+    nulls included.
+
+    At scale the same rules as S-JOIN-01 apply (two-sided watermarks
+    bound both states); the extra cost of OUTER is keeping unmatched
+    left rows in state until eviction — the watermark delay directly
+    sizes that state."""
+    clicks = (
+        events_stream(spark, sf, future_sentinels=["click", "purchase"])
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf, future_sentinels=["click", "purchase"])
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+        "left_outer",
+    )
+    out = run_to_memory(joined.select("click_id", "purchase_id"), "append")
+    return out.filter(F.col("click_id") >= 0).orderBy("click_id", "purchase_id")
