@@ -1393,3 +1393,60 @@ def q_agg_21(spark, sf):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "Q-SCAN-10",
+    sql="SELECT CAST(SUM(CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_good, "
+    "CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad, "
+    "CAST(SUM(CASE WHEN o_orderkey % 10 <> 0 THEN o_orderkey ELSE 0 END) AS BIGINT) "
+    "AS sum_key_good FROM orders",
+)
+def q_scan_10(spark, sf):
+    """Corrupt-record-tolerant CSV ingestion, Spark-4 style: under ANSI
+    mode (default since 4.0) a malformed numeric field FAILS the scan
+    (CAST_INVALID_INPUT) — FAILFAST semantics even in PERMISSIVE mode.
+    The auditable ingest path is therefore: read the volatile columns as
+    STRING, type them with ``try_cast`` (NULL on malformed), and count
+    the quarantine partition explicitly. Every 10th written row carries a
+    non-numeric field; the witness row counts good/bad and checksums the
+    good keys; the oracle derives the same partition from the clean
+    source. At 100 TB ingest, a single bad line must neither kill a
+    6-hour job (ANSI FAILFAST) nor silently vanish (DROPMALFORMED) —
+    try_cast + quarantine counts is the mode that scales operationally.
+
+    Scale shape: map-only parse, one 1-row aggregate; the quarantined
+    lines can be routed to a reject sink from the same scan."""
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "dxs_csv_scan10")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey"),
+        # keep both branches STRING: under ANSI coercion a bigint branch
+        # would force-cast the 'XX' literal and fail the write
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("XX")).otherwise(
+            F.col("o_custkey").cast("string")
+        ),
+        F.col("o_orderstatus"),
+    )
+    load(spark, sf, "orders").select(line.alias("value")).write.mode(
+        "overwrite"
+    ).text(base)
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_custkey_raw string, o_orderstatus string"
+        )
+        .csv(base)
+        .withColumn("o_custkey", F.col("o_custkey_raw").try_cast("bigint"))
+    )
+    bad = F.col("o_custkey").isNull() & F.col("o_custkey_raw").isNotNull()
+    return back.agg(
+        F.sum(F.when(~bad, 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_bad"),
+        F.sum(F.when(~bad, F.col("o_orderkey")).otherwise(0))
+        .cast("long")
+        .alias("sum_key_good"),
+    )
