@@ -687,3 +687,31 @@ def l_text_16(spark, sf):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "L-PIPE-04",
+    sql="SELECT doc_id, n_chars, source FROM documents "
+    "WHERE doc_id % 3 <> 0 AND n_chars >= 100 ORDER BY doc_id",
+)
+def l_pipe_04(spark, sf):
+    """Incremental corpus processing: a processed-ledger ANTI JOIN gates
+    the expensive pipeline to ONLY new documents — the production
+    alternative to reprocessing 100 TB nightly. The ledger here is the
+    simulated prior run (doc_id % 3 == 0 already processed); unprocessed
+    docs flow through the quality gate. In production the ledger is the
+    output table's key column — reading keys costs one column scan of
+    the (columnar) output, and the anti join is broadcast when the daily
+    increment is small relative to the corpus.
+
+    Scale shape: ledger anti join (broadcast or shuffled on doc_id) +
+    map-only gate; total work tracks the INCREMENT size, not corpus
+    size. Pair with Q-MERGE-01 to append results transactionally."""
+    docs = load(spark, sf, "documents")
+    ledger = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    fresh = docs.join(ledger, "doc_id", "left_anti")
+    return (
+        fresh.filter(F.col("n_chars") >= 100)
+        .select("doc_id", "n_chars", "source")
+        .orderBy("doc_id")
+    )
