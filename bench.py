@@ -209,6 +209,60 @@ def main() -> None:
         con.execute(sql).df()
         tpch_duck[key] = round(_median_timed(lambda: con.execute(sql).df()), 4)
 
+    # data-skipping lever: same 16 files, four clusterings; how many
+    # files' footer stats overlap a selective (p95) predicate on EACH
+    # column — the fraction of the table a filtered scan must read.
+    # Lower = better; scattered is the no-layout baseline, range is
+    # single-column-optimal, Morton/Hilbert trade a little per-column
+    # tightness for multi-column coverage.
+    import glob
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+
+    from dask_xgboost_spark.plans.scale import (
+        write_hilbert_layout,
+        write_range_layout,
+        write_zorder_layout,
+    )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    u_cut, v_cut = ev.agg(
+        F.expr("percentile(user_id, 0.95)"), F.expr("percentile(value, 0.95)")
+    ).first()
+    lay_base = _tf.mkdtemp(prefix="dxs_layouts_")
+    lay_paths = {name: f"{lay_base}/{name}" for name in
+                 ("scattered", "range_user", "zorder", "hilbert")}
+    ev.repartition(16).write.mode("overwrite").parquet(lay_paths["scattered"])
+    write_range_layout(ev, lay_paths["range_user"], "user_id", n_ranges=16)
+    write_zorder_layout(ev, lay_paths["zorder"], ["user_id", "value"], n_files=16)
+    write_hilbert_layout(ev, lay_paths["hilbert"], ["user_id", "value"], n_files=16)
+
+    def _files_hit(path: str, col: str, cut: float) -> tuple[int, int]:
+        hits, files = 0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = _pq.ParquetFile(f).metadata
+            files += 1
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            fmax = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if fmax > cut:
+                hits += 1
+        return hits, files
+
+    layout_skipping = {}
+    for name, path in lay_paths.items():
+        hu, nf = _files_hit(path, "user_id", u_cut)
+        hv, _ = _files_hit(path, "value", v_cut)
+        layout_skipping[name] = {
+            "files": nf, "hit_user_id_p95": hu, "hit_value_p95": hv
+        }
+
     total = round(sum(results.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -231,6 +285,7 @@ def main() -> None:
                 "tpch_suite_total": round(sum(tpch_spark.values()), 4),
                 "tpch_suite_duckdb": tpch_duck,
                 "tpch_suite_duckdb_total": round(sum(tpch_duck.values()), 4),
+                "layout_file_skipping": layout_skipping,
             }
         )
     )

@@ -812,3 +812,45 @@ def q_arr_07(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "Q-MATH-02",
+    # the divisor is 0 whenever event_id % 5 == 0 → try_divide yields
+    # NULL there; the oracle CASE-guards (DuckDB integer/decimal division
+    # by zero raises, like Spark ANSI without try_)
+    sql="SELECT event_id, "
+    "CASE WHEN event_id % 5 = 0 THEN NULL "
+    "ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) / (event_id % 5) END AS ratio, "
+    "CASE WHEN event_id % 5 = 0 THEN NULL "
+    "ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // (event_id % 5) END AS ratio_i, "
+    "try_cast(CASE WHEN event_id % 7 = 0 THEN 'nan' "
+    "ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS parsed "
+    f"FROM {EVENTS_US} e ORDER BY event_id",
+)
+def q_math_02(spark, sf):
+    """ANSI-safe arithmetic: Spark 4 runs with spark.sql.ansi.enabled=true
+    (the default since 4.0), where x/0 and bad casts THROW mid-job — the
+    correct production posture is try_divide / try_cast, which yield NULL
+    exactly where the oracle's CASE guards do. A 100 TB job that dies at
+    hour 5 on one zero denominator is an ANSI-discipline bug, not a data
+    bug; the NULLs stay countable (quarantine pattern, see Q-SCAN-10).
+
+    Scale shape: map-only, codegen'd; integer floor-division is anchored
+    (DuckDB // floors, Spark DIV truncates — non-negative here so equal;
+    documented divergence for negatives)."""
+    cents_v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    d = F.col("event_id") % 5
+    return (
+        load(spark, sf, "events")
+        .select(
+            "event_id",
+            F.try_divide(cents_v, d).alias("ratio"),
+            F.try_divide(cents_v, d).cast("long").alias("ratio_i"),
+            F.when(F.col("event_id") % 7 == 0, F.lit("nan"))
+            .otherwise(F.col("event_id").cast("string"))
+            .try_cast("bigint")
+            .alias("parsed"),
+        )
+        .orderBy("event_id")
+    )
