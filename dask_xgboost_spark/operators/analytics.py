@@ -338,3 +338,103 @@ def q_qual_01(spark, sf):
         .alias("n_violations")
     ).select(F.lit("freshness_has_1997").alias("chk"), "n_violations")
     return pk.unionAll(fk).unionAll(rng).unionAll(dom).unionAll(fresh).orderBy("chk")
+
+
+@register(
+    "Q-TREND-01",
+    sql="WITH m AS (SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS mo, "
+    "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c "
+    "FROM orders GROUP BY y, mo) "
+    "SELECT CAST(y AS INT) AS y, CAST(mo AS INT) AS mo, rev_c, "
+    "rev_c - LAG(rev_c) OVER w AS mom_delta_c, "
+    "rev_c - LAG(rev_c, 12) OVER w AS yoy_delta_c "
+    "FROM m WINDOW w AS (ORDER BY y, mo) ORDER BY y, mo",
+)
+def q_trend_01(spark, sf):
+    """Trend analysis: monthly revenue with month-over-month and
+    year-over-year deltas — windows LAYERED OVER an aggregate, the
+    standard finance-dashboard shape. Deltas stay in exact int64 cents;
+    the ratio is a downstream division.
+
+    Scale shape: the aggregate reduces 100 TB of orders to ~100 monthly
+    rows BEFORE the window, so the unpartitioned (global) window sort is
+    over a constant-size frame — global windows are fine exactly when
+    they follow a cardinality-crushing aggregate, and wrong otherwise
+    (contrast Q-WIN-01's per-key windows over raw rows)."""
+    m = (
+        load(spark, sf, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    w = Window.orderBy("y", "mo")
+    return m.select(
+        "y",
+        "mo",
+        "rev_c",
+        (F.col("rev_c") - F.lag("rev_c", 1).over(w)).alias("mom_delta_c"),
+        (F.col("rev_c") - F.lag("rev_c", 12).over(w)).alias("yoy_delta_c"),
+    ).orderBy("y", "mo")
+
+
+_PR_SQL = """
+WITH cnt AS (SELECT COUNT(*) AS n FROM customer),
+nd AS (SELECT c_custkey AS k FROM customer),
+e AS (
+  SELECT k AS src, (k * 7 + 1) % (SELECT n FROM cnt) AS dst FROM nd
+  UNION ALL
+  SELECT k, (k * 13 + 2) % (SELECT n FROM cnt) FROM nd
+),
+r0 AS (SELECT k, CAST(1000000 AS BIGINT) AS r FROM nd),
+r1 AS (SELECT e.dst AS k, 150000 + SUM(r0.r // 2) AS r
+       FROM e JOIN r0 ON e.src = r0.k GROUP BY e.dst),
+r2 AS (SELECT e.dst AS k, 150000 + SUM(r1.r // 2) AS r
+       FROM e JOIN r1 ON e.src = r1.k GROUP BY e.dst),
+r3 AS (SELECT e.dst AS k, 150000 + SUM(r2.r // 2) AS r
+       FROM e JOIN r2 ON e.src = r2.k GROUP BY e.dst)
+SELECT k, CAST(r AS BIGINT) AS rank_u FROM r3 ORDER BY k
+"""
+
+
+@register("Q-GRAPH-01", sql=_PR_SQL)
+def q_graph_01(spark, sf):
+    """PageRank, 3 synchronous iterations, in EXACT integer arithmetic:
+    ranks are micro-units (start 1e6), each step distributes
+    ``rank DIV outdeg`` (outdeg = 2 by construction) plus a teleport
+    constant — floor division keeps every intermediate an int64, so the
+    result is bit-identical across engines and aggregation orders, which
+    float PageRank never is. The graph is synthesized from customer keys
+    (k → (7k+1) mod N and (13k+2) mod N; both maps are bijections for
+    gcd(7,N)=gcd(13,N)=1, so in-degree = out-degree = 2 — no dangling
+    mass). The oracle unrolls the same 3 iterations as CTEs.
+
+    Scale shape: per iteration, one join shuffle of ranks against the
+    (static, re-usable) edge partitioning + one groupBy on dst — the
+    standard distributed PageRank plan. For open-ended iteration counts,
+    add localCheckpoint per round (see Q-CTE-02 / connected_components);
+    3 unrolled rounds keep the plan shallow enough without it. N (the
+    node count) is dim-cardinality metadata — the one driver-side value,
+    same as the oracle's scalar subquery."""
+    cust = load(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    n_total = cust.count()
+    e1 = cust.select(
+        F.col("k").alias("src"), ((F.col("k") * 7 + 1) % n_total).alias("dst")
+    )
+    e2 = cust.select(
+        F.col("k").alias("src"), ((F.col("k") * 13 + 2) % n_total).alias("dst")
+    )
+    edges = e1.union(e2)
+    ranks = cust.select("k", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(3):
+        ranks = (
+            edges.join(ranks, edges.src == ranks.k)
+            .groupBy(F.col("dst").alias("k2"))
+            .agg((F.lit(150000) + F.sum(F.expr("r DIV 2"))).alias("r2"))
+            .select(F.col("k2").alias("k"), F.col("r2").alias("r"))
+        )
+    return ranks.select("k", F.col("r").cast("long").alias("rank_u")).orderBy("k")
