@@ -4,15 +4,19 @@ Covers the reference's scan surface (``dd.read_csv`` — README.rst:37,
 core.py:301,352) with Spark's native readers so predicate pushdown and
 column pruning reach the scan (verified by plan asserts in tests/).
 
-``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as int64 under
-``nanosAsLong`` and we convert with integer division to µs — an exact floor
-that the DuckDB oracle mirrors via ``date_trunc('microseconds', ts)``.
+``events.ts`` has shipped in two physical encodings across fixture
+generations: parquet TIMESTAMP(NANOS) (Spark reads it as int64 under
+``nanosAsLong``; we convert with integer division to µs — an exact floor
+that the DuckDB oracle mirrors) and TIMESTAMP(MICROS) (Spark reads it
+natively as TIMESTAMP_NTZ; no conversion needed). ``normalize_events_ts``
+dispatches on the *read* schema so either generation works.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from dask_xgboost_spark.session import ensure_session_confs
 
@@ -58,6 +62,27 @@ def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize ``events.ts`` to TIMESTAMP (LTZ) regardless of the
+    fixture generation's physical encoding:
+
+    - int64 nanos (``nanosAsLong`` legacy read of TIMESTAMP(NANOS)):
+      integer-divide to µs — an exact floor the DuckDB oracle mirrors.
+    - TIMESTAMP_NTZ (native read of parquet timestamp[us],
+      isAdjustedToUTC=false): cast to LTZ. The session timezone is pinned
+      UTC (session.py:48), so the cast is value-identical; it restores the
+      LTZ type every downstream consumer was built against (e.g. epoch
+      casts in plans/scale.py, window binning), which TIMESTAMP_NTZ alone
+      would break — NTZ cannot cast to numeric.
+    """
+    field = next((f for f in df.schema.fields if f.name == "ts"), None)
+    if field is not None and isinstance(field.dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif field is not None and isinstance(field.dataType, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes events.ts ns→µs (exact floor).
 
@@ -71,7 +96,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _PLAN_CACHE[key]
     df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     _PLAN_CACHE[key] = df
     return df
 

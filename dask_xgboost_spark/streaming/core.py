@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.session import ensure_session_confs
+from dask_xgboost_spark.sources.tables import normalize_events_ts
 
 
 def events_stream(
@@ -82,9 +83,16 @@ def events_stream(
                 r["event_id"] = -(i + 1)
                 r["user_id"] = -(i + 1)
                 r["event_type"] = etype
-                r["ts"] = r["ts"] + 3 * 86400 * 1_000_000_000  # ns
                 rows.append(r)
             import pandas as pd
+
+            offset = (
+                pd.Timedelta(days=3)
+                if pd.api.types.is_datetime64_any_dtype(pdf["ts"])
+                else 3 * 86400 * 1_000_000_000  # ns when ts is raw int64 nanos
+            )
+            for r in rows:
+                r["ts"] = r["ts"] + offset
 
             sent = pd.DataFrame(rows).astype(pdf.dtypes.to_dict())
             path = os.path.join(stream_dir, "part-9999-sentinel.parquet")
@@ -96,7 +104,7 @@ def events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(stream_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(df)
 
 
 def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:

@@ -144,12 +144,11 @@ def test_streaming_restart_is_exactly_once(spark, sf_dir):
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def run_once():
-        ev = (
-            spark.readStream.schema(schema)
-            .parquet(src_dir)
-            .withColumn("ts", SF.timestamp_micros(SF.expr("ts div 1000")))
-            .select("event_id")
-        )
+        from dask_xgboost_spark.sources.tables import normalize_events_ts
+
+        ev = normalize_events_ts(
+            spark.readStream.schema(schema).parquet(src_dir)
+        ).select("event_id")
         q = (
             ev.writeStream.format("parquet")
             .option("path", out_dir)
