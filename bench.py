@@ -60,6 +60,30 @@ def _median_timed(fn, runs: int = 3) -> float:
     return statistics.median(times)
 
 
+def smoke() -> None:
+    """Preflight mode (SPARK_GRAFT_BENCH_SMOKE=1): one untimed run of every
+    headline query + the driver's entry() — catches environment drift
+    (regenerated fixtures, schema changes) in ~1 min without the full
+    timed matrix. Exits non-zero on any failure."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from dask_xgboost_spark.registry import load_all
+    from dask_xgboost_spark.session import get_spark
+
+    spark = get_spark(app_name="dxs-bench-smoke", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+    for name in BENCH_QUERIES:
+        n = len(specs[name].fn(spark, sf_dir).toPandas())
+        print(f"smoke {name}: {n} rows", file=sys.stderr)
+    import __spark_entry__
+
+    n = len(__spark_entry__.entry(spark).toPandas())
+    print(f"smoke entry(): {n} rows", file=sys.stderr)
+    print('{"smoke": "ok"}')
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -293,4 +317,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_BENCH_SMOKE") == "1":
+        smoke()
+    else:
+        main()
