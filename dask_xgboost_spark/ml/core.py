@@ -64,16 +64,90 @@ def translate_params(params: dict[str, Any]) -> dict[str, Any]:
 
 
 def assemble_features(df: DataFrame, feature_col: str = "embedding") -> DataFrame:
-    """array<float> column → MLlib vector ``features`` column.
+    """Feature column → MLlib vector ``features`` column, dispatching on
+    the input type the way the reference's ``concat`` dispatches on
+    partition container (core.py:67-80: ndarray / DataFrame / csr_matrix
+    / pydata sparse all accepted):
+
+    - ``array<numeric>`` → dense vector (``array_to_vector``, JVM-side).
+    - MLlib ``VectorUDT`` (dense OR sparse) → passed through unchanged.
+    - ``struct<size:int, indices:array<int>, values:array<double>>`` —
+      the row-wise encoding of a ``scipy.sparse.csr_matrix``
+      (reference test_core.py:415-441 ``test_scipy_sparse``/``test_sparse``)
+      → ``SparseVector`` per row, O(nnz), never densified.
 
     Replaces the reference's partition-triad alignment (core.py:182-231):
     in a single DataFrame, features/label/weight travel on the same row,
     so co-location is free.
     """
     from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import VectorUDT
+    from pyspark.sql.types import ArrayType, StructType
 
+    dtype = df.schema[feature_col].dataType
+    if isinstance(dtype, VectorUDT):
+        if feature_col == FEATURES_COL:
+            return df
+        return df.withColumn(FEATURES_COL, F.col(feature_col))
+    if isinstance(dtype, StructType):
+        names = {f.name for f in dtype.fields}
+        if not {"size", "indices", "values"} <= names:
+            raise ValueError(
+                f"sparse feature struct must have size/indices/values "
+                f"fields, got {sorted(names)}"
+            )
+        return df.withColumn(
+            FEATURES_COL,
+            _make_sparse_vector(
+                F.col(f"{feature_col}.size"),
+                F.col(f"{feature_col}.indices"),
+                F.col(f"{feature_col}.values"),
+            ),
+        )
+    if isinstance(dtype, ArrayType):
+        return df.withColumn(
+            FEATURES_COL,
+            array_to_vector(F.col(feature_col).cast("array<double>")),
+        )
+    raise ValueError(
+        f"unsupported feature column type for {feature_col!r}: {dtype}"
+    )
+
+
+def _sparse_vector_udf():
+    """(size, indices, values) → SparseVector. A plain Python UDF is the
+    only construction path for the VectorUDT user-defined type (Arrow /
+    pandas_udf cannot carry UDTs; verified on this Spark build) — O(nnz)
+    per row and, critically, the vector stays SPARSE end-to-end: a
+    1e6-dim one-hot row costs its nnz, not 8 MB of dense doubles.
+    MLlib's tree learners consume SparseVector natively downstream."""
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    return F.udf(
+        lambda s, i, v: SparseVector(s, i or [], v or []), VectorUDT()
+    )
+
+
+def _make_sparse_vector(size_col, indices_col, values_col):
+    return _sparse_vector_udf()(size_col, indices_col, values_col)
+
+
+def sparse_features(
+    df: DataFrame,
+    size_col: str = "size",
+    indices_col: str = "indices",
+    values_col: str = "values",
+) -> DataFrame:
+    """Three flat columns (CSR row decomposition) → ``features``
+    SparseVector column. The distributed mirror of handing the reference
+    a ``scipy.sparse.csr_matrix`` (test_core.py:415-441)."""
     return df.withColumn(
-        FEATURES_COL, array_to_vector(F.col(feature_col).cast("array<double>"))
+        FEATURES_COL,
+        _make_sparse_vector(
+            F.col(size_col).cast("int"),
+            F.col(indices_col).cast("array<int>"),
+            F.col(values_col).cast("array<double>"),
+        ),
     )
 
 
@@ -357,6 +431,38 @@ def _local_features_frame(data):
     spark = SparkSession.getActiveSession()
     if spark is None:
         raise RuntimeError("local-data predict needs an active SparkSession")
+    try:
+        import scipy.sparse as ss
+    except ImportError:  # same guard as the reference (core.py:23-26)
+        ss = None
+    if ss is not None and ss.issparse(data):
+        # local CSR in → SparseVector rows, never densified (reference
+        # accepts csr_matrix blocks, core.py:67-70 / test_core.py:415-441)
+        csr = data.tocsr()
+        n, dim = csr.shape
+        pdf = pd.DataFrame(
+            {
+                "_row_idx": range(n),
+                "size": [dim] * n,
+                "indices": [
+                    csr.indices[csr.indptr[r]:csr.indptr[r + 1]].tolist()
+                    for r in range(n)
+                ],
+                "values": [
+                    csr.data[csr.indptr[r]:csr.indptr[r + 1]].astype(
+                        "float64"
+                    ).tolist()
+                    for r in range(n)
+                ],
+            }
+        )
+        sdf = spark.createDataFrame(
+            pdf, "_row_idx long, size int, indices array<int>, values array<double>"
+        )
+        return (
+            sparse_features(sdf).drop("size", "indices", "values"),
+            n,
+        )
     if isinstance(data, pd.DataFrame):
         arr = data.to_numpy(dtype="float64")
     else:

@@ -452,3 +452,89 @@ def test_categorical_encoding_matches_stringindexer(spark, sf_dir):
     m = ours.merge(theirs, on="c_custkey")
     assert len(m) == len(ours) > 0
     assert (m.seg_index == m.mllib_idx).all()
+
+
+def test_sparse_struct_and_flat_ingestion_match_dense(spark):
+    """Sparse ingestion parity (reference test_sparse/test_scipy_sparse,
+    test_core.py:415-441): the SAME data handed over in a sparse container
+    must train to the SAME model as the dense hand-over."""
+    import numpy as np
+
+    from dask_xgboost_spark.ml.core import sparse_features
+
+    rng = np.random.RandomState(7)
+    X = rng.rand(150, 5)
+    X[X < 0.4] = 0.0  # real zeros so the sparse encoding is exercised
+    y = (X[:, 0] + X[:, 3] > 0.9).astype(float)
+
+    rows = [
+        (
+            int(i),
+            [float(v) for v in X[i]],
+            5,
+            [int(j) for j in np.nonzero(X[i])[0]],
+            [float(v) for v in X[i][np.nonzero(X[i])]],
+            float(y[i]),
+        )
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "_row_idx long, arr array<double>, size int, "
+        "indices array<int>, values array<double>, y double",
+    ).repartition(4)
+
+    dense = assemble_features(df, feature_col="arr")
+    flat = sparse_features(df)
+    struct = assemble_features(
+        df.withColumn("sp", F.struct("size", "indices", "values")),
+        feature_col="sp",
+    )
+
+    params = {"objective": "binary:logistic", "n_estimators": 4, "random_state": 0}
+    preds = []
+    for frame in (dense, flat, struct):
+        m = train(params, frame, label_col="y")
+        out = (
+            m.transform(frame)
+            .select("_row_idx", "prediction")
+            .orderBy("_row_idx")
+            .toPandas()
+        )
+        preds.append(out["prediction"].to_numpy())
+    assert (preds[0] == preds[1]).all()
+    assert (preds[1] == preds[2]).all()
+
+    # and the constructed vectors really are sparse (nnz storage, not dim)
+    v = flat.select("features").first()["features"]
+    from pyspark.ml.linalg import SparseVector
+
+    assert isinstance(v, SparseVector)
+    assert len(v.indices) < v.size
+
+
+def test_sparse_struct_rejects_bad_fields(spark):
+    df = spark.createDataFrame([(1,)], "x int").withColumn(
+        "sp", F.struct(F.lit(1).alias("a"), F.lit(2).alias("b"))
+    )
+    with pytest.raises(ValueError, match="size/indices/values"):
+        assemble_features(df, feature_col="sp")
+
+
+def test_scipy_csr_local_predict():
+    """Local CSR in → local predictions out (reference predict on
+    csr_matrix partitions, core.py:378-384). Skips where scipy is absent —
+    the distributed sparse path is covered above either way."""
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    import numpy as np
+
+    from dask_xgboost_spark.ml.core import _local_features_frame
+
+    X = np.eye(6, dtype="float64") * 3.0
+    sdf, n = _local_features_frame(scipy_sparse.csr_matrix(X))
+    assert n == 6
+    v = sdf.orderBy("_row_idx").select("features").collect()[2]["features"]
+    from pyspark.ml.linalg import SparseVector
+
+    assert isinstance(v, SparseVector)
+    assert v[2] == 3.0 and v.numNonzeros() == 1
