@@ -404,12 +404,63 @@ def l_sim_06(spark, sf):
     ).orderBy("vec_id")
 
 
+def train_pq_codebook_distributed(
+    unit,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 12,
+    seed: int = 7,
+    sample_fraction: float | None = None,
+    vec_col: str = "ue",
+):
+    """Per-subspace codebook via DISTRIBUTED ``pyspark.ml.clustering.KMeans``
+    — the corpus (or a distributed ``sample_fraction`` of it at 100 TB;
+    sampling happens executor-side, nothing is collected) trains each of
+    the m subspace quantizers; only the (m × k × d/m) codebook — a few KB
+    — ever reaches the driver. The m slice columns are materialized once
+    and cached so the m fits share one pass over the input.
+
+    Centers are returned in lexicographic order so downstream code
+    assignment is stable across equivalent fits."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = unit.select(F.size(vec_col).alias("d")).first()["d"]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    train_df = unit
+    if sample_fraction is not None:
+        train_df = train_df.sample(fraction=sample_fraction, seed=seed)
+    sliced = train_df.select(
+        *[
+            array_to_vector(
+                F.slice(F.col(vec_col), j * sub + 1, sub).cast("array<double>")
+            ).alias(f"_s{j}")
+            for j in range(m)
+        ]
+    ).cache()
+    codebook = np.empty((m, k, sub))
+    try:
+        for j in range(m):
+            km = KMeans(
+                k=k, seed=seed + j, maxIter=iters, featuresCol=f"_s{j}"
+            ).fit(sliced)
+            C = np.stack([np.asarray(c) for c in km.clusterCenters()])
+            codebook[j] = C[np.lexsort(C.T[::-1])]
+    finally:
+        sliced.unpersist()
+    return codebook
+
+
 def train_pq_codebook(vecs, m: int = 8, k: int = 16, iters: int = 12, seed: int = 7):
-    """Lloyd's k-means per subspace on a driver-side sample → codebook of
-    shape (m, k, d/m). Sample-based codebook training is the production
-    shape (Faiss trains PQ on ~100k sampled vectors no matter the corpus
-    size); only ENCODING must be distributed. Deterministic: fixed seed,
-    fixed iteration count, ties broken by lowest centroid index."""
+    """Lloyd's k-means per subspace on a local sample → codebook of shape
+    (m, k, d/m). The bounded-sample alternative to
+    ``train_pq_codebook_distributed`` (Faiss-style: train PQ on ~100k
+    sampled vectors no matter the corpus size); kept for codebook
+    training from driver-side data. Deterministic: fixed seed, fixed
+    iteration count, ties broken by lowest centroid index."""
     import numpy as np
 
     X = np.asarray(vecs, dtype=np.float64)
@@ -437,7 +488,7 @@ def train_pq_codebook(vecs, m: int = 8, k: int = 16, iters: int = 12, seed: int 
 def l_sim_07(spark, sf):
     """ANN top-k via product quantization (PQ) + asymmetric distance:
     vectors are unit-normalized, split into m=16 subspaces, each encoded
-    as its nearest of k=16 sample-trained centroids → 16 nibble codes =
+    as its nearest of k=16 KMeans-trained centroids (distributed fit) → 16 nibble codes =
     8 bytes per vector (32× smaller than float32×64). Queries score
     candidates from per-query (m×k) distance tables — ADC: approx L2² =
     Σ_j table_j[code_j], nothing but m array lookups per corpus vector —
@@ -472,9 +523,10 @@ def l_sim_07(spark, sf):
         F.transform("embedding", lambda v: v.cast("double") / norm).alias("ue"),
     )
 
-    # codebook from a bounded driver-side sample (fixture: the whole corpus)
-    sample = [r.ue for r in unit.limit(2000).collect()]
-    codebook = train_pq_codebook(sample, m=m, k=k)
+    # codebook trained DISTRIBUTED (MLlib KMeans per subspace; only the
+    # few-KB codebook is collected) — at 100 TB pass sample_fraction to
+    # train on an executor-side sample instead of the full corpus
+    codebook = train_pq_codebook_distributed(unit, m=m, k=k)
     sub = codebook.shape[2]
     bc_cb = spark.sparkContext.broadcast(codebook)
 

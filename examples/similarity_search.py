@@ -95,7 +95,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     )
     assert recall >= 0.8, "ANN recall degraded"
 
-    # 6. product quantization serving path (L-SIM-07): sample-trained
+    # 6. product quantization serving path (L-SIM-07): distributed-KMeans-trained
     # codebook, Arrow-batched encode, ADC candidates, exact re-score
     from dask_xgboost_spark.registry import load_all
 
