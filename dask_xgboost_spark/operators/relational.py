@@ -1156,16 +1156,21 @@ def q_agg_19(spark, sf):
         F.count_min_sketch("event_type", F.lit(0.001), F.lit(0.99), F.lit(42)).alias("s")
     ).first()["s"]
     jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk))
-    exact = {
-        r["event_type"]: r["n"]
-        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    rows = [
-        (t, int(jcms.estimateCount(t)), int(n)) for t, n in sorted(exact.items())
-    ]
-    return spark.createDataFrame(
-        rows, "event_type string, est bigint, exact bigint"
-    ).orderBy("event_type")
+    # sketch point-queries need the key list driver-side (that is the
+    # sketch API), but ONLY the low-cardinality key list crosses the
+    # boundary; the exact counts stay a distributed aggregate and the
+    # tiny (key, est) frame broadcast-joins back onto it
+    exact_df = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact"))
+    keys = sorted(r["event_type"] for r in exact_df.select("event_type").collect())
+    est_df = spark.createDataFrame(
+        [(t, int(jcms.estimateCount(t))) for t in keys],
+        "event_type string, est bigint",
+    )
+    return (
+        exact_df.join(F.broadcast(est_df), "event_type")
+        .select("event_type", "est", F.col("exact").cast("bigint").alias("exact"))
+        .orderBy("event_type")
+    )
 
 
 @register(
