@@ -1455,3 +1455,104 @@ def q_scan_10(spark, sf):
         .cast("long")
         .alias("sum_key_good"),
     )
+
+
+@register(
+    "Q-AGG-22",
+    sql="SELECT l_returnflag, l_linestatus, "
+    "CAST(GROUPING(l_returnflag) AS INT) AS g_rf, "
+    "CAST(GROUPING(l_linestatus) AS INT) AS g_ls, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS rev_cents "
+    "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) "
+    "ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+)
+def q_agg_22(spark, sf):
+    """CUBE grouping — all 2^k margin combinations in one pass
+    (complements Q-AGG-15's ROLLUP, which only emits the k+1 prefix
+    margins). GROUPING() flags disambiguate cube-generated NULLs from
+    data NULLs, exactly as in the rollup twin.
+
+    Scale shape: Catalyst's Expand rewrite replicates each input row
+    once per grouping set BEFORE the partial aggregate, so the cost is
+    (2^k)·scan map-side and still ONE shuffle — no k-fold self-union.
+    Keep k small (here 2 → 4 sets); at 100 TB a wide cube should be a
+    rollup or explicit GROUPING SETS of the margins actually read."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "rev_cents"
+        )
+        .orderBy(
+            "g_rf",
+            "g_ls",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "Q-JOIN-12",
+    sql="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS n1, b.p_name AS n2,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM names a JOIN names b
+      ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+     AND a.p_name < b.p_name
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY n1, n2
+    """,
+)
+def q_join_12(spark, sf):
+    """Blocked fuzzy self-join (record linkage): distinct part names
+    paired when edit distance ≤ 2, WITHOUT the all-pairs cross join.
+
+    Blocking: equi-join on (first char, length band) with each left row
+    replicated into its band and both neighbors (multi-probe). Bands are
+    width-3, and edit distance ≤ 2 bounds the length difference by 2, so
+    a true pair can never sit more than one band apart — the blocking is
+    EXACT for this radius (no recall loss) while the first-char key is
+    the standard lossy prefix-block every linkage pipeline accepts (a
+    first-character edit escapes any prefix scheme); the oracle states
+    the same contract. Scale shape: shuffle on the compact block key,
+    levenshtein only within blocks — cost Σ|block|², not n²."""
+    names = load(spark, sf, "part").select("p_name").distinct()
+    band = F.floor(F.length("p_name") / 3).cast("int")
+    left = names.select(
+        "p_name",
+        F.substring("p_name", 1, 1).alias("c0"),
+        F.explode(
+            F.array(band - 1, band, band + 1)
+        ).alias("blk"),
+    )
+    right = names.select(
+        F.col("p_name").alias("p_name_r"),
+        F.substring("p_name", 1, 1).alias("c0"),
+        band.alias("blk"),
+    )
+    return (
+        left.join(right, ["c0", "blk"])
+        .filter(F.col("p_name") < F.col("p_name_r"))
+        .withColumn("dist", F.levenshtein("p_name", "p_name_r").cast("int"))
+        .filter(F.col("dist") <= 2)
+        .select(
+            F.col("p_name").alias("n1"),
+            F.col("p_name_r").alias("n2"),
+            "dist",
+        )
+        .distinct()
+        .orderBy("n1", "n2")
+    )

@@ -44,6 +44,7 @@ _OPERATOR_MODULES = [
     "dask_xgboost_spark.operators.analytics",
     "dask_xgboost_spark.operators.scalar",
     "dask_xgboost_spark.operators.windows",
+    "dask_xgboost_spark.operators.timeseries",
     "dask_xgboost_spark.operators.advanced",
     "dask_xgboost_spark.operators.udf",
     "dask_xgboost_spark.operators.dedup",
