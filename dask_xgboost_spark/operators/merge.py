@@ -174,3 +174,133 @@ def q_merge_02(spark, sf):
         .select("user_id", F.col("v_c").alias("last_value_c"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "G-MV-01",
+    sql="SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS day, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS rev_cents "
+    "FROM orders GROUP BY o_orderstatus, day "
+    "ORDER BY o_orderstatus, day",
+)
+def g_mv_01(spark, sf):
+    """Incremental materialized-view maintenance: a daily revenue rollup
+    kept as MERGEABLE partial-aggregate state (per-key count + cents
+    sum), refreshed by folding in ONLY the new batch — union of stored
+    state with the delta's partials, one re-aggregate. SUM and COUNT are
+    associative, so the refresh scans O(|delta| + |state|), never the
+    history; at 100 TB the state is |keys| rows while the history is the
+    100 TB. (AVG derives as sum/count; MIN/MAX fold the same way; exact
+    COUNT DISTINCT does NOT — that needs an HLL sketch state, Q-AGG-17.)
+
+    Demonstrated honestly: the stored state is built from ~90% of orders
+    (the simulated history), the remaining ~10% arrive as the delta, and
+    the returned frame is the folded state — hash-checked against the
+    oracle's full recompute over ALL orders, proving fold ≡ recompute."""
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def partials(df):
+        return df.groupBy("o_orderstatus", "day").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+
+    state = partials(orders.filter(F.col("o_orderkey") % 10 != 0))
+    delta = partials(orders.filter(F.col("o_orderkey") % 10 == 0))
+    return (
+        state.unionByName(delta)
+        .groupBy("o_orderstatus", "day")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("rev_cents").cast("long").alias("rev_cents"),
+        )
+        .orderBy("o_orderstatus", "day")
+    )
+
+
+@register(
+    "Q-DIFF-01",
+    sql="""
+    WITH v1 AS (
+        SELECT o_orderkey AS k,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+               o_orderstatus AS st
+        FROM orders
+    ),
+    v2 AS (
+        SELECT k,
+               CASE WHEN k % 101 = 0 THEN price_c + 500 ELSE price_c END AS price_c,
+               st
+        FROM v1 WHERE k % 97 <> 0
+        UNION ALL
+        SELECT -k, price_c, st FROM v1 WHERE k % 103 = 0 AND k > 0
+    )
+    SELECT
+        CAST(COUNT(*) FILTER (WHERE v1.k IS NULL) AS BIGINT) AS n_added,
+        CAST(COUNT(*) FILTER (WHERE v2.k IS NULL) AS BIGINT) AS n_removed,
+        CAST(COUNT(*) FILTER (WHERE v1.k IS NOT NULL AND v2.k IS NOT NULL
+             AND (v1.price_c <> v2.price_c OR v1.st <> v2.st)) AS BIGINT)
+             AS n_changed,
+        CAST(COUNT(*) FILTER (WHERE v1.k IS NOT NULL AND v2.k IS NOT NULL
+             AND v1.price_c = v2.price_c AND v1.st = v2.st) AS BIGINT)
+             AS n_unchanged
+    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    """,
+)
+def q_diff_01(spark, sf):
+    """Table-version reconciliation (the validation step of every
+    migration / backfill): full-outer join of two snapshots on the key,
+    rows classified added / removed / changed / unchanged into one
+    witness row. The second snapshot is derived in-query (drop keys
+    %97, bump price on keys %101, insert negated keys %103) so the
+    expected counts are deterministic at every SF.
+
+    Scale shape: ONE key-shuffle full-outer join and a global
+    conditional aggregate — no collect, no per-row Python, and the value
+    comparison is a column equality (in production over a precomputed
+    xxhash64 of all non-key columns — hash inequality ≡ value inequality
+    w.h.p., and the hash travels 8 bytes instead of the whole row)."""
+    v1 = load(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    v2 = (
+        v1.filter(F.col("k") % 97 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 101 == 0, F.col("price_c") + 500)
+            .otherwise(F.col("price_c"))
+            .alias("price_c"),
+            "st",
+        )
+        .unionByName(
+            v1.filter((F.col("k") % 103 == 0) & (F.col("k") > 0)).select(
+                (-F.col("k")).alias("k"), "price_c", "st"
+            )
+        )
+    )
+    a = v1.alias("a")
+    b = v2.alias("b")
+    j = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    both = F.col("a.k").isNotNull() & F.col("b.k").isNotNull()
+    same = (F.col("a.price_c") == F.col("b.price_c")) & (
+        F.col("a.st") == F.col("b.st")
+    )
+    return j.agg(
+        F.count_if(F.col("a.k").isNull()).cast("long").alias("n_added"),
+        F.count_if(F.col("b.k").isNull()).cast("long").alias("n_removed"),
+        F.count_if(both & ~same).cast("long").alias("n_changed"),
+        F.count_if(both & same).cast("long").alias("n_unchanged"),
+    )
