@@ -345,6 +345,7 @@ def test_lint_sweep_headline_families(spark, sf_dir):
         and getattr(s, "mode", "hash") not in ("stream", "golden")
         and n.startswith(("Q-AGG", "Q-JOIN", "Q-TPCH", "Q-WIN", "Q-FIL",
                           "Q-SORT", "Q-SET", "Q-SUBQ", "Q-CTE-01",
+                          "Q-TS", "Q-DIFF", "Q-GRAPH", "G-MV",
                           "L-TEXT", "L-DEDUP-0", "L-MIX", "L-PIPE-01"))
     ]
     assert len(names) >= 60, len(names)
