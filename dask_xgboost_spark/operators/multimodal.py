@@ -150,3 +150,62 @@ def l_mm_03(spark, sf):
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "L-MM-04",
+    sql="SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, "
+    "md5(text) AS content_md5 FROM documents WHERE doc_id < 200 "
+    "ORDER BY doc_id",
+)
+def l_mm_04(spark, sf):
+    """Raw media-directory ingestion via the ``binaryFile`` source — the
+    front door for image/audio corpora that arrive as FILES, before any
+    of the column-oriented ops (L-MM-01..03) apply: one distributed read
+    yields (path, modificationTime, length, content) rows, the id is
+    parsed from the filename JVM-side, and payload metadata (length,
+    digest) is computed on the binary column without Python touching the
+    bytes.
+
+    At 100 TB this is how a crawl landing zone becomes a table: read
+    once with ``pathGlobFilter``/``recursiveFileLookup``, checksum and
+    size in the same pass, write parquet with the payload as a binary
+    column — after which decode fan-out is L-MM-03's problem. (The
+    fixture writes 200 files from documents.text so the oracle can
+    verify the SAME digests from the table side; the write loop is test
+    scaffolding, the ingestion is the distributed part.)"""
+    import os
+    import shutil
+    import tempfile
+
+    # per-SF dir, wiped first: a rerun or an SF switch must never leave
+    # stale files for the glob to pick up
+    base = os.path.join(
+        tempfile.gettempdir(), f"dxs_mm_raw_{os.path.basename(sf.rstrip('/'))}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    rows = (
+        load(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:  # bounded fixture scaffolding (200 files), not the op
+        with open(os.path.join(base, f"doc_{r['doc_id']:08d}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(base)
+    )
+    return (
+        raw.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").cast("int").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
