@@ -69,6 +69,94 @@ ORDER BY event_type, h
 """
 
 
+def gapfill(
+    obs,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    step: str = "INTERVAL 1 HOUR",
+    step_seconds: int = 3600,
+    how: str = "locf",
+):
+    """Public gap-fill API over any (keys, bucket-timestamp, value) frame:
+    densify each key's series onto the global [min, max] bucket spine and
+    fill the holes.
+
+    ``how='locf'``   → ``<value_col>_locf``: last observation carried
+                       forward; leading holes stay NULL.
+    ``how='interp'`` → ``<value_col>_interp``: integer-exact linear
+                       interpolation ``(pv·(nh−h) + nv·(h−ph)) div
+                       (nh−ph)`` between the flanking observations
+                       (value must be an integer carrier, e.g. cents);
+                       leading/trailing holes stay NULL.
+
+    Adds ``observed`` (1 = real row, 0 = filled). One shuffle for the
+    spine join; the fill windows reuse the same (keys, time)
+    partitioning. The spine is generated executor-side (sequence +
+    explode), never shuffled."""
+    bounds = obs.agg(
+        F.min(time_col).alias("_lo"), F.max(time_col).alias("_hi")
+    )
+    keys = obs.select(*key_cols).distinct()
+    spine = keys.crossJoin(F.broadcast(bounds)).select(
+        *key_cols,
+        F.explode(F.sequence("_lo", "_hi", F.expr(step))).alias(time_col),
+    )
+    joined = spine.join(obs, [*key_cols, time_col], "left")
+    observed = F.col(value_col).isNotNull().cast("int").alias("observed")
+    if how == "locf":
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(time_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return joined.select(
+            *key_cols,
+            time_col,
+            F.last(value_col, ignorenulls=True).over(w).alias(f"{value_col}_locf"),
+            observed,
+        )
+    if how != "interp":
+        raise ValueError(f"how must be 'locf' or 'interp', got {how!r}")
+    tn = (
+        F.unix_timestamp(F.col(time_col)).cast("bigint") / F.lit(step_seconds)
+    ).cast("bigint")
+    joined = joined.withColumn("_tn", tn)
+    wp = (
+        Window.partitionBy(*key_cols)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy(*key_cols)
+        .orderBy(time_col)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    tn_obs = F.when(F.col(value_col).isNotNull(), F.col("_tn"))
+    flank = (
+        joined.withColumn("_pv", F.last(value_col, ignorenulls=True).over(wp))
+        .withColumn("_ph", F.last(tn_obs, ignorenulls=True).over(wp))
+        .withColumn("_nv", F.first(value_col, ignorenulls=True).over(wn))
+        .withColumn("_nh", F.first(tn_obs, ignorenulls=True).over(wn))
+    )
+    interp = F.col("_pv") * (F.col("_nh") - F.col("_tn")) + F.col("_nv") * (
+        F.col("_tn") - F.col("_ph")
+    )
+    span = F.col("_nh") - F.col("_ph")
+    filled = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+        F.when(
+            F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+            F.floor(interp / span).cast("bigint"),
+        )
+    )
+    return flank.select(
+        *key_cols,
+        time_col,
+        filled.alias(f"{value_col}_interp"),
+        observed,
+    )
+
+
 def _observed(spark, sf):
     ev = load(spark, sf, "events")
     return (
@@ -84,26 +172,6 @@ def _observed(spark, sf):
     )
 
 
-def _spine(spark, sf):
-    ev = load(spark, sf, "events")
-    bounds = ev.agg(
-        F.min(F.date_trunc("hour", "ts")).alias("lo"),
-        F.max(F.date_trunc("hour", "ts")).alias("hi"),
-    )
-    keys = ev.select("event_type").distinct()
-    # |keys| × |hours| spine, generated executor-side: sequence() builds
-    # the hour array inside the row, explode fans it out — no shuffle
-    return (
-        keys.crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-            ).alias("h"),
-        )
-    )
-
-
 @register("Q-TS-01", sql=_TS01_SQL)
 def q_ts_01(spark, sf):
     """Hourly gap-fill + LOCF (last observation carried forward) per
@@ -111,22 +179,9 @@ def q_ts_01(spark, sf):
     and the fill window share the (event_type, h) partitioning; holes
     before the first observation stay NULL (standard locf contract).
     ``observed`` flags which rows are real vs filled."""
-    obs = _observed(spark, sf)
-    spine = _spine(spark, sf)
-    joined = spine.join(obs, ["event_type", "h"], "left").select(
-        "event_type",
-        "h",
-        "sv_cents",
-        F.col("sv_cents").isNotNull().cast("int").alias("observed"),
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        joined.withColumn("sv_locf", F.last("sv_cents", ignorenulls=True).over(w))
-        .select("event_type", "h", "sv_locf", "observed")
+        gapfill(_observed(spark, sf), ["event_type"], "h", "sv_cents", how="locf")
+        .select("event_type", "h", F.col("sv_cents_locf").alias("sv_locf"), "observed")
         .orderBy("event_type", "h")
     )
 
@@ -178,45 +233,10 @@ def q_ts_02(spark, sf):
     first / after the last observation stay NULL. Same single
     (event_type, h) partitioning as Q-TS-01 — the two flanking windows
     reuse it."""
-    obs = _observed(spark, sf)
-    spine = _spine(spark, sf)
-    joined = spine.join(obs, ["event_type", "h"], "left")
-    hn = (F.unix_timestamp("h").cast("bigint") / F.lit(3600)).cast("bigint")
-    joined = joined.withColumn("hn", hn)
-    wp = (
-        Window.partitionBy("event_type")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wn = (
-        Window.partitionBy("event_type")
-        .orderBy("h")
-        .rowsBetween(1, Window.unboundedFollowing)
-    )
-    hn_obs = F.when(F.col("sv_cents").isNotNull(), F.col("hn"))
-    flank = (
-        joined.withColumn("pv", F.last("sv_cents", ignorenulls=True).over(wp))
-        .withColumn("ph", F.last(hn_obs, ignorenulls=True).over(wp))
-        .withColumn("nv", F.first("sv_cents", ignorenulls=True).over(wn))
-        .withColumn("nh", F.first(hn_obs, ignorenulls=True).over(wn))
-    )
-    interp = (
-        F.col("pv") * (F.col("nh") - F.col("hn"))
-        + F.col("nv") * (F.col("hn") - F.col("ph"))
-    )
-    span = F.col("nh") - F.col("ph")
-    filled = F.when(F.col("sv_cents").isNotNull(), F.col("sv_cents")).otherwise(
-        F.when(
-            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
-            F.floor(interp / span).cast("bigint"),
-        )
-    )
     return (
-        flank.select(
-            "event_type",
-            "h",
-            filled.alias("sv_interp"),
-            F.col("sv_cents").isNotNull().cast("int").alias("observed"),
+        gapfill(_observed(spark, sf), ["event_type"], "h", "sv_cents", how="interp")
+        .select(
+            "event_type", "h", F.col("sv_cents_interp").alias("sv_interp"), "observed"
         )
         .orderBy("event_type", "h")
     )

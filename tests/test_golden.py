@@ -386,3 +386,52 @@ def test_swm02_drop_accounting_matches_batch(spark, sf_dir):
     )
     assert row.dropped_updates == expected_dropped
     assert row.n_windows > 0
+
+
+def test_gapfill_semantics_constructed(spark):
+    """gapfill() contract on a hand-built series (operators/timeseries.py):
+    leading holes NULL under both modes, LOCF carries forward, interp is
+    the exact integer lerp, trailing holes NULL under interp / carried
+    under LOCF."""
+    import datetime as dt
+
+    from dask_xgboost_spark.operators.timeseries import gapfill
+
+    H = lambda i: dt.datetime(2026, 1, 1, i, 0, 0)
+    # key "a": observed at hours 1, 4 (values 100, 400) within spine 0..5
+    # (hour 0 and 5 come from key "b" widening the global bounds)
+    rows = [
+        ("a", H(1), 100),
+        ("a", H(4), 400),
+        ("b", H(0), 7),
+        ("b", H(5), 13),
+    ]
+    obs = spark.createDataFrame(rows, "k string, h timestamp, v bigint")
+
+    locf = {
+        (r["k"], r["h"].hour): (r["v_locf"], r["observed"])
+        for r in gapfill(obs, ["k"], "h", "v", how="locf").collect()
+    }
+    assert locf[("a", 0)] == (None, 0)          # leading hole: NULL
+    assert locf[("a", 1)] == (100, 1)
+    assert locf[("a", 2)] == (100, 0)           # carried forward
+    assert locf[("a", 3)] == (100, 0)
+    assert locf[("a", 4)] == (400, 1)
+    assert locf[("a", 5)] == (400, 0)           # trailing carried
+    assert locf[("b", 2)] == (7, 0)
+
+    interp = {
+        (r["k"], r["h"].hour): (r["v_interp"], r["observed"])
+        for r in gapfill(obs, ["k"], "h", "v", how="interp").collect()
+    }
+    assert interp[("a", 0)] == (None, 0)        # leading hole: NULL
+    assert interp[("a", 2)] == (200, 0)         # 100 + (400-100)*1/3
+    assert interp[("a", 3)] == (300, 0)
+    assert interp[("a", 5)] == (None, 0)        # trailing hole: NULL
+    assert interp[("b", 1)] == ((7 * 4 + 13 * 1) // 5, 0)  # floor lerp
+    assert interp[("b", 4)] == ((7 * 1 + 13 * 4) // 5, 0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="locf"):
+        gapfill(obs, ["k"], "h", "v", how="nope").collect()
