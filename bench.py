@@ -287,6 +287,28 @@ def main() -> None:
             "files": nf, "hit_user_id_p95": hu, "hit_value_p95": hv
         }
 
+    # streaming throughput: events replayed through the file source in 8
+    # micro-batches into the windowed-count aggregate (S-WIN-02 shape),
+    # end-to-end wall clock from stream start to final state — the
+    # steady-state ingest rate of the streaming family at this SF
+    from dask_xgboost_spark.streaming.core import events_stream, run_to_memory
+
+    t0 = time.perf_counter()
+    sev = events_stream(spark, sf_dir, n_files=8, max_files_per_trigger=1)
+    sagg = sev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sout = run_to_memory(sagg, "complete")
+    s_rows = load(spark, sf_dir, "events").count()
+    s_wall = time.perf_counter() - t0
+    streaming = {
+        "input_rows": int(s_rows),
+        "micro_batches": 8,
+        "wall_sec": round(s_wall, 4),
+        "rows_per_sec": int(s_rows / s_wall),
+        "result_groups": sout.count(),
+    }
+
     total = round(sum(results.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -310,6 +332,7 @@ def main() -> None:
                 "tpch_suite_duckdb": tpch_duck,
                 "tpch_suite_duckdb_total": round(sum(tpch_duck.values()), 4),
                 "layout_file_skipping": layout_skipping,
+                "streaming_ingest": streaming,
             }
         )
     )
