@@ -40,16 +40,17 @@ _DRIVER_PRIORITY = [
     # r3 errored, now fixed — batch (7)
     "Q-SCAN-05", "Q-JOIN-11", "Q-DATE-05", "Q-DATE-06", "Q-JSON-02",
     "Q-WIN-08", "Q-WIN-09",
-    # never-checked batch, hash-mode (31)
-    "Q-SCAN-06", "Q-SCAN-07", "Q-SCAN-08", "Q-SCAN-09", "Q-SCAN-10",
+    # never-checked batch, hash-mode (27)
+    "Q-SCAN-06", "Q-SCAN-07", "Q-SCAN-10",
     "Q-AGG-18", "Q-AGG-20", "Q-AGG-21",
-    "Q-TPCH-07", "Q-TPCH-09", "Q-TPCH-11", "Q-TPCH-15", "Q-TPCH-18",
-    "Q-TPCH-22",
+    "Q-TPCH-07", "Q-TPCH-09", "Q-TPCH-11", "Q-TPCH-15",
     "Q-SCD-01", "Q-FUNNEL-01", "Q-COHORT-01", "Q-BASKET-01",
     "Q-PROF-01", "Q-QUAL-01", "Q-TREND-01", "Q-GRAPH-01",
     "Q-WIN-10", "Q-WIN-11", "Q-WIN-12", "Q-SORT-03", "Q-SUBQ-04",
     "Q-CTE-02",
     "L-DEDUP-08", "L-MIX-01", "L-TEXT-11",
+    # round-4 additions, hash-mode (4)
+    "Q-TS-01", "Q-TS-02", "Q-GRAPH-02", "G-MV-01",
     # never-checked ML prep, hash-mode (1)
     "M-PREP-03",
     # streaming: r3 errored now fixed (6) + never-checked (5)
@@ -57,8 +58,10 @@ _DRIVER_PRIORITY = [
     "S-SINK-01",
     "S-GEN-01", "S-STATE-03", "S-STATE-04", "S-JOIN-03", "S-WM-02",
     # past-the-50-window spillover, in value order, in case the driver
-    # checks deeper: the rest of the never-checked hash-mode entries,
-    # then goldens.
+    # checks deeper: remaining round-4 additions, the rest of the
+    # never-checked hash-mode entries, then goldens.
+    "Q-DIFF-01", "Q-AGG-22", "Q-JOIN-12", "L-MM-04",
+    "Q-SCAN-08", "Q-SCAN-09", "Q-TPCH-18", "Q-TPCH-22",
     "Q-TPCH-16", "Q-TPCH-17", "Q-TPCH-19", "Q-TPCH-20",
     "Q-STR-06", "Q-STR-07", "Q-DATE-07", "Q-ARR-07", "Q-MATH-02",
     "Q-SAMPLE-02", "Q-SUBQ-05", "Q-MERGE-02", "U-WIN-01",
