@@ -1,0 +1,68 @@
+"""Structural checks on the driver contract (__spark_entry__).
+
+The correctness harness checks a prefix window of ``queries()`` in
+order; these tests pin the invariants that make that window land:
+every priority name resolves, hash-mode entries carry oracles, the
+50-window touches every operator family, and the whole registry is
+reachable. Execution-level parity for every hash entry is the separate
+sweep in test_oracle_parity.py — this file is the cheap wiring gate
+that runs even when someone edits only the window list.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from dask_xgboost_spark.registry import load_all  # noqa: E402
+
+
+def _family(name: str) -> str:
+    # "Q-AGG-01" → "Q-AGG"; "L-TEXT-11" → "L-TEXT"; "S-WIN-02" → "S"
+    parts = name.split("-")
+    if name.startswith(("S-", "M-", "U-", "G-")):
+        return parts[0]
+    return "-".join(parts[:2])
+
+
+def test_priority_names_resolve_and_are_unique():
+    specs = load_all()
+    pri = entrymod._DRIVER_PRIORITY
+    assert len(pri) == len(set(pri)), "duplicate names in _DRIVER_PRIORITY"
+    missing = [n for n in pri if n not in specs]
+    assert not missing, missing
+
+
+def test_queries_and_oracles_consistent():
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    specs = load_all()
+    assert set(qs) == set(specs), "queries() must expose the full registry"
+    assert set(osql) <= set(qs)
+    # every hash/stream-mode spec must surface its oracle
+    for n, s in specs.items():
+        if s.sql is not None:
+            assert n in osql, f"{n} has oracle SQL but oracle_sql() omits it"
+
+
+def test_window_prefix_covers_every_family():
+    """The first 50 entries (the driver's check window) must witness
+    every top-level operator family so no family goes a round without a
+    driver-checked row."""
+    window = list(entrymod.queries())[:50]
+    fams = {_family(n) for n in window}
+    for required in ("Q-SCAN", "Q-AGG", "Q-WIN", "Q-TS", "Q-TPCH",
+                     "L-DEDUP", "L-MIX", "L-TEXT", "S", "M", "G"):
+        assert required in fams, f"family {required} missing from window"
+
+
+def test_window_prefix_mostly_hash_mode():
+    """Hash-checked rows are the strong evidence; the window should not
+    silently drift toward rows-only entries."""
+    specs = load_all()
+    window = list(entrymod.queries())[:50]
+    with_oracle = sum(1 for n in window if specs[n].sql is not None)
+    assert with_oracle >= 40, f"only {with_oracle}/50 window entries hash-mode"
