@@ -15,7 +15,7 @@ from tests.conftest import SF_SMALL
 
 
 @pytest.mark.parametrize(
-    "module", ["reference_workflow", "curation_pipeline", "similarity_search"]
+    "module", ["reference_workflow", "curation_pipeline", "similarity_search", "warehouse_ops"]
 )
 def test_example_runs(module, spark):
     mod = importlib.import_module(f"examples.{module}")
