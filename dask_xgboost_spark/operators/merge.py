@@ -304,3 +304,82 @@ def q_diff_01(spark, sf):
         F.count_if(both & ~same).cast("long").alias("n_changed"),
         F.count_if(both & same).cast("long").alias("n_unchanged"),
     )
+
+
+@register(
+    "G-BACKFILL-01",
+    sql="""
+    WITH lo AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+    f AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day
+          FROM orders, lo WHERE CAST(o_orderdate AS DATE) < d0 + 4),
+    fixed AS (SELECT day,
+                     CASE WHEN day = (SELECT d0 + 2 FROM lo)
+                               AND o_orderkey % 2 = 0
+                          THEN 2 * o_orderkey ELSE o_orderkey END AS k
+              FROM f)
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM fixed GROUP BY day ORDER BY day
+    """,
+)
+def g_backfill_01(spark, sf):
+    """Idempotent partition backfill via DYNAMIC partition overwrite —
+    the daily-pipeline rerun primitive: re-running one day must replace
+    exactly that day's partition directory and leave every other
+    partition's files untouched.
+
+    Mechanics: orders' first 4 days are written partitioned by day
+    (``partitionBy('day')``); day 2 is then rewritten with corrected
+    rows (even keys doubled) under
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` — with STATIC
+    mode (the default) the same ``mode('overwrite')`` would wipe ALL
+    four days. The read-back rollup is hash-checked against the oracle's
+    expected final state, and filters on ``day`` prune to single
+    partition directories at read time (the same pruning that makes
+    date-partitioned layouts the default at 100 TB)."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"dxs_backfill_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("day")
+    )
+    lo = orders.agg(F.min("day").alias("lo"))
+    first4 = orders.join(F.broadcast(lo), F.col("day") < F.date_add("lo", 4)).drop(
+        "lo"
+    )
+    first4.write.partitionBy("day").mode("overwrite").parquet(base)
+
+    # corrected day-2 batch: even keys doubled
+    day2 = (
+        first4.join(F.broadcast(lo), F.col("day") == F.date_add("lo", 2))
+        .drop("lo")
+        .withColumn(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 2 == 0, 2 * F.col("o_orderkey")
+            ).otherwise(F.col("o_orderkey")),
+        )
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        day2.write.partitionBy("day").mode("overwrite").parquet(base)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    back = spark.read.parquet(base)
+    return (
+        back.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("day")
+    )
