@@ -10,8 +10,10 @@ representative of EVERY operator family (relational scan→window→subquery,
 UDF surface, dedup/similarity/text pipeline ops, streaming, ML prep)
 rather than the registry's module order, which front-loaded ~50
 relational entries and left the other families unwitnessed. The full
-registry (125+ entries) follows after the window; repo-local tests sweep
-all of it regardless (tests/test_oracle_parity.py).
+registry (230+ entries) follows after the window; repo-local tests
+sweep all of it regardless (tests/test_oracle_parity.py for hash-mode,
+tests/test_golden_smoke.py rows-only for the rest, and
+tests/test_driver_window.py pins this file's window invariants).
 """
 
 from __future__ import annotations

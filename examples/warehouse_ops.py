@@ -61,6 +61,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     #    all-pairs cross join (Q-JOIN-12)
     fuzzy = specs["Q-JOIN-12"].fn(spark, sf_dir)
     print("fuzzy pairs:", fuzzy.count(), "| sample:", fuzzy.limit(3).collect())
+    spark.stop()
 
 
 if __name__ == "__main__":

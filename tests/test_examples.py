@@ -1,22 +1,42 @@
-"""Each example script's main() must run end-to-end on the small fixture
-— examples are user-facing documentation and rot silently otherwise."""
+"""Each example script must run end-to-end on the small fixture —
+examples are user-facing documentation and rot silently otherwise.
+
+Run as SUBPROCESSES, exactly as a user would (`python examples/x.py`):
+the scripts own their SparkSession lifecycle (including spark.stop()),
+so running them in-process would tear down the suite's session-scoped
+fixture for every later test module."""
 
 from __future__ import annotations
 
-import importlib
 import os
+import subprocess
 import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 from tests.conftest import SF_SMALL
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.parametrize(
-    "module", ["reference_workflow", "curation_pipeline", "similarity_search", "warehouse_ops"]
+    "script",
+    [
+        "reference_workflow.py",
+        "curation_pipeline.py",
+        "similarity_search.py",
+        "warehouse_ops.py",
+    ],
 )
-def test_example_runs(module, spark):
-    mod = importlib.import_module(f"examples.{module}")
-    mod.main(SF_SMALL)
+def test_example_runs(script):
+    proc = subprocess.run(
+        [sys.executable, os.path.join("examples", script), SF_SMALL],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"{script} failed\nstdout: {proc.stdout[-2000:]}\n"
+        f"stderr: {proc.stderr[-2000:]}"
+    )
