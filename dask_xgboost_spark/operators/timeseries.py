@@ -240,3 +240,70 @@ def q_ts_02(spark, sf):
         )
         .orderBy("event_type", "h")
     )
+
+
+_TS03_SQL = f"""
+WITH pts AS (
+    SELECT user_id, date_trunc('microseconds', ts) AS ts,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+    FROM {EVENTS_US} e WHERE user_id < 200
+),
+seg AS (
+    SELECT user_id, v_c,
+           CAST(epoch_us(ts) AS BIGINT) AS t_us,
+           LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, v_c) AS nxt_us
+    FROM pts
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(v_c * (nxt_us - t_us)) AS BIGINT) AS area_us_c,
+       CAST(MAX(nxt_us) - MIN(t_us) AS BIGINT) AS span_us,
+       CAST(SUM(v_c * (nxt_us - t_us)) // (MAX(nxt_us) - MIN(t_us)) AS BIGINT)
+           AS twa_c
+FROM seg WHERE nxt_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("Q-TS-03", sql=_TS03_SQL)
+def q_ts_03(spark, sf):
+    """Time-weighted average (TimescaleDB ``time_weight('locf', ...)``):
+    each observation holds until the next one, so the average is
+    Σ vᵢ·Δtᵢ / Σ Δtᵢ — the honest mean of an irregularly-sampled signal
+    (a plain AVG over-weights chatty periods). One LEAD window gives the
+    segment lengths; everything stays integer (cents × µs), division is
+    integer-exact in both engines.
+
+    Scale shape: one shuffle on the key for the LEAD window, one
+    aggregate reusing that partitioning. At 100 TB with per-day
+    partitions, carry each partition's first point into the previous
+    day's close (the standard boundary hand-off) — same algebra."""
+    pts = (
+        load(spark, sf, "events")
+        .filter(F.col("user_id") < 200)
+        .select(
+            "user_id",
+            "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_c"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "v_c")
+    seg = pts.select(
+        "user_id",
+        "v_c",
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt_us"),
+    ).filter(F.col("nxt_us").isNotNull())
+    area = F.sum(F.col("v_c") * (F.col("nxt_us") - F.col("t_us")))
+    span = F.max("nxt_us") - F.min("t_us")
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            area.cast("long").alias("area_us_c"),
+            span.cast("long").alias("span_us"),
+            F.floor(area / span).cast("long").alias("twa_c"),
+        )
+        .orderBy("user_id")
+    )
