@@ -340,6 +340,54 @@ def q_qual_01(spark, sf):
     return pk.unionAll(fk).unionAll(rng).unionAll(dom).unionAll(fresh).orderBy("chk")
 
 
+def observed_balance_gate(spark, sf):
+    """Build the G-OBS-01 plan plus its Observation handle.
+
+    ``df.observe`` computes pipeline-health metrics (row count, gate
+    rejections, balance-cents sum) DURING the same scan that feeds the
+    query — at 100 TB the alternative is a second full pass per metric.
+    Returns (result_df, observation); the observation's values become
+    available after the caller's first action on the result."""
+    from pyspark.sql import Observation
+
+    obs = Observation("g_obs_01")
+    c = (
+        load(spark, sf, "customer")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.sum((F.col("c_acctbal") <= 0).cast("long")).alias("rows_gated"),
+            F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")).alias(
+                "bal_cents"
+            ),
+        )
+        .filter(F.col("c_acctbal") > 0)
+    )
+    out = (
+        c.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_pass"))
+        .orderBy("c_mktsegment")
+    )
+    return out, obs
+
+
+@register(
+    "G-OBS-01",
+    sql="SELECT c_mktsegment, COUNT(*) AS n_pass FROM customer "
+    "WHERE c_acctbal > 0 GROUP BY c_mktsegment ORDER BY c_mktsegment",
+)
+def g_obs_01(spark, sf):
+    """In-flight observability (``df.observe``): the quality gate's
+    metrics — rows seen, rows rejected, exact cents sum — ride the same
+    scan as the query itself; no second pass, no extra shuffle (metrics
+    fold as accumulator-style partial aggregates). The returned result
+    is the gated per-segment count (hash-checked); the observation
+    values are asserted against batch recomputation in
+    tests/test_golden.py."""
+    out, _obs = observed_balance_gate(spark, sf)
+    return out
+
+
 @register(
     "Q-TREND-01",
     sql="WITH m AS (SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS mo, "

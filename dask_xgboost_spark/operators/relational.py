@@ -1294,6 +1294,44 @@ def q_scan_09(spark, sf):
 
 
 @register(
+    "Q-SCAN-11",
+    sql="SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+)
+def q_scan_11(spark, sf):
+    """Custom Python Data Source (PySpark 4 ``pyspark.sql.datasource``):
+    documents written as JSONL, read back through the pure-Python
+    ``pyjsonl`` source (sources/pydatasource.py) ≡ the parquet original.
+
+    This is the engine's extension point for formats Spark lacks — the
+    reference's analogue is dask's pluggable per-partition reader
+    callables. Scale contract proven by the implementation: the driver
+    only LISTS files (one InputPartition each); decoding runs on
+    executors, one task per file, results crossing to the JVM as Arrow
+    batches, so ingest parallelism tracks file count like a native
+    scan."""
+    import os
+    import tempfile
+
+    from dask_xgboost_spark.sources.pydatasource import register_python_sources
+
+    register_python_sources(spark)
+    base = os.path.join(tempfile.gettempdir(), "dxs_pysrc_scan11")
+    (
+        load(spark, sf, "documents")
+        .select("doc_id", "lang", "text")
+        .write.mode("overwrite")
+        .json(base)
+    )
+    return (
+        spark.read.format("pyjsonl")
+        .schema("doc_id bigint, lang string, text string")
+        .option("path", base)
+        .load()
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "Q-AGG-20",
     # ord = cents * 1e7 + custkey is a unique int64, monotone in the
     # (acctbal, custkey) lexicographic order (custkey in [0, 1e7)), so

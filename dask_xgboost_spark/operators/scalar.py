@@ -691,6 +691,35 @@ def q_json_02(spark, sf):
 
 
 @register(
+    "Q-JSON-03",
+    sql="SELECT event_id, "
+    "CAST(json_extract(props, '$.k') AS INT) AS k_var, "
+    "json_extract_string(props, '$.k') AS k_str, "
+    "CAST(json_extract(props, '$.missing') AS INT) AS absent "
+    "FROM events ORDER BY event_id",
+)
+def q_json_03(spark, sf):
+    """VARIANT semi-structured type (Spark 4): ``parse_json`` decodes the
+    payload ONCE into the binary variant encoding; each ``variant_get``
+    then walks the pre-parsed tree — versus Q-JSON-01's
+    ``get_json_object``, which re-tokenizes the text per extraction.
+    With many extractions per document (the telemetry/event-log shape),
+    parse-once is the scale path; absent paths surface as NULL via
+    ``try_variant_get`` instead of erroring."""
+    v = F.parse_json("props")
+    return (
+        load(spark, sf, "events")
+        .select(
+            "event_id",
+            F.variant_get(v, "$.k", "int").alias("k_var"),
+            F.variant_get(v, "$.k", "string").alias("k_str"),
+            F.try_variant_get(v, "$.missing", "int").alias("absent"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "Q-STR-06",
     sql="SELECT p_partkey, "
     "CAST(levenshtein(p_brand, 'Brand#33') AS INT) AS d_brand, "

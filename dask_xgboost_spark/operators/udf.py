@@ -93,6 +93,42 @@ def u_map_01(spark, sf):
 
 
 @register(
+    "U-MAP-02",
+    sql="SELECT l_orderkey, l_linenumber, "
+    "CAST(l_quantity AS BIGINT) * 100 + l_linenumber AS qcode "
+    "FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
+)
+def u_map_02(spark, sf):
+    """mapInArrow — the zero-copy tier below mapInPandas (U-MAP-01):
+    RecordBatches in, RecordBatches out, no pandas materialization at
+    all. The body runs pyarrow.compute kernels (C++, SIMD), so this is
+    the fastest possible Python hook for per-partition logic that Arrow
+    kernels can express; integer arithmetic keeps it hash-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def arrow_qcode(batches):
+        for batch in batches:
+            keep = batch.filter(pc.greater(batch.column("l_quantity"), 45.0))
+            qty = pc.cast(keep.column("l_quantity"), pa.int64())
+            line = pc.cast(keep.column("l_linenumber"), pa.int64())
+            qcode = pc.add(pc.multiply(qty, pa.scalar(100, pa.int64())), line)
+            yield pa.RecordBatch.from_arrays(
+                [keep.column("l_orderkey"), keep.column("l_linenumber"), qcode],
+                ["l_orderkey", "l_linenumber", "qcode"],
+            )
+
+    return (
+        load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .mapInArrow(
+            arrow_qcode, "l_orderkey bigint, l_linenumber int, qcode bigint"
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
     "U-GAPPLY-01",
     sql="SELECT l_orderkey, l_linenumber, l_quantity - "
     "CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS DOUBLE) "

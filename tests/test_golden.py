@@ -435,3 +435,57 @@ def test_gapfill_semantics_constructed(spark):
 
     with _pytest.raises(ValueError, match="locf"):
         gapfill(obs, ["k"], "h", "v", how="nope").collect()
+
+
+def test_observe_metrics_match_batch(spark, sf_dir):
+    """G-OBS-01: the Observation's in-flight metrics (computed on the scan
+    that feeds the query) must equal an independent batch recomputation."""
+    from dask_xgboost_spark.operators.analytics import observed_balance_gate
+
+    out, obs = observed_balance_gate(spark, sf_dir)
+    gated = out.toPandas()  # action → observation becomes available
+    m = obs.get
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    expect = c.agg(
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum((F.col("c_acctbal") <= 0).cast("long")).alias("rows_gated"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")).alias(
+            "bal_cents"
+        ),
+    ).collect()[0]
+    assert m["rows_seen"] == expect["rows_seen"]
+    assert m["rows_gated"] == expect["rows_gated"]
+    assert m["bal_cents"] == expect["bal_cents"]
+    # and the observed totals reconcile with the gated result itself
+    assert int(gated["n_pass"].sum()) == m["rows_seen"] - m["rows_gated"]
+
+
+def test_python_datasource_partition_per_file(spark, sf_dir):
+    """Q-SCAN-11 plumbing: the custom Python source must expose one input
+    partition per file (executor-parallel ingest), and absent JSON keys
+    must surface as NULL, matching the native reader's schema contract."""
+    import json
+    import os
+    import tempfile
+
+    from dask_xgboost_spark.sources.pydatasource import register_python_sources
+
+    register_python_sources(spark)
+    base = tempfile.mkdtemp(prefix="dxs_pysrc_test")
+    for i in range(4):
+        with open(os.path.join(base, f"part-{i:05d}.json"), "w") as fh:
+            fh.write(json.dumps({"doc_id": 2 * i, "lang": "en", "text": "a b"}) + "\n")
+            fh.write(json.dumps({"doc_id": 2 * i + 1, "lang": "de"}) + "\n")
+    df = (
+        spark.read.format("pyjsonl")
+        .schema("doc_id bigint, lang string, text string")
+        .option("path", base)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    pdf = df.orderBy("doc_id").toPandas()
+    assert len(pdf) == 8
+    assert pdf["doc_id"].tolist() == list(range(8))
+    # absent "text" key on odd rows → NULL
+    assert pdf["text"].isna().tolist() == [i % 2 == 1 for i in range(8)]
