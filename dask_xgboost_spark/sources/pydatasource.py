@@ -22,7 +22,12 @@ anything parquet/CSV/JSON-shaped, use the native readers in tables.py.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class JsonLinesDataSource(DataSource):
@@ -77,6 +82,70 @@ class JsonLinesReader(DataSourceReader):
                 yield tuple(rec.get(n) for n in names)
 
 
+class RangeStreamDataSource(DataSource):
+    """``format("pyrangestream")``: a custom STREAMING source in pure
+    Python (``DataSourceStreamReader``) emitting a deterministic integer
+    sequence — batch *i* delivers values ``[i·rowsPerBatch,
+    (i+1)·rowsPerBatch)``, capped at ``maxRows``. The micro-batch
+    contract this demonstrates:
+
+    - ``latestOffset`` (driver) advances the high-watermark one batch at
+      a time until the cap — the source decides batch sizing, Spark
+      decides scheduling.
+    - ``partitions(start, end)`` (driver) splits the offset range into
+      ``numPartitions`` independent slices — executor parallelism within
+      a micro-batch.
+    - ``read(partition)`` (executor) yields the slice's rows.
+    - Offsets are JSON dicts checkpointed by Spark; after a restart the
+      stream resumes from the committed offset, so exactly-once flows
+      from offset replay + idempotent sink (same as Kafka sources).
+
+    Options: ``rowsPerBatch``, ``maxRows``, ``numPartitions``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyrangestream"
+
+    def schema(self) -> str:
+        return "value bigint"
+
+    def streamReader(self, schema) -> "RangeStreamReader":
+        return RangeStreamReader(self.options)
+
+
+class RangeStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        # Spark lower-cases reader option keys.
+        self._rows_per_batch = int(options.get("rowsperbatch", 100))
+        self._max_rows = int(options.get("maxrows", 1000))
+        self._num_partitions = int(options.get("numpartitions", 4))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def latestOffset(self):
+        # Monotone high-watermark: one batch-worth per call, capped.
+        cur = getattr(self, "_hwm", 0)
+        self._hwm = min(cur + self._rows_per_batch, self._max_rows)
+        return {"offset": self._hwm}
+
+    def partitions(self, start, end):
+        lo, hi = start["offset"], end["offset"]
+        n = max(1, self._num_partitions)
+        step = max(1, (hi - lo + n - 1) // n)
+        return [
+            InputPartition((s, min(s + step, hi))) for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for v in range(lo, hi):
+            yield (v,)
+
+    def commit(self, end):
+        pass
+
+
 _REGISTERED_APPS: set[str] = set()
 
 
@@ -86,4 +155,5 @@ def register_python_sources(spark) -> None:
     if app in _REGISTERED_APPS:
         return
     spark.dataSource.register(JsonLinesDataSource)
+    spark.dataSource.register(RangeStreamDataSource)
     _REGISTERED_APPS.add(app)

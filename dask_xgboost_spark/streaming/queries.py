@@ -366,6 +366,59 @@ def s_gen_01(spark, sf):
 
 
 @register(
+    "S-GEN-02",
+    sql="SELECT CAST(range % 10 AS BIGINT) AS k, COUNT(*) AS n, "
+    "CAST(SUM(range) AS BIGINT) AS sv FROM range(1000) GROUP BY k ORDER BY k",
+    mode="stream",
+)
+def s_gen_02(spark, sf):
+    """Custom STREAMING Python Data Source (sources/pydatasource.py
+    ``pyrangestream``): the micro-batch twin of Q-SCAN-11. The source's
+    ``latestOffset`` advances a deterministic integer watermark one
+    batch at a time (10 batches × 100 rows, capped at 1000);
+    ``partitions(start, end)`` slices each batch across 4 executor-side
+    readers; offsets are JSON dicts Spark checkpoints, so restart-resume
+    follows the same offset-replay contract as a Kafka source. Drained
+    with ``processAllAvailable`` (the cap makes the stream idle), final
+    grouped state ≡ the batch oracle over range(1000)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dask_xgboost_spark.sources.pydatasource import register_python_sources
+
+    register_python_sources(spark)
+    src = (
+        spark.readStream.format("pyrangestream")
+        .option("rowsPerBatch", 100)
+        .option("maxRows", 1000)
+        .option("numPartitions", 4)
+        .load()
+    )
+    agg = (
+        src.withColumn("k", F.col("value") % 10)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    name = "dxs_pygen_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="dxs_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        # The watermark caps at maxRows, so "all available" is finite.
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).orderBy("k")
+
+
+@register(
     "S-STATE-03",
     sql="SELECT user_id, COUNT(*) AS n_events, "
     "MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS mn_c, "
