@@ -2,21 +2,34 @@
 """Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Methodology (BASELINE.md §3-4): warm the session + JIT with one untimed
-run per query, build each query's DataFrame ONCE (prepared-plan reuse —
-the warm-dashboard / prepared-statement execution model), then report the
-median of 5 timed executions (parquet scan → Arrow fetch to a pandas
-frame; fact tables are re-scanned every run). Result delivery is
-symmetric: Spark `toPandas()` (Arrow batches) vs DuckDB `.df()` (Arrow →
-pandas) — py4j row-object collect() would bill Spark ~0.1-0.2 s of pure
-Python row materialization DuckDB never pays. Catalyst plan construction is reported separately
-(``fresh_plan_total``): it is a per-query-TEXT cost that amortizes across
-executions and is invariant to data scale — at 100 TB it is noise, at
-sf0.1 it is 5-10× the execution itself, so folding it into the per-query
-number would benchmark the optimizer's Python round-trips, not the
-engine. The DuckDB oracle is re-measured in the SAME run over the same
-parquet (BASELINE.md §3: refresh, don't trust pinned numbers) and
-reported alongside. Prints ONE JSON line.
+Methodology (BASELINE.md §3-4, revised round 4): warm the session + JIT
+with one untimed run per query, then report THREE tiers per query:
+
+- ``queries`` (headline): median of 5 FULL re-executions of the prepared
+  plan — ``df.select("*")`` forces a fresh QueryExecution so every
+  stage, scan included, re-runs. This is the number comparable to
+  DuckDB's ``.df()``, which also fully re-executes.
+- ``stage_reuse_queries``: median of 5 repeated actions on the SAME
+  DataFrame object. Spark memoizes the RDD DAG, so materialized shuffle
+  map outputs are REUSED and only the final stage re-executes
+  (accumulator-proven, BASELINE.md §3). This is the incremental /
+  warm-dashboard execution model — reported because it is a real and
+  useful Spark behavior, NOT as query execution time. (Rounds 1-3
+  reported this tier as the headline; that was a measurement error,
+  corrected and documented in round 4.)
+- ``fresh_plan_queries``: rebuild the DataFrame in Python + optimize +
+  execute — adds the per-query-TEXT py4j/analysis cost that amortizes
+  across executions and is invariant to data scale.
+
+``fixed_overhead_per_job_sec`` measures the per-execution floor (trivial
+2-stage query over 8 cached rows, fully re-executed): job submission,
+stage scheduling, and result fetch. Each headline number ≈ this floor +
+the query's work term; the floor is per-QUERY (scale-invariant), the
+work term per-BYTE — the decomposition that maps sf0.1 latencies to the
+100 TB design point. Result delivery is symmetric: Spark `toPandas()`
+(Arrow batches) vs DuckDB `.df()` (Arrow → pandas). The DuckDB oracle is
+re-measured in the SAME run over the same parquet (BASELINE.md §3:
+refresh, don't trust pinned numbers) and reported alongside. Prints ONE JSON line.
 
 Honest-lever notes:
 - Dimension tables (region/nation/customer/supplier — the broadcast
@@ -58,6 +71,23 @@ def _median_timed(fn, runs: int = 3) -> float:
         fn()
         times.append(time.perf_counter() - t0)
     return statistics.median(times)
+
+
+def _timed_full(df, runs: int = 5) -> float:
+    """Median wall-clock of FULL re-executions of a prepared plan.
+
+    ``df.select("*")`` wraps the already-analyzed plan in a fresh JVM
+    Dataset (one ~9 ms py4j call), giving each run a fresh
+    QueryExecution — so EVERY stage, scan included, re-executes.
+    Repeating an action on the SAME DataFrame object does NOT do this:
+    Spark memoizes the RDD DAG, materialized shuffle map outputs are
+    reused, and only the post-shuffle final stage re-runs. Proven by
+    accumulator instrumentation (BASELINE.md §3): a counting UDF in the
+    scan stage fires once across N repeated ``toPandas()`` calls, and N
+    times under this helper. The stage-reuse number is still reported —
+    as the warm-dashboard tier, not as query execution time."""
+    df.select("*").toPandas()  # clone-path warm
+    return _median_timed(lambda: df.select("*").toPandas(), runs=runs)
 
 
 def smoke() -> None:
@@ -116,20 +146,43 @@ def main() -> None:
     for t in _DIM_TABLES:
         load(spark, sf_dir, t).cache().count()
 
+    # three honest tiers per headline query (BASELINE.md §3):
+    #   results      — FULL re-execution of the prepared plan (every
+    #                  stage re-runs; the headline number)
+    #   stage_reuse  — repeated action on one DataFrame: shuffle map
+    #                  stages reused, final stage only (the incremental/
+    #                  warm-dashboard execution model — NOT comparable
+    #                  to DuckDB's full re-execution)
+    #   fresh_plan   — Python plan rebuild + optimize + execute (adds
+    #                  the per-query-TEXT py4j/analysis cost)
     results: dict[str, float] = {}
+    stage_reuse: dict[str, float] = {}
     fresh_plan: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = specs[name].fn
         key = name.lower().replace("-", "_")
         fn(spark, sf_dir).toPandas()  # warm: JIT, codegen, file listing
-        # fresh-plan cost: rebuild DataFrame + optimize + execute each run
         fresh_plan[key] = round(
             _median_timed(lambda: fn(spark, sf_dir).toPandas(), runs=3), 4
         )
-        # primary metric: prepared-plan execution (scan → collect each run)
         df = fn(spark, sf_dir)
         df.toPandas()
-        results[key] = round(_median_timed(lambda: df.toPandas(), runs=5), 4)
+        results[key] = round(_timed_full(df, runs=5), 4)
+        stage_reuse[key] = round(_median_timed(lambda: df.toPandas(), runs=5), 4)
+
+    # fixed per-job floor: a trivial 2-stage (shuffle) query over 8
+    # cached rows, fully re-executed — pure job-submission + stage
+    # scheduling + result-fetch latency with a no-op work term. Every
+    # headline number above ≈ this floor + the query's actual work; the
+    # floor is per-QUERY (scale-invariant), the work term is per-BYTE.
+    from pyspark.sql import functions as F
+
+    tiny = spark.range(8).select((F.col("id") % 2).alias("k")).cache()
+    tiny.count()
+    tiny_agg = tiny.groupBy("k").count()
+    tiny_agg.toPandas()
+    fixed_overhead = round(_timed_full(tiny_agg, runs=5), 4)
+    tiny.unpersist()
 
     # single-row-group scan floor: full 7-column lineitem decode + a
     # no-group aggregate — the irreducible single-task cost that bounds
@@ -141,7 +194,7 @@ def main() -> None:
         "max(l_shipdate)",
     )
     floor_df.toPandas()
-    scan_floor = round(_median_timed(lambda: floor_df.toPandas()), 4)
+    scan_floor = round(_timed_full(floor_df), 4)
 
     # DuckDB oracle, same run, same parquet, same queries (median of 3
     # after one warm run)
@@ -168,7 +221,7 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     smj_df = join_spec.fn(spark, sf_dir)
     smj_df.toPandas()
-    smj_t = round(_median_timed(lambda: smj_df.toPandas()), 4)
+    smj_t = round(_timed_full(smj_df, runs=3), 4)
     # shuffle-hash: no sort on either side, but both sides still shuffle;
     # preferred over SMJ when the build side fits per-partition memory
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
@@ -177,7 +230,7 @@ def main() -> None:
     join_strategies = {
         "bhj_broadcast_dims": results["q_join_02"],
         "smj_no_broadcast": smj_t,
-        "shj_no_broadcast": round(_median_timed(lambda: shj_df.toPandas()), 4),
+        "shj_no_broadcast": round(_timed_full(shj_df, runs=3), 4),
     }
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
@@ -211,8 +264,8 @@ def main() -> None:
     plain.toPandas()
     salted.toPandas()
     skew = {
-        "plain_join": round(_median_timed(lambda: plain.toPandas()), 4),
-        "salted_join": round(_median_timed(lambda: salted.toPandas()), 4),
+        "plain_join": round(_timed_full(plain, runs=3), 4),
+        "salted_join": round(_timed_full(salted, runs=3), 4),
     }
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
@@ -228,7 +281,7 @@ def main() -> None:
         key = name.lower().replace("-", "_")
         df = specs[name].fn(spark, sf_dir)
         df.toPandas()  # warm: plan, codegen, file listing
-        tpch_spark[key] = round(_median_timed(lambda: df.toPandas()), 4)
+        tpch_spark[key] = round(_timed_full(df, runs=3), 4)
         sql = specs[name].sql
         con.execute(sql).df()
         tpch_duck[key] = round(_median_timed(lambda: con.execute(sql).df()), 4)
@@ -309,12 +362,85 @@ def main() -> None:
         "result_groups": sout.count(),
     }
 
+    # Python-boundary cost ladder: the SAME computation (net price sum
+    # over lineitem) through every Python hook tier vs the JVM built-in.
+    # This quantifies the engine's "UDFs are the slow path" design rule:
+    # builtin (whole-stage codegen) < mapInArrow (RecordBatch + C++
+    # kernels) ≈ pandas_udf (Arrow + pandas) < arrow-optimized row UDF
+    # < pickled row UDF. Production guidance: the built-in tier for
+    # everything expressible; Arrow tiers only for genuinely custom
+    # logic; the pickled tier never.
+    import pandas  # noqa: F401 — resolvable target for the UDF type hints
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    from pyspark.sql.functions import pandas_udf as _pandas_udf, udf as _udf
+
+    # 5M generated rows, cached: isolates the Python-boundary cost from
+    # the (single-row-group) fixture scan floor that would otherwise
+    # dominate every tier equally at this SF.
+    li_b = (
+        spark.range(5_000_000)
+        .select(
+            (F.col("id") % 100000 / 100.0).alias("l_extendedprice"),
+            (F.col("id") % 11 / 100.0).alias("l_discount"),
+        )
+        .cache()
+    )
+    li_b.count()
+
+    def _net_pd_fn(p: "pandas.Series", d: "pandas.Series") -> "pandas.Series":
+        return p * (1.0 - d)
+
+    _net_pd_fn.__annotations__ = {
+        "p": pandas.Series, "d": pandas.Series, "return": pandas.Series
+    }
+    _net_pd = _pandas_udf(_net_pd_fn, "double")
+
+    @_udf("double", useArrow=True)
+    def _net_arrow_row(p, d):
+        return p * (1.0 - d)
+
+    @_udf("double", useArrow=False)
+    def _net_pickle_row(p, d):
+        return p * (1.0 - d)
+
+    def _net_map_arrow(batches):
+        for b in batches:
+            net = _pc.multiply(
+                b.column("l_extendedprice"),
+                _pc.subtract(_pa.scalar(1.0), b.column("l_discount")),
+            )
+            yield _pa.RecordBatch.from_arrays([net], ["net"])
+
+    tiers = {
+        "builtin_codegen": li_b.select(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("s")
+        ),
+        "map_in_arrow": li_b.mapInArrow(_net_map_arrow, "net double").agg(
+            F.sum("net").alias("s")
+        ),
+        "pandas_udf": li_b.select(
+            F.sum(_net_pd("l_extendedprice", "l_discount")).alias("s")
+        ),
+        "row_udf_arrow": li_b.select(
+            F.sum(_net_arrow_row("l_extendedprice", "l_discount")).alias("s")
+        ),
+        "row_udf_pickled": li_b.select(
+            F.sum(_net_pickle_row("l_extendedprice", "l_discount")).alias("s")
+        ),
+    }
+    python_boundary: dict[str, float] = {}
+    for tier_name, tdf in tiers.items():
+        tdf.toPandas()  # warm
+        python_boundary[tier_name] = round(_timed_full(tdf, runs=3), 4)
+    li_b.unpersist()
+
     total = round(sum(results.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
-                "metric": "sum of median wall-clock of headline queries",
+                "metric": "sum of median full-re-execution wall-clock of headline queries",
                 "value": total,
                 "unit": "sec",
                 "queries": results,
@@ -322,6 +448,9 @@ def main() -> None:
                 "duckdb_same_run": duck,
                 "duckdb_total": round(sum(duck.values()), 4),
                 "duckdb_version": duckdb.__version__,
+                "stage_reuse_queries": stage_reuse,
+                "stage_reuse_total": round(sum(stage_reuse.values()), 4),
+                "fixed_overhead_per_job_sec": fixed_overhead,
                 "fresh_plan_queries": fresh_plan,
                 "fresh_plan_total": round(sum(fresh_plan.values()), 4),
                 "scan_floor_lineitem_sec": scan_floor,
@@ -332,6 +461,7 @@ def main() -> None:
                 "tpch_suite_duckdb": tpch_duck,
                 "tpch_suite_duckdb_total": round(sum(tpch_duck.values()), 4),
                 "layout_file_skipping": layout_skipping,
+                "python_boundary_net_price_sum": python_boundary,
                 "streaming_ingest": streaming,
             }
         )
