@@ -136,6 +136,14 @@ def main() -> None:
             "spark.sql.autoBroadcastJoinThreshold": "64m",
             # Arrow result fetch (symmetric with DuckDB's .df())
             "spark.sql.execution.arrow.pyspark.enabled": "true",
+            # local-mode lever (A/B-measured round 4, ~10% on the
+            # shuffle-heavy headliners): local shuffles land in the page
+            # cache, so lz4 costs CPU and saves nothing. On a REAL
+            # cluster shuffle compression is usually a win (network/disk
+            # bound) — this is a bench-machine setting, not engine
+            # guidance.
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
