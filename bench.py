@@ -443,6 +443,65 @@ def main() -> None:
         python_boundary[tier_name] = round(_timed_full(tdf, runs=3), 4)
     li_b.unpersist()
 
+    # scale-growth: the same Q1-shape aggregate at 1× (fixture, one
+    # row group → one task) and 10× (6M rows, 32 files → parallel scan),
+    # full re-execution, both engines. The point being measured: Spark's
+    # time is FLAT across the 10× growth (constants dominate, work
+    # absorbs into parallel slack) — per-query cost is amortizing
+    # exactly as the 100 TB design assumes. The 100× point (60M rows:
+    # Spark 0.85 s = 70M rows/s, DuckDB 0.24 s, ratio 3.5× and falling)
+    # is measured once and recorded in BASELINE.md §4 — too expensive to
+    # regenerate per round.
+    import shutil as _sh
+    import tempfile as _tf2
+
+    li_sg = load(spark, sf_dir, "lineitem")
+    sg_dir = _tf2.mkdtemp(prefix="dxs_scale10x_")
+    (
+        li_sg.crossJoin(spark.range(10).select(F.col("id").alias("rep")))
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * 10_000_000)
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(sg_dir)
+    )
+
+    def _q1_shape(df):
+        return (
+            df.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sq"),
+                F.sum("l_extendedprice").alias("sp"),
+                F.avg("l_discount").alias("ad"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    sg_spark_1x = round(_timed_full(_q1_shape(li_sg), runs=3), 4)
+    sg_spark_10x = round(_timed_full(_q1_shape(spark.read.parquet(sg_dir)), runs=3), 4)
+    _sg_sql = (
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) sq, "
+        "SUM(l_extendedprice) sp, AVG(l_discount) ad, COUNT(*) n "
+        "FROM read_parquet('{p}') WHERE l_shipdate <= '1998-09-02' "
+        "GROUP BY 1,2 ORDER BY 1,2"
+    )
+
+    def _duck_med(path):
+        q = _sg_sql.format(p=path)
+        con.execute(q).df()
+        return round(_median_timed(lambda: con.execute(q).df(), runs=3), 4)
+
+    scale_growth = {
+        "rows_1x": 600_000 if sf_dir.endswith("0.1") else None,
+        "spark_1x": sg_spark_1x,
+        "spark_10x": sg_spark_10x,
+        "duckdb_1x": _duck_med(f"{sf_dir}/lineitem.parquet"),
+        "duckdb_10x": _duck_med(f"{sg_dir}/*.parquet"),
+    }
+    _sh.rmtree(sg_dir, ignore_errors=True)
+
     total = round(sum(results.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -470,6 +529,7 @@ def main() -> None:
                 "tpch_suite_duckdb_total": round(sum(tpch_duck.values()), 4),
                 "layout_file_skipping": layout_skipping,
                 "python_boundary_net_price_sum": python_boundary,
+                "scale_growth_q1": scale_growth,
                 "streaming_ingest": streaming,
             }
         )
