@@ -179,6 +179,56 @@ def m_pred_03(spark, sf):
     )
 
 
+@register(
+    "M-PRED-04",
+    sql="SELECT l_orderkey, l_linenumber, "
+    "2.0 * l_quantity + (-1.0) * l_discount + 0.5 AS score "
+    "FROM lineitem ORDER BY l_orderkey, l_linenumber",
+)
+def m_pred_04(spark, sf):
+    """Broadcast-model batch scoring via mapInPandas — the production
+    pattern for scoring with ANY local Python model (sklearn pickle,
+    xgboost booster, custom callable) at corpus scale, covering the
+    reference's executor-side predict fan-out (core.py:363-379
+    _predict_part: model shipped to each dask partition) for models
+    MLlib's transform() cannot host.
+
+    Shape: the fitted artifact is broadcast ONCE (torrent fan-out, not
+    per-task pickling in the closure); each Arrow batch scores
+    vectorized in pandas on the executor; output rides back as Arrow.
+    Work is embarrassingly parallel — no shuffle, scales with partition
+    count. The stand-in artifact here is a fixed linear model
+    (w=[2,-1], b=0.5) so the DuckDB oracle can state the identical
+    arithmetic and hash-check the full path; any pickle-able
+    ``predict(X)`` drops in."""
+    import pandas as pd
+
+    model = {"w0": 2.0, "w1": -1.0, "b": 0.5}  # stand-in fitted artifact
+    bc = spark.sparkContext.broadcast(model)
+
+    def score_batches(batches):
+        m = bc.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": pdf["l_orderkey"],
+                    "l_linenumber": pdf["l_linenumber"],
+                    "score": m["w0"] * pdf["l_quantity"]
+                    + m["w1"] * pdf["l_discount"]
+                    + m["b"],
+                }
+            )
+
+    return (
+        load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .mapInPandas(
+            score_batches, "l_orderkey bigint, l_linenumber int, score double"
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 @register("M-PREP-01", sql=None, mode="golden")
 def m_prep_01(spark, sf):
     """Feature assembly (replaces the reference's co-located triads,

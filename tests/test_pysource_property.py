@@ -1,0 +1,112 @@
+"""Property-based checks for the round-4 Python-boundary surfaces:
+
+- the custom ``pyjsonl`` Python Data Source must round-trip arbitrary
+  records (unicode, nulls, absent keys) identically to what was written;
+- VARIANT extraction (``parse_json``/``variant_get``) must agree with
+  Python's ``json`` module on arbitrary JSON payloads — independent
+  implementations of the same contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",), exclude_characters="\r\n"
+    ),
+    max_size=40,
+)
+_record = st.fixed_dictionaries(
+    {"doc_id": st.integers(min_value=0, max_value=10**12)},
+    optional={
+        "lang": st.one_of(st.none(), _text),
+        "text": st.one_of(st.none(), _text),
+    },
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_record, min_size=1, max_size=20))
+def test_pyjsonl_roundtrips_arbitrary_records(spark, records):
+    from dask_xgboost_spark.sources.pydatasource import register_python_sources
+
+    register_python_sources(spark)
+    base = tempfile.mkdtemp(prefix="dxs_pysrc_prop")
+    # split across 2 files to exercise multi-partition reads
+    half = (len(records) + 1) // 2
+    for i, chunk in enumerate((records[:half], records[half:])):
+        with open(os.path.join(base, f"part-{i:05d}.json"), "w") as fh:
+            for rec in chunk:
+                fh.write(json.dumps(rec, ensure_ascii=False) + "\n")
+    got = (
+        spark.read.format("pyjsonl")
+        .schema("doc_id bigint, lang string, text string")
+        .option("path", base)
+        .load()
+        .collect()
+    )
+    want = sorted(
+        (r["doc_id"], r.get("lang"), r.get("text")) for r in records
+    )
+    assert sorted((r.doc_id, r.lang, r.text) for r in got) == want
+
+
+_json_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**31), max_value=2**31),
+    _text,
+)
+_payload = st.fixed_dictionaries(
+    {},
+    optional={
+        "k": _json_scalar,
+        "nested": st.fixed_dictionaries({"x": st.integers(-100, 100)}),
+        "arr": st.lists(st.integers(-5, 5), max_size=4),
+    },
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_payload, min_size=1, max_size=16))
+def test_variant_extraction_matches_python_json(spark, payloads):
+    rows = [(i, json.dumps(p, ensure_ascii=False)) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "i int, props string")
+    v = F.parse_json("props")
+    got = (
+        df.select(
+            "i",
+            F.try_variant_get(v, "$.k", "string").alias("k_str"),
+            F.try_variant_get(v, "$.nested.x", "int").alias("nx"),
+            F.try_variant_get(v, "$.arr[0]", "int").alias("a0"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for row, p in zip(got, payloads):
+        k = p.get("k")
+        if k is None:
+            assert row.k_str is None
+        elif isinstance(k, bool):
+            assert row.k_str == ("true" if k else "false")
+        else:
+            assert row.k_str == str(k)
+        nested = p.get("nested")
+        assert row.nx == (nested["x"] if nested is not None else None)
+        arr = p.get("arr")
+        assert row.a0 == (arr[0] if arr else None)
