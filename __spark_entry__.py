@@ -48,23 +48,29 @@ _DRIVER_PRIORITY = [
     "Q-TPCH-07", "Q-TPCH-09", "Q-TPCH-11", "Q-TPCH-15",
     "Q-SCD-01", "Q-FUNNEL-01", "Q-COHORT-01", "Q-BASKET-01",
     "Q-PROF-01", "Q-QUAL-01", "Q-TREND-01", "Q-GRAPH-01",
-    "Q-WIN-10", "Q-WIN-11", "Q-WIN-12", "Q-SORT-03", "Q-SUBQ-04",
+    "Q-WIN-10", "Q-WIN-11", "Q-SUBQ-04",
     "Q-CTE-02",
     "L-DEDUP-08", "L-MIX-01", "L-TEXT-11",
-    # round-4 additions, hash-mode (4)
+    # round-4 additions, hash-mode (7): incl. the Spark-4 surfaces
+    # (custom Python Data Source, VARIANT) and the ML family's first
+    # hash-checkable row (M-PRED-04 broadcast-model scoring)
     "Q-TS-01", "Q-TS-02", "Q-GRAPH-02", "G-MV-01",
+    "Q-SCAN-11", "Q-JSON-03", "M-PRED-04",
     # never-checked ML prep, hash-mode (1)
     "M-PREP-03",
-    # streaming: r3 errored now fixed (6) + never-checked (5)
+    # streaming: r3 errored now fixed (6) + never-checked (4)
     "S-WIN-02", "S-WIN-03", "S-STATE-02", "S-JOIN-01", "S-JOIN-02",
     "S-SINK-01",
-    "S-GEN-01", "S-STATE-03", "S-STATE-04", "S-JOIN-03", "S-WM-02",
+    "S-GEN-01", "S-STATE-04", "S-JOIN-03", "S-WM-02",
+    # displaced to spillover: Q-WIN-12/Q-SORT-03 (families already
+    # driver-green) and S-STATE-03 (protobuf-gated twin of the checked
+    # S-STATE-02 fold)
+    "Q-WIN-12", "Q-SORT-03", "S-STATE-03",
     # past-the-50-window spillover, in value order, in case the driver
     # checks deeper: remaining round-4 additions, the rest of the
     # never-checked hash-mode entries, then goldens.
     "Q-DIFF-01", "Q-AGG-22", "Q-JOIN-12", "L-MM-04", "G-BACKFILL-01",
-    "Q-TS-03", "Q-SCAN-11", "Q-JSON-03", "U-MAP-02", "G-OBS-01",
-    "S-GEN-02", "M-PRED-04",
+    "Q-TS-03", "U-MAP-02", "G-OBS-01", "S-GEN-02",
     "Q-SCAN-08", "Q-SCAN-09", "Q-TPCH-18", "Q-TPCH-22",
     "Q-TPCH-16", "Q-TPCH-17", "Q-TPCH-19", "Q-TPCH-20",
     "Q-STR-06", "Q-STR-07", "Q-DATE-07", "Q-ARR-07", "Q-MATH-02",
