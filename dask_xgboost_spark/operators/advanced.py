@@ -90,6 +90,33 @@ def q_cte_01(spark, sf):
 
 
 @register(
+    "Q-SQL-01",
+    sql="SELECT l_returnflag, COUNT(*) AS n, "
+    "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev_c "
+    "FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag "
+    "ORDER BY l_returnflag",
+)
+def q_sql_01(spark, sf):
+    """SQL pipe syntax (Spark 4 / the GoogleSQL-style linear dialect):
+    the same logical plan as chained DataFrame calls, written as
+    ``FROM … |> WHERE … |> AGGREATE … GROUP BY … |> ORDER BY`` — each
+    ``|>`` stage reads top-to-bottom in execution order instead of
+    inside-out SQL nesting. Catalyst compiles it to the identical
+    optimized plan (pushed filter, partial+final aggregate), so the
+    dialect is free; the oracle states the classic-SQL equivalent."""
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        "FROM lineitem "
+        "|> WHERE l_quantity > 25 "
+        "|> AGGREGATE COUNT(*) AS n, "
+        "   SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev_c "
+        "   GROUP BY l_returnflag "
+        "|> SELECT l_returnflag, n, rev_c "
+        "|> ORDER BY l_returnflag"
+    )
+
+
+@register(
     "Q-PIVOT-01",
     sql="SELECT user_id, "
     + ", ".join(

@@ -1332,6 +1332,39 @@ def q_scan_11(spark, sf):
 
 
 @register(
+    "Q-SCAN-12",
+    sql="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+)
+def q_scan_12(spark, sf):
+    """XML source round-trip (Spark 4 built-in ``xml`` format — the
+    spark-xml package absorbed into core): nation written as XML with
+    explicit row tags, read back with an explicit schema (inference
+    would scan twice) ≡ the parquet original. XML is a document format,
+    not a splittable columnar one — at scale it is an INGEST format:
+    read once, land as parquet/ORC, query the columnar copy."""
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "dxs_xml_scan12")
+    (
+        load(spark, sf, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(base)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .load(base)
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
     "Q-AGG-20",
     # ord = cents * 1e7 + custkey is a unique int64, monotone in the
     # (acctbal, custkey) lexicographic order (custkey in [0, 1e7)), so

@@ -160,6 +160,47 @@ def u_gapply_01(spark, sf):
 
 
 @register(
+    "U-GAPPLY-03",
+    sql="SELECT l_orderkey, l_linenumber, "
+    "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) - "
+    "MIN(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) "
+    "OVER (PARTITION BY l_returnflag) AS rel_qty_c "
+    "FROM lineitem ORDER BY l_orderkey, l_linenumber",
+)
+def u_gapply_03(spark, sf):
+    """applyInArrow grouped map (Spark 4) — the zero-pandas tier of
+    U-GAPPLY-01: each group arrives as a pyarrow Table, all math runs in
+    Arrow compute kernels (C++), no pandas Block consolidation on either
+    edge. Per-group min-anchored quantity in exact int64 cents keeps the
+    result hash-checkable against the oracle's window expression."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def rel_to_min(tbl: "pa.Table") -> "pa.Table":
+        qc = pc.cast(
+            pc.floor(pc.add(pc.multiply(tbl.column("l_quantity"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        rel = pc.subtract(qc, pc.min(qc))
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey"),
+                "l_linenumber": tbl.column("l_linenumber"),
+                "rel_qty_c": rel,
+            }
+        )
+
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .applyInArrow(
+            rel_to_min, "l_orderkey bigint, l_linenumber int, rel_qty_c bigint"
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
     "U-TABLE-01",
     sql="SELECT doc_id, CAST(pos AS INT) AS pos, tok FROM ("
     "SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
