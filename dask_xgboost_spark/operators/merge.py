@@ -383,3 +383,101 @@ def g_backfill_01(spark, sf):
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot versioning / time travel (poor-man's table format)
+# ---------------------------------------------------------------------------
+
+
+def write_snapshot(df: DataFrame, base: str, version: int) -> None:
+    """Commit ``df`` as snapshot ``version`` under ``base/v=<version>``
+    and advance the manifest. Write order is the atomicity story: data
+    lands fully under the new version directory FIRST, the tiny manifest
+    JSON is swapped LAST — readers resolving through the manifest never
+    see a half-written version (the same commit protocol, minus
+    concurrent-writer arbitration, that Delta/Iceberg formalize)."""
+    import json
+    import os
+
+    df.write.mode("overwrite").parquet(f"{base}/v={version}")
+    manifest = {"current": version, "versions": []}
+    path = f"{base}/_manifest.json"
+    if os.path.exists(path):
+        with open(path) as fh:
+            manifest = json.load(fh)
+    manifest["versions"] = sorted(set(manifest.get("versions", [])) | {version})
+    manifest["current"] = max(manifest["versions"])
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def read_snapshot(spark: SparkSession, base: str, version: int | None = None) -> DataFrame:
+    """Time-travel read: ``version=None`` resolves the manifest's current
+    snapshot; an explicit version reads that frozen directory. Old
+    versions are immutable directories, so an AS-OF read is an ordinary
+    parquet scan — full pushdown/pruning, no log replay."""
+    import json
+
+    if version is None:
+        with open(f"{base}/_manifest.json") as fh:
+            version = json.load(fh)["current"]
+    return spark.read.parquet(f"{base}/v={version}")
+
+
+@register(
+    "G-SNAP-01",
+    sql="SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS val_sum FROM orders "
+    "UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT), "
+    "CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 2 * o_orderkey "
+    "ELSE o_orderkey END) AS BIGINT) FROM orders ORDER BY version",
+)
+def g_snap_01(spark, sf):
+    """Snapshot versioning + time travel without a table format: v1 is
+    the orders key set, v2 is v1 with a MERGE applied (keys divisible by
+    7 updated to doubled values); both snapshots are then read back — v1
+    AS-OF (proving the old version is still intact after v2 committed),
+    v2 through the manifest's current pointer — and rolled up into one
+    witness row per version, hash-checked against the expected state of
+    BOTH versions.
+
+    Scale shape: each snapshot is a plain parquet directory (immutable
+    once the manifest advances), so time travel costs one manifest read
+    + a normal pruned scan; storage is per-version FULL copies here —
+    the honest trade vs Delta/Iceberg's file-level re-use, acceptable
+    when versions are daily/weekly corpus releases (the LLM-pipeline
+    case) rather than per-commit."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dxs_snap_{os.path.basename(sf.rstrip('/'))}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    v1 = load(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_orderkey").alias("val")
+    )
+    write_snapshot(v1, base, 1)
+
+    updates = (
+        read_snapshot(spark, base, 1)
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", (F.col("o_orderkey") * 2).alias("val"))
+    )
+    v2 = merge_into(read_snapshot(spark, base, 1), updates, ["o_orderkey"])
+    write_snapshot(v2, base, 2)
+
+    def rollup(df, version):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("val").cast("long").alias("val_sum"),
+        ).select(F.lit(version).alias("version"), "n", "val_sum")
+
+    as_of_v1 = rollup(read_snapshot(spark, base, 1), 1)  # time travel
+    current = rollup(read_snapshot(spark, base), 2)  # manifest resolution
+    return as_of_v1.unionAll(current).orderBy("version")
