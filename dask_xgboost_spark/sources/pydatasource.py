@@ -100,7 +100,12 @@ class RangeStreamDataSource(DataSource):
       stream resumes from the committed offset, so exactly-once flows
       from offset replay + idempotent sink (same as Kafka sources).
 
-    Options: ``rowsPerBatch``, ``maxRows``, ``numPartitions``."""
+    Options: ``rowsPerBatch``, ``maxRows``, ``numPartitions``, and
+    optional ``stateDir`` — when set, the reader persists its
+    high-watermark to a sidecar file so a RESTARTED query (new reader
+    instance, same checkpoint) resumes advancing from where it left off
+    instead of re-emitting a watermark behind the committed offset.
+    Restart-resume is proven in tests/test_golden.py."""
 
     @classmethod
     def name(cls) -> str:
@@ -119,14 +124,39 @@ class RangeStreamReader(DataSourceStreamReader):
         self._rows_per_batch = int(options.get("rowsperbatch", 100))
         self._max_rows = int(options.get("maxrows", 1000))
         self._num_partitions = int(options.get("numpartitions", 4))
+        self._state_dir = options.get("statedir")
+
+    def _load_hwm(self) -> int:
+        if self._state_dir:
+            import os
+
+            path = os.path.join(self._state_dir, "hwm")
+            if os.path.exists(path):
+                with open(path) as fh:
+                    return int(fh.read().strip() or 0)
+        return getattr(self, "_hwm", 0)
+
+    def _store_hwm(self, hwm: int) -> None:
+        self._hwm = hwm
+        if self._state_dir:
+            import os
+
+            os.makedirs(self._state_dir, exist_ok=True)
+            tmp = os.path.join(self._state_dir, "hwm.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(str(hwm))
+            os.replace(tmp, os.path.join(self._state_dir, "hwm"))
 
     def initialOffset(self):
         return {"offset": 0}
 
     def latestOffset(self):
         # Monotone high-watermark: one batch-worth per call, capped.
-        cur = getattr(self, "_hwm", 0)
-        self._hwm = min(cur + self._rows_per_batch, self._max_rows)
+        # With stateDir the watermark survives reader re-instantiation
+        # (query restart); without it, a restarted reader would poll
+        # watermarks behind the committed offset until it caught up.
+        cur = self._load_hwm()
+        self._store_hwm(min(cur + self._rows_per_batch, self._max_rows))
         return {"offset": self._hwm}
 
     def partitions(self, start, end):

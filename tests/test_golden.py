@@ -489,3 +489,61 @@ def test_python_datasource_partition_per_file(spark, sf_dir):
     assert pdf["doc_id"].tolist() == list(range(8))
     # absent "text" key on odd rows → NULL
     assert pdf["text"].isna().tolist() == [i % 2 == 1 for i in range(8)]
+
+
+def test_pyrangestream_restart_resumes_exactly_once(spark):
+    """S-GEN-02 offset-replay contract: kill the query mid-stream, restart
+    a NEW query (fresh reader instance) on the same checkpoint — the
+    source resumes from the committed offset and the parquet sink ends
+    with values 0..999 exactly once (no gaps, no duplicates)."""
+    import os
+    import tempfile
+    import time
+
+    from dask_xgboost_spark.sources.pydatasource import register_python_sources
+
+    register_python_sources(spark)
+    ckpt = tempfile.mkdtemp(prefix="dxs_pyrs_ckpt")
+    out = tempfile.mkdtemp(prefix="dxs_pyrs_out")
+    state = tempfile.mkdtemp(prefix="dxs_pyrs_state")
+
+    def start_query():
+        src = (
+            spark.readStream.format("pyrangestream")
+            .option("rowsPerBatch", 100)
+            .option("maxRows", 1000)
+            .option("numPartitions", 2)
+            .option("stateDir", state)
+            .load()
+        )
+        return (
+            src.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start_query()
+    # wait until at least one batch is committed, then kill mid-stream
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p.get("sink", {}).get("numOutputRows", -1) > 0:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    n_before = spark.read.parquet(out).count()
+    assert 0 < n_before, "first run must commit at least one batch"
+
+    q2 = start_query()
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+
+    vals = sorted(r.value for r in spark.read.parquet(out).collect())
+    assert vals == list(range(1000)), (
+        f"restart must resume exactly-once: got {len(vals)} rows, "
+        f"first-run rows {n_before}"
+    )
