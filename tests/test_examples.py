@@ -26,6 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "curation_pipeline.py",
         "similarity_search.py",
         "warehouse_ops.py",
+        "python_extensions.py",
     ],
 )
 def test_example_runs(script):
