@@ -370,3 +370,48 @@ def q_win_12(spark, sf):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "Q-WIN-13",
+    sql="SELECT o_orderkey, o_custkey, "
+    "FIRST_VALUE(o_orderkey) OVER w AS first_key, "
+    "LAST_VALUE(o_orderkey) OVER w AS last_key, "
+    "NTH_VALUE(o_orderkey, 2) OVER w AS second_key "
+    "FROM orders "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+    "ORDER BY o_orderkey",
+)
+def q_win_13(spark, sf):
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE over an explicit full-frame
+    window — per customer: their first, last, and second order key.
+
+    The trap this entry pins down: with the DEFAULT frame (unbounded
+    preceding → CURRENT ROW), LAST_VALUE returns the current row and
+    NTH_VALUE goes NULL until n rows have passed — in every engine, per
+    the SQL standard, and silently. The explicit
+    ``rowsBetween(unboundedPreceding, unboundedFollowing)`` frame is the
+    only portable way to mean "the partition's last value". Ordering key
+    is unique (o_orderkey) so all three are deterministic.
+
+    Scale shape: one shuffle on o_custkey + sorted evaluation; the
+    full-frame functions need the whole partition resident, which is
+    exactly the bounded-per-key state the partitioned window contract
+    guarantees."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_key"),
+            F.last("o_orderkey").over(w).alias("last_key"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        )
+        .orderBy("o_orderkey")
+    )
