@@ -715,3 +715,102 @@ def l_pipe_04(spark, sf):
         .select("doc_id", "n_chars", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "L-TEXT-17",
+    sql="WITH u AS (SELECT doc_id, "
+    "'https://' || lang || '.example.com/docs/' || doc_id "
+    "|| '?ref=' || source AS url FROM documents) "
+    "SELECT doc_id, url, "
+    "regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+    "regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path, "
+    "regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref "
+    "FROM u WHERE regexp_extract(url, '^https?://([^/]+)', 1) "
+    "NOT LIKE 'zh.%' ORDER BY doc_id",
+)
+def l_text_17(spark, sf):
+    """URL parsing + domain filtering — the crawl-pipeline gate that
+    runs before any content processing: extract host/path/query
+    components and drop blocklisted domains. Spark side uses the
+    dedicated ``parse_url`` expression (single parse, per-part
+    extraction); the oracle states the equivalent regex decomposition.
+    URLs are synthesized from fixture columns so the check is
+    deterministic at every SF.
+
+    Scale shape: map-only JVM expressions; a real blocklist joins
+    broadcast (domain lists are KB-MB) — never a regex-per-blocked-
+    domain scan."""
+    u = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("lang"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id"),
+            F.lit("?ref="),
+            F.col("source"),
+        ).alias("url"),
+    )
+    host = F.parse_url("url", F.lit("HOST"))
+    return (
+        u.select(
+            "doc_id",
+            "url",
+            host.alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        )
+        .filter(~F.col("host").startswith("zh."))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "L-TEXT-18",
+    sql="WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "n AS (SELECT doc_id, toks, len(toks) AS nt FROM t), "
+    "c AS (SELECT doc_id, nt, "
+    "unnest(generate_series(0, CAST(GREATEST(CEIL((nt - 32) / 24.0), 0) AS INT))) AS ci, "
+    "toks FROM n) "
+    "SELECT doc_id, CAST(ci AS INT) AS chunk_id, "
+    "array_to_string(list_slice(toks, ci * 24 + 1, ci * 24 + 32), ' ') AS chunk, "
+    "CAST(LEAST(nt - ci * 24, 32) AS INT) AS chunk_len "
+    "FROM c ORDER BY doc_id, chunk_id",
+)
+def l_text_18(spark, sf):
+    """Overlapping token chunking (window 32, stride 24 → 8-token
+    overlap) — the RAG / context-window prep step: every document is
+    split into fixed-size chunks whose overlap preserves cross-boundary
+    context. Chunk COUNT comes from arithmetic on the token count, the
+    chunks themselves from ``slice`` over the token array inside a
+    ``transform`` HOF — one explode, no self-join, no Python.
+
+    Scale shape: map-only until the final explode; output size is
+    input size × ~(window/stride) ≈ 1.33× here, linear and predictable.
+    At 100 TB pair with L-PIPE-03 (sequence packing) downstream."""
+    W, S = 32, 24
+    toks = F.split("text", " ")
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - F.lit(W)) / F.lit(float(S))), F.lit(0)
+    ).cast("int") + F.lit(1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda ci: F.struct(
+            ci.alias("ci"),
+            F.array_join(F.slice(toks, ci * S + 1, W), " ").alias("chunk"),
+            F.least(F.size(toks) - ci * S, F.lit(W)).alias("chunk_len"),
+        ),
+    )
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.ci").cast("int").alias("chunk_id"),
+            F.col("c.chunk").alias("chunk"),
+            F.col("c.chunk_len").cast("int").alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
