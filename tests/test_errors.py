@@ -77,3 +77,28 @@ def test_replace_missing_all_sentinel_dimension(spark):
     rows = out.collect()
     assert all(r["f0"] == 0.0 for r in rows)
     assert sorted(r["f1"] for r in rows) == [2.0, 4.0]
+
+
+def test_read_snapshot_missing_manifest_raises(spark, tmp_path):
+    from dask_xgboost_spark.operators.merge import read_snapshot
+
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, str(tmp_path / "nowhere"))
+
+
+def test_read_snapshot_unknown_version_raises(spark, sf_dir, tmp_path):
+    from dask_xgboost_spark.operators.merge import read_snapshot, write_snapshot
+    from dask_xgboost_spark.sources import load
+
+    base = str(tmp_path / "snap")
+    write_snapshot(load(spark, sf_dir, "nation"), base, 1)
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        read_snapshot(spark, base, version=99).collect()
+
+
+def test_pyjsonl_missing_path_option_raises(spark):
+    from dask_xgboost_spark.sources.pydatasource import register_python_sources
+
+    register_python_sources(spark)
+    with pytest.raises(Exception, match="path|KeyError"):
+        spark.read.format("pyjsonl").schema("doc_id bigint").load().collect()
