@@ -1365,6 +1365,55 @@ def q_scan_12(spark, sf):
 
 
 @register(
+    "Q-SCAN-13",
+    sql="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+)
+def q_scan_13(spark, sf):
+    """JDBC source/sink round-trip (embedded Derby — the in-JVM database
+    Spark ships for its Hive metastore): nation written to a JDBC table,
+    read back as a PARTITIONED JDBC scan ≡ the parquet original.
+
+    The read demonstrates the contract that makes JDBC ingest scale:
+    ``partitionColumn/lowerBound/upperBound/numPartitions`` split the
+    key range into independent WHERE-bounded queries, one per executor
+    task — without them a JDBC read is a single connection pulling the
+    whole table through one task. (Production systems also push
+    ``fetchsize`` and predicate filters; the partition-pruned WHERE
+    clauses are visible in the plan.) Round-trip caveat pinned here:
+    Derby pads nothing and preserves int/varchar exactly, so the
+    hash-check is exact."""
+    url = "jdbc:derby:memory:dxs_scan13;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    (
+        load(spark, sf, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_jdbc")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_jdbc")
+        .option("driver", driver)
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", "0")
+        .option("upperBound", "25")
+        .option("numPartitions", "4")
+        .load()
+        .select(
+            F.col("n_nationkey").cast("int").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("int").alias("n_regionkey"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
     "Q-AGG-20",
     # ord = cents * 1e7 + custkey is a unique int64, monotone in the
     # (acctbal, custkey) lexicographic order (custkey in [0, 1e7)), so

@@ -547,3 +547,37 @@ def test_pyrangestream_restart_resumes_exactly_once(spark):
         f"restart must resume exactly-once: got {len(vals)} rows, "
         f"first-run rows {n_before}"
     )
+
+
+def test_jdbc_partitioned_read_splits_tasks(spark, sf_dir):
+    """Q-SCAN-13 plumbing: the partitioned JDBC read must expose one
+    input partition per key-range slice (the option set that makes JDBC
+    ingest parallel); the registered query's final sort coalesces, so
+    assert on the raw scan."""
+    from dask_xgboost_spark.sources import load
+
+    url = "jdbc:derby:memory:dxs_jdbc_test;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_t")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    raw = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_t")
+        .option("driver", driver)
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", "0")
+        .option("upperBound", "25")
+        .option("numPartitions", "4")
+        .load()
+    )
+    assert raw.rdd.getNumPartitions() == 4
+    assert raw.count() == 25
