@@ -326,3 +326,55 @@ def u_win_01(spark, sf):
         ev.select("event_id", roll_sum("v_c").over(w).alias("roll_c"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "U-TABLE-02",
+    sql="SELECT n_nationkey AS key, 'n_name' AS col, n_name AS val FROM nation "
+    "UNION ALL "
+    "SELECT n_nationkey, 'n_regionkey', CAST(n_regionkey AS VARCHAR) FROM nation "
+    "ORDER BY key, col",
+)
+def u_table_02(spark, sf):
+    """Polymorphic UDTF (Spark 4): a generic row-unpivot whose OUTPUT
+    SCHEMA is computed at plan time by the UDTF's ``analyze`` hook from
+    the TABLE argument's actual struct — the key column keeps its input
+    type, every other column melts to (col, val) string pairs. This is
+    the dynamic-schema tier above U-TABLE-01's fixed-schema UDTF: one
+    implementation serves any table shape, resolved per call site
+    during analysis, not at runtime.
+
+    Scale shape: UDTFs are row-at-a-time Python BY API CONTRACT — fine
+    for wide→tall reshapes of dimension-sized data; for fact-scale
+    unpivot use the built-in ``stack`` expression (Q-PROF-01)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class UnpivotT:
+        @staticmethod
+        def analyze(t: AnalyzeArgument) -> AnalyzeResult:
+            fields = t.dataType.fields
+            out = StructType()
+            out = out.add("key", fields[0].dataType)  # key keeps its type
+            out = out.add("col", StringType())
+            out = out.add("val", StringType())
+            return AnalyzeResult(schema=out)
+
+        def eval(self, row):
+            vals = row.asDict()
+            names = list(vals)
+            key = vals[names[0]]
+            for name in names[1:]:
+                v = vals[name]
+                yield key, name, None if v is None else str(v)
+
+    spark.udtf.register("dxs_unpivot_t", UnpivotT)
+    load(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).createOrReplaceTempView("nation_u2")
+    return spark.sql(
+        "SELECT * FROM dxs_unpivot_t(TABLE(SELECT * FROM nation_u2)) "
+        "ORDER BY key, col"
+    )
