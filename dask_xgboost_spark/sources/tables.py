@@ -77,7 +77,20 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     """
     field = next((f for f in df.schema.fields if f.name == "ts"), None)
     if field is not None and isinstance(field.dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Magnitude dispatch, evaluated lazily per row (no driver action):
+        # nanosecond epochs for any date past 1971 exceed 3e16 while
+        # microsecond epochs stay below ~3e15 until year 2065, so 1e17
+        # cleanly separates the two int64 encodings — the r3 incident
+        # class (fixture regenerated with a different physical encoding)
+        # cannot produce a silently-wrong 1000× shift in either
+        # direction.
+        df = df.withColumn(
+            "ts",
+            F.when(
+                F.abs(F.col("ts")) > F.lit(100_000_000_000_000_000),
+                F.timestamp_micros(F.expr("ts div 1000")),
+            ).otherwise(F.timestamp_micros(F.col("ts"))),
+        )
     elif field is not None and isinstance(field.dataType, TimestampNTZType):
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

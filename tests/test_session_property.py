@@ -59,3 +59,31 @@ def test_sessionization_matches_python_reference(spark, rows):
     # tied (ts) rows: both sides tie-break on the event index, so the
     # assignment must agree exactly
     assert got == want
+
+
+def test_normalize_events_ts_handles_all_encodings(spark):
+    """The r3-incident class: events.ts has shipped as TIMESTAMP(NANOS)
+    (int64 under nanosAsLong) and timestamp[us] (TIMESTAMP_NTZ) across
+    fixture regenerations. normalize_events_ts must canonicalize int64
+    NANOS, int64 MICROS (magnitude-dispatched), TIMESTAMP_NTZ, and
+    already-LTZ TIMESTAMP to the same instant."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.sources.tables import normalize_events_ts
+
+    instant = dt.datetime(2024, 1, 2, 3, 4, 5, 678000)
+    us = int(instant.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    frames = {
+        "int64_nanos": spark.createDataFrame([(us * 1000,)], "ts long"),
+        "int64_micros": spark.createDataFrame([(us,)], "ts long"),
+        "ntz": spark.createDataFrame([(instant,)], "ts timestamp_ntz"),
+        "ltz": spark.createDataFrame([(instant,)], "ts timestamp"),
+    }
+    for label, df in frames.items():
+        out = normalize_events_ts(df)
+        assert out.schema["ts"].dataType.typeName() == "timestamp", label
+        got = out.select(F.unix_micros("ts").alias("u")).first().u
+        assert got == us, (label, got, us)
