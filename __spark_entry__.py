@@ -42,7 +42,7 @@ _DRIVER_PRIORITY = [
     # r3 errored, now fixed — batch (7)
     "Q-SCAN-05", "Q-JOIN-11", "Q-DATE-05", "Q-DATE-06", "Q-JSON-02",
     "Q-WIN-08", "Q-WIN-09",
-    # never-checked batch, hash-mode (27)
+    # never-checked batch, hash-mode (25)
     "Q-SCAN-06", "Q-SCAN-07", "Q-SCAN-10",
     "Q-AGG-18", "Q-AGG-20", "Q-AGG-21",
     "Q-TPCH-07", "Q-TPCH-09", "Q-TPCH-11", "Q-TPCH-15",

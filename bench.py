@@ -90,6 +90,33 @@ def _timed_full(df, runs: int = 5) -> float:
     return _median_timed(lambda: df.select("*").toPandas(), runs=runs)
 
 
+# Q1-shape scale-growth probe, shared with tools/scale_curve.py so the
+# per-round 1x/10x points and the one-off 1x/10x/100x curve can never
+# drift apart methodologically.
+Q1_SQL = (
+    "SELECT l_returnflag, l_linestatus, SUM(l_quantity) sq, "
+    "SUM(l_extendedprice) sp, AVG(l_discount) ad, COUNT(*) n "
+    "FROM read_parquet('{path}') WHERE l_shipdate <= '1998-09-02' "
+    "GROUP BY 1,2 ORDER BY 1,2"
+)
+
+
+def q1_shape(df):
+    from pyspark.sql import functions as F
+
+    return (
+        df.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sq"),
+            F.sum("l_extendedprice").alias("sp"),
+            F.avg("l_discount").alias("ad"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def smoke() -> None:
     """Preflight mode (SPARK_GRAFT_BENCH_SMOKE=1): one untimed run of every
     headline query + the driver's entry() — catches environment drift
@@ -466,30 +493,11 @@ def main() -> None:
         .parquet(sg_dir)
     )
 
-    def _q1_shape(df):
-        return (
-            df.filter(F.col("l_shipdate") <= "1998-09-02")
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(
-                F.sum("l_quantity").alias("sq"),
-                F.sum("l_extendedprice").alias("sp"),
-                F.avg("l_discount").alias("ad"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .orderBy("l_returnflag", "l_linestatus")
-        )
-
-    sg_spark_1x = round(_timed_full(_q1_shape(li_sg), runs=3), 4)
-    sg_spark_10x = round(_timed_full(_q1_shape(spark.read.parquet(sg_dir)), runs=3), 4)
-    _sg_sql = (
-        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) sq, "
-        "SUM(l_extendedprice) sp, AVG(l_discount) ad, COUNT(*) n "
-        "FROM read_parquet('{p}') WHERE l_shipdate <= '1998-09-02' "
-        "GROUP BY 1,2 ORDER BY 1,2"
-    )
+    sg_spark_1x = round(_timed_full(q1_shape(li_sg), runs=3), 4)
+    sg_spark_10x = round(_timed_full(q1_shape(spark.read.parquet(sg_dir)), runs=3), 4)
 
     def _duck_med(path):
-        q = _sg_sql.format(p=path)
+        q = Q1_SQL.format(path=path)
         con.execute(q).df()
         return round(_median_timed(lambda: con.execute(q).df(), runs=3), 4)
 

@@ -1315,7 +1315,10 @@ def q_scan_11(spark, sf):
     from dask_xgboost_spark.sources.pydatasource import register_python_sources
 
     register_python_sources(spark)
-    base = os.path.join(tempfile.gettempdir(), "dxs_pysrc_scan11")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"dxs_pysrc_scan11_{os.path.basename(sf.rstrip('/'))}",
+    )
     (
         load(spark, sf, "documents")
         .select("doc_id", "lang", "text")
@@ -1345,7 +1348,10 @@ def q_scan_12(spark, sf):
     import os
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), "dxs_xml_scan12")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"dxs_xml_scan12_{os.path.basename(sf.rstrip('/'))}",
+    )
     (
         load(spark, sf, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")

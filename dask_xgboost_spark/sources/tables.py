@@ -77,17 +77,19 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     """
     field = next((f for f in df.schema.fields if f.name == "ts"), None)
     if field is not None and isinstance(field.dataType, LongType):
-        # Magnitude dispatch, evaluated lazily per row (no driver action):
-        # nanosecond epochs for any date past 1971 exceed 3e16 while
-        # microsecond epochs stay below ~3e15 until year 2065, so 1e17
-        # cleanly separates the two int64 encodings — the r3 incident
-        # class (fixture regenerated with a different physical encoding)
-        # cannot produce a silently-wrong 1000× shift in either
-        # direction.
+        # Magnitude dispatch, evaluated lazily per row (no driver
+        # action). The two int64 encodings overlap, so NO single
+        # threshold is windowless; 4e17 is chosen to make the ambiguous
+        # bands maximally implausible: micros stay below 4e17 through
+        # year 14644 — including the common 9999-12-31 far-future
+        # sentinel (2.53e17 µs) — while nanos exceed it from Sep 1982
+        # on. Misclassified: ns-encoded instants before 1982-09 (ns
+        # encodings are modern; pre-1983 event data in nanos is not a
+        # realistic fixture) and µs-encoded instants past year 14644.
         df = df.withColumn(
             "ts",
             F.when(
-                F.abs(F.col("ts")) > F.lit(100_000_000_000_000_000),
+                F.abs(F.col("ts")) > F.lit(400_000_000_000_000_000),
                 F.timestamp_micros(F.expr("ts div 1000")),
             ).otherwise(F.timestamp_micros(F.col("ts"))),
         )

@@ -33,7 +33,6 @@ sys.path.insert(0, ".")
 
 from dask_xgboost_spark import get_spark
 from dask_xgboost_spark.registry import load_all
-from dask_xgboost_spark.sources import load
 from dask_xgboost_spark.sources.pydatasource import register_python_sources
 
 

@@ -56,10 +56,15 @@ def test_pyjsonl_roundtrips_arbitrary_records(spark, records):
         .load()
         .collect()
     )
+    def key(t):
+        # None-safe total order (duplicate doc_ids with mixed None/str
+        # fields would make bare tuple sort raise TypeError)
+        return tuple((v is None, v if v is not None else "") for v in t)
+
     want = sorted(
-        (r["doc_id"], r.get("lang"), r.get("text")) for r in records
+        ((r["doc_id"], r.get("lang"), r.get("text")) for r in records), key=key
     )
-    assert sorted((r.doc_id, r.lang, r.text) for r in got) == want
+    assert sorted(((r.doc_id, r.lang, r.text) for r in got), key=key) == want
 
 
 _json_scalar = st.one_of(

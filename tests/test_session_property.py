@@ -87,3 +87,13 @@ def test_normalize_events_ts_handles_all_encodings(spark):
         assert out.schema["ts"].dataType.typeName() == "timestamp", label
         got = out.select(F.unix_micros("ts").alias("u")).first().u
         assert got == us, (label, got, us)
+
+    # the 9999-12-31 far-future µs sentinel must stay on the µs branch
+    sentinel_us = int(
+        dt.datetime(9999, 12, 31, tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    out = normalize_events_ts(
+        spark.createDataFrame([(sentinel_us,)], "ts long")
+    )
+    got = out.select(F.unix_micros("ts").alias("u")).first().u
+    assert got == sentinel_us, ("sentinel", got, sentinel_us)

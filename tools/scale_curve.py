@@ -3,9 +3,12 @@
 
 Replicates lineitem with key-shifted copies (so join keys stay
 consistent), writes multi-file layouts, and measures the Q1-shape
-aggregate under FULL re-execution (df.select("*") per run — see
-BASELINE.md §3 for why repeated actions on one DataFrame must not be
-timed) in Spark and DuckDB over the same files.
+aggregate under FULL re-execution in Spark and DuckDB over the same
+files. The query shape, oracle SQL, and full-re-execution timer are
+imported from bench.py (same objects the per-round bench uses — see
+BASELINE.md §3 for why repeated actions on one DataFrame must NOT be
+timed), so the one-off curve and the per-round 1×/10× points cannot
+drift apart methodologically.
 
 Run: python tools/scale_curve.py [sf_dir] [reps ...]
 Defaults: sf_dir=/root/testdata/sf0.1, reps = 1 10 100 (100× writes
@@ -25,44 +28,13 @@ sys.path.insert(0, ".")
 import duckdb
 from pyspark.sql import functions as F
 
+from bench import Q1_SQL, _timed_full, q1_shape
 from dask_xgboost_spark.session import get_spark
 from dask_xgboost_spark.sources import load
 
-Q1 = (
-    "SELECT l_returnflag, l_linestatus, SUM(l_quantity) sq, "
-    "SUM(l_extendedprice) sp, AVG(l_discount) ad, COUNT(*) n "
-    "FROM read_parquet('{path}') WHERE l_shipdate <= '1998-09-02' "
-    "GROUP BY 1,2 ORDER BY 1,2"
-)
-
-
-def q1_shape(df):
-    return (
-        df.filter(F.col("l_shipdate") <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("l_quantity").alias("sq"),
-            F.sum("l_extendedprice").alias("sp"),
-            F.avg("l_discount").alias("ad"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-def med_full(df, runs=3):
-    df.toPandas()
-    df.select("*").toPandas()
-    ts = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        df.select("*").toPandas()
-        ts.append(time.perf_counter() - t0)
-    return statistics.median(ts)
-
 
 def med_duck(con, path, runs=3):
-    q = Q1.format(path=path)
+    q = Q1_SQL.format(path=path)
     con.execute(q).df()
     ts = []
     for _ in range(runs):
@@ -88,7 +60,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", *reps: str) -> None:
 
     for rep in rep_list:
         if rep == 1:
-            s = med_full(q1_shape(li))
+            s = _timed_full(q1_shape(li), runs=3)
             d = med_duck(con, f"{sf_dir}/lineitem.parquet")
             path = None
         else:
@@ -97,11 +69,11 @@ def main(sf_dir: str = "/root/testdata/sf0.1", *reps: str) -> None:
                 li.crossJoin(spark.range(rep).select(F.col("id").alias("r")))
                 .withColumn("l_orderkey", F.col("l_orderkey") + F.col("r") * 10_000_000)
                 .drop("r")
-                .repartition(min(64, 32 * max(1, rep // 10) or 32))
+                .repartition(min(64, 32 * max(1, rep // 10)))
                 .write.mode("overwrite")
                 .parquet(path)
             )
-            s = med_full(q1_shape(spark.read.parquet(path)))
+            s = _timed_full(q1_shape(spark.read.parquet(path)), runs=3)
             d = med_duck(con, f"{path}/*.parquet")
         n = base_rows * rep
         print(
