@@ -581,3 +581,46 @@ def test_jdbc_partitioned_read_splits_tasks(spark, sf_dir):
     )
     assert raw.rdd.getNumPartitions() == 4
     assert raw.count() == 25
+
+
+def test_streaming_observe_metrics_accumulate_across_batches(spark, sf_dir):
+    """Streaming twin of G-OBS-01: df.observe on a streaming query
+    surfaces per-micro-batch metrics in StreamingQueryProgress
+    (observedMetrics); summed across batches they must equal the batch
+    recomputation — in-flight ingest accounting with no second pass."""
+    import tempfile
+    import uuid
+
+    from dask_xgboost_spark.streaming.core import events_stream
+
+    sev = events_stream(spark, sf_dir, n_files=4, max_files_per_trigger=1)
+    observed = sev.observe(
+        "ingest",
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum((F.col("value") > 3).cast("long")).alias("rows_high"),
+    )
+    agg = observed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = "dxs_sobs_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dxs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    seen = high = 0
+    for p in q.recentProgress:
+        m = p.get("observedMetrics", {}).get("ingest")
+        if m:
+            seen += m["rows_seen"]
+            high += m["rows_high"]
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expect = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") > 3).cast("long")).alias("h"),
+    ).collect()[0]
+    assert seen == expect["n"]
+    assert high == expect["h"]
