@@ -814,3 +814,67 @@ def l_text_18(spark, sf):
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@register(
+    "L-SIM-08",
+    sql="WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
+    "FROM documents), "
+    "dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w), "
+    "nd AS (SELECT COUNT(*) AS n FROM documents), "
+    "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok "
+    "       WHERE w IN ('data', 'query', 'stream') GROUP BY doc_id, w), "
+    "sc AS (SELECT t.doc_id, "
+    "SUM((length(printf('%b', (SELECT n FROM nd))) - length(printf('%b', d.df))) "
+    "    * LEAST(t.tf, 3)) AS score "
+    "FROM tf t JOIN dfreq d USING (w) GROUP BY t.doc_id) "
+    "SELECT doc_id, CAST(score AS BIGINT) AS score FROM sc "
+    "ORDER BY score DESC, doc_id LIMIT 10",
+)
+def l_sim_08(spark, sf):
+    """Lexical ranked retrieval (integer-exact simplified BM25): score
+    docs against a query token set by Σ idf_int(w)·min(tf, 3), where
+    idf_int = bitlen(N_docs) − bitlen(df(w)) ≈ log2(N/df) (L-TEXT-13's
+    transcendental-free integer surprisal) and min(tf,3) is the
+    saturating term-frequency component (BM25's k1 curve collapsed to a
+    cap). Rare query terms dominate, repeated terms saturate — the BM25
+    mechanics, in arithmetic that hash-checks exactly across engines
+    (ln() cross-engine bit-identity does not exist; bit lengths of int64
+    counts do). Complements L-SIM-01..07's dense/embedding retrieval
+    with the lexical side of hybrid search.
+
+    Scale shape: the query token filter is pushed BEFORE the tf
+    aggregate, so only postings of query terms ever shuffle — work
+    tracks matching postings, not corpus size; df/N statistics are
+    dimension-sized broadcasts; top-k is TakeOrderedAndProject (no
+    global sort)."""
+    query_terms = ["data", "query", "stream"]
+    toks = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    )
+    dfreq = toks.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = load(spark, sf, "documents").agg(F.count(F.lit(1)).alias("n"))
+
+    def bitlen(c):
+        return F.length(F.conv(c.cast("string"), 10, 2))
+
+    tf = (
+        toks.filter(F.col("w").isin(query_terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                (bitlen(F.col("n")) - bitlen(F.col("df")))
+                * F.least(F.col("tf"), F.lit(3))
+            )
+            .cast("long")
+            .alias("score")
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
