@@ -816,6 +816,42 @@ def l_text_18(spark, sf):
     )
 
 
+def lexical_scores(spark, sf, query_terms):
+    """Integer-exact lexical relevance scores for one query token set:
+    score(d) = Σ_w (bitlen(N_docs) − bitlen(df(w))) · min(tf(w,d), 3)
+    over w ∈ query_terms. Shared by L-SIM-08 (single-ranker top-k) and
+    L-SIM-09 (rank fusion). The query-term filter runs BEFORE the tf
+    aggregate, so only matching postings shuffle."""
+    toks = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    )
+    dfreq = toks.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = load(spark, sf, "documents").agg(F.count(F.lit(1)).alias("n"))
+
+    def bitlen(c):
+        return F.length(F.conv(c.cast("string"), 10, 2))
+
+    tf = (
+        toks.filter(F.col("w").isin(list(query_terms)))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                (bitlen(F.col("n")) - bitlen(F.col("df")))
+                * F.least(F.col("tf"), F.lit(3))
+            )
+            .cast("long")
+            .alias("score")
+        )
+    )
+
+
 @register(
     "L-SIM-08",
     sql="WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
@@ -848,33 +884,78 @@ def l_sim_08(spark, sf):
     tracks matching postings, not corpus size; df/N statistics are
     dimension-sized broadcasts; top-k is TakeOrderedAndProject (no
     global sort)."""
-    query_terms = ["data", "query", "stream"]
-    toks = (
-        load(spark, sf, "documents")
-        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    return (
+        lexical_scores(spark, sf, ["data", "query", "stream"])
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
     )
-    dfreq = toks.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = load(spark, sf, "documents").agg(F.count(F.lit(1)).alias("n"))
 
-    def bitlen(c):
-        return F.length(F.conv(c.cast("string"), 10, 2))
 
-    tf = (
-        toks.filter(F.col("w").isin(query_terms))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "w")
-        .crossJoin(F.broadcast(n_docs))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                (bitlen(F.col("n")) - bitlen(F.col("df")))
-                * F.least(F.col("tf"), F.lit(3))
-            )
-            .cast("long")
-            .alias("score")
+_LEX_SQL = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
+    "FROM documents), "
+    "dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w), "
+    "nd AS (SELECT COUNT(*) AS n FROM documents), "
+    "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok "
+    "       WHERE w IN ({terms}) GROUP BY doc_id, w) "
+    "SELECT t.doc_id, "
+    "CAST(SUM((length(printf('%b', (SELECT n FROM nd))) "
+    "          - length(printf('%b', d.df))) * LEAST(t.tf, 3)) AS BIGINT) AS score "
+    "FROM tf t JOIN dfreq d USING (w) GROUP BY t.doc_id"
+)
+
+
+@register(
+    "L-SIM-09",
+    sql="WITH a AS (" + _LEX_SQL.format(terms="'data', 'query', 'stream'") + "), "
+    "b AS (" + _LEX_SQL.format(terms="'join', 'filter', 'window'") + "), "
+    "ra AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r "
+    "FROM a), "
+    "rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r "
+    "FROM b) "
+    "SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, "
+    "COALESCE(1.0 / (60 + ra.r), 0) + COALESCE(1.0 / (60 + rb.r), 0) AS rrf "
+    "FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id "
+    "ORDER BY rrf DESC, doc_id LIMIT 10",
+)
+def l_sim_09(spark, sf):
+    """Reciprocal-rank fusion (RRF, k=60) — the standard hybrid-search
+    step that merges rankings from heterogeneous retrievers without
+    score calibration: fused(d) = Σ_sources 1/(k + rank_source(d)).
+    Demonstrated over two lexical rankers (different query token sets;
+    in production one side is the dense/ANN ranking from L-SIM-01..07 —
+    RRF only consumes RANKS, so the fusion is retriever-agnostic).
+    Hash-exact because each term is a single IEEE division of small
+    ints and each doc sums exactly ≤2 terms (two-operand float addition
+    is commutative, so no association-order hazard).
+
+    Scale shape: each ranker's global ORDER BY runs on its (small)
+    scored candidate set, not the corpus; the fusion is a full-outer
+    join of two rank lists — candidate-set sized; top-k is
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    def ranks(terms, id_col, r_col):
+        # distinct column names per ranker: both sides share the same
+        # scan lineage, so qualified-name disambiguation would be
+        # ambiguous in the self-join
+        w = Window.orderBy(F.col("score").desc(), "doc_id")
+        return lexical_scores(spark, sf, terms).select(
+            F.col("doc_id").alias(id_col),
+            F.row_number().over(w).alias(r_col),
         )
+
+    ra = ranks(["data", "query", "stream"], "doc_a", "r_a")
+    rb = ranks(["join", "filter", "window"], "doc_b", "r_b")
+    return (
+        ra.join(rb, F.col("doc_a") == F.col("doc_b"), "full_outer")
+        .select(
+            F.coalesce("doc_a", "doc_b").alias("doc_id"),
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_a")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_b")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
     )
-    return scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
