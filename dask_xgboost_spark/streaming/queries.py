@@ -560,3 +560,67 @@ def s_join_03(spark, sf):
     )
     out = run_to_memory(joined.select("click_id", "purchase_id"), "append")
     return out.filter(F.col("click_id") >= 0).orderBy("click_id", "purchase_id")
+
+
+@register(
+    "S-JOIN-04",
+    sql="SELECT c.click_id AS click_id, p.purchase_id AS purchase_id FROM "
+    "(SELECT event_id AS click_id, user_id, ts FROM "
+    f"{EVENTS_US} e WHERE event_type = 'click') c "
+    "FULL OUTER JOIN "
+    "(SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts FROM "
+    f"{EVENTS_US} e2 WHERE event_type = 'purchase') p "
+    "ON c.user_id = p.p_user AND p.p_ts > c.ts "
+    "AND p.p_ts <= c.ts + INTERVAL 30 MINUTE "
+    "ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST",
+    mode="stream",
+)
+def s_join_04(spark, sf):
+    """FULL OUTER stream-stream join — completes the join-mode matrix
+    (S-JOIN-01 inner, -02 stream-static, -03 left outer): BOTH sides'
+    unmatched rows must surface null-padded, each only after the
+    watermark proves no counterpart can arrive, so state on both sides
+    is held to its eviction horizon and flushed by the same far-future
+    sentinel mechanism as S-JOIN-03. Final output ≡ the batch FULL JOIN
+    oracle (nulls on either side included; NULLS FIRST ordering stated
+    explicitly because the engines' defaults disagree).
+
+    At scale: the symmetric worst case of outer streaming joins — state
+    = both sides' unmatched rows within the lateness window; the
+    watermark delay is the direct knob on state size, and a missing
+    time-range predicate on either side would make state unbounded
+    (Spark rejects it)."""
+    clicks = (
+        events_stream(spark, sf, future_sentinels=["click", "purchase"])
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf, future_sentinels=["click", "purchase"])
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+        "full_outer",
+    )
+    out = run_to_memory(joined.select("click_id", "purchase_id"), "append")
+    return (
+        out.filter(
+            (F.coalesce("click_id", F.lit(0)) >= 0)
+            & (F.coalesce("purchase_id", F.lit(0)) >= 0)
+        )
+        .orderBy(
+            F.col("click_id").asc_nulls_first(),
+            F.col("purchase_id").asc_nulls_first(),
+        )
+    )
