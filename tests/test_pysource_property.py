@@ -115,3 +115,63 @@ def test_variant_extraction_matches_python_json(spark, payloads):
         assert row.nx == (nested["x"] if nested is not None else None)
         arr = p.get("arr")
         assert row.a0 == (arr[0] if arr else None)
+
+
+_doc_text = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=4), min_size=1, max_size=80
+).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_doc_text, min_size=1, max_size=6))
+def test_chunking_matches_python_reference(spark, texts):
+    """L-TEXT-18's window/stride arithmetic against an independent pure-
+    Python reference: chunks tile every document with stride-24 starts,
+    32-token windows, final partial chunk included, 8-token overlap
+    between neighbors."""
+    W, S = 32, 24
+
+    def ref_chunks(text):
+        toks = text.split(" ")
+        n = len(toks)
+        n_chunks = max(-(-(n - W) // S), 0) + 1  # ceil for ints
+        out = []
+        for ci in range(n_chunks):
+            window = toks[ci * S : ci * S + W]
+            out.append((ci, " ".join(window), len(window)))
+        return out
+
+    from dask_xgboost_spark.registry import load_all  # noqa: F401 (side import)
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = F2.split("text", " ")
+    n_chunks = F2.greatest(
+        F2.ceil((F2.size(toks) - F2.lit(W)) / F2.lit(float(S))), F2.lit(0)
+    ).cast("int") + F2.lit(1)
+    chunks = F2.transform(
+        F2.sequence(F2.lit(0), n_chunks - 1),
+        lambda ci: F2.struct(
+            ci.alias("ci"),
+            F2.array_join(F2.slice(toks, ci * S + 1, W), " ").alias("chunk"),
+            F2.least(F2.size(toks) - ci * S, F2.lit(W)).alias("chunk_len"),
+        ),
+    )
+    got = (
+        df.select("doc_id", F2.explode(chunks).alias("c"))
+        .select("doc_id", "c.ci", "c.chunk", "c.chunk_len")
+        .orderBy("doc_id", "ci")
+        .collect()
+    )
+    want = [
+        (i, ci, chunk, ln)
+        for i, t in enumerate(texts)
+        for ci, chunk, ln in ref_chunks(t)
+    ]
+    assert [(r.doc_id, r.ci, r.chunk, r.chunk_len) for r in got] == want
