@@ -624,3 +624,58 @@ def s_join_04(spark, sf):
             F.col("purchase_id").asc_nulls_first(),
         )
     )
+
+
+@register(
+    "S-SINK-03",
+    sql="SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sv_c "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+    mode="stream",
+)
+def s_sink_03(spark, sf):
+    """Streaming → JDBC serving table: the dashboard-refresh pattern
+    where a micro-batch aggregate lands in an operational database
+    (embedded Derby here — the same JDBC writer path as any external
+    DB). Complete-mode output means every trigger rewrites the FULL
+    (tiny, key-cardinality-sized) aggregate, so the JDBC overwrite is
+    naturally idempotent — a retried batch rewrites the same rows and
+    exactly-once state falls out without a staging table; contrast
+    S-SINK-02, whose APPEND-side partials need batch-id versioning to
+    get the same guarantee. Final table contents ≡ the batch rollup
+    oracle.
+
+    At scale: the serving table holds one row per group (bounded by key
+    cardinality, not stream length); writes are one short transaction
+    per trigger. Never point this pattern at per-EVENT output — that is
+    what the parquet/file sinks are for."""
+    url = "jdbc:derby:memory:dxs_sink3;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    ev = events_stream(spark, sf, n_files=4, max_files_per_trigger=1)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("sv_c"),
+    )
+
+    def refresh(batch_df, batch_id):
+        (
+            batch_df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "serving_rollup")
+            .option("driver", driver)
+            .mode("overwrite")
+            .save()
+        )
+
+    run_foreach_batch(agg, refresh, output_mode="complete")
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "serving_rollup")
+        .option("driver", driver)
+        .load()
+        .select("event_type", F.col("n").cast("long").alias("n"), "sv_c")
+        .orderBy("event_type")
+    )
