@@ -73,7 +73,7 @@ _DRIVER_PRIORITY = [
     "Q-TS-03", "U-MAP-02", "G-OBS-01", "S-GEN-02",
     "Q-SCAN-12", "U-GAPPLY-03", "Q-SQL-01", "G-SNAP-01", "Q-WIN-13",
     "L-TEXT-17", "L-TEXT-18", "Q-SCAN-13", "U-TABLE-02", "L-SIM-08",
-    "L-SIM-09", "S-JOIN-04", "S-SINK-03",
+    "L-SIM-09", "S-JOIN-04", "S-SINK-03", "Q-STR-08",
     "Q-SCAN-08", "Q-SCAN-09", "Q-TPCH-18", "Q-TPCH-22",
     "Q-TPCH-16", "Q-TPCH-17", "Q-TPCH-19", "Q-TPCH-20",
     "Q-STR-06", "Q-STR-07", "Q-DATE-07", "Q-ARR-07", "Q-MATH-02",

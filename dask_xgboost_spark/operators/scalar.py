@@ -720,6 +720,47 @@ def q_json_03(spark, sf):
 
 
 @register(
+    "Q-STR-08",
+    sql="WITH v AS (SELECT p_partkey, CASE WHEN p_partkey % 2 = 0 "
+    "THEN upper(p_brand) ELSE lower(p_brand) END AS b FROM part) "
+    "SELECT lower(b) AS brand, COUNT(*) AS n, "
+    "CAST(SUM(p_partkey) AS BIGINT) AS key_sum "
+    "FROM v GROUP BY lower(b) ORDER BY brand",
+)
+def q_str_08(spark, sf):
+    """String collations (Spark 4): grouping under ``UTF8_LCASE`` merges
+    case variants at the COMPARISON level — no lower() rewrite of the
+    data, and every comparison operator (=, GROUP BY, joins, DISTINCT)
+    inherits the semantics from the column's collation instead of each
+    call site remembering to normalize. Mixed case is synthesized
+    deterministically (even keys upper, odd lower) so the merge is
+    load-bearing; the emitted group key is canonicalized with lower()
+    because the collated representative is whichever variant the
+    aggregate saw first. Oracle states the classic lower()-rewrite
+    equivalent.
+
+    Scale note: collation participates in hashing, so collated group-by
+    and join keys shuffle-partition correctly (case variants land in
+    one partition) — the failure mode the lower()-rewrite pattern
+    guards by hand."""
+    v = load(spark, sf, "part").select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_brand"))
+        .otherwise(F.lower("p_brand"))
+        .alias("b"),
+    )
+    return (
+        v.groupBy(F.collate("b", "UTF8_LCASE").alias("bk"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p_partkey").cast("long").alias("key_sum"),
+        )
+        .select(F.lower("bk").alias("brand"), "n", "key_sum")
+        .orderBy("brand")
+    )
+
+
+@register(
     "Q-STR-06",
     sql="SELECT p_partkey, "
     "CAST(levenshtein(p_brand, 'Brand#33') AS INT) AS d_brand, "
