@@ -327,3 +327,45 @@ def q_subq_05(spark, sf):
         "CASE WHEN o_custkey = 0 THEN NULL ELSE o_custkey END IS NOT NULL) "
         "ORDER BY c_custkey"
     )
+
+
+@register(
+    "Q-PIVOT-03",
+    # oracle = the portable UNION ALL melt; measures are exact int64
+    # cents/counts so the long-form `val` column is one BIGINT type
+    sql="WITH w AS (SELECT l_returnflag, "
+    " CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c, "
+    " CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_c, "
+    " COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag) "
+    "SELECT l_returnflag, 'qty_c' AS measure, qty_c AS val FROM w "
+    "UNION ALL SELECT l_returnflag, 'price_c', price_c FROM w "
+    "UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w "
+    "ORDER BY l_returnflag, measure",
+)
+def q_pivot_02(spark, sf):
+    """Unpivot / melt via the native ``DataFrame.unpivot`` API (Catalyst
+    Expand node: one pass, rows × measures output, no join, no Python) —
+    the declarative twin of Q-PIVOT-02's ``stack`` expression form, here
+    over aggregated exact-cents measures; the oracle states the portable
+    UNION ALL formulation.
+    Measures are pre-cast to one exact int64 type — unpivot requires a
+    common value type, and doing it with exact cents keeps the check
+    hash-strict.
+
+    Scale shape: Expand multiplies rows by the measure count map-side —
+    output-bound, shuffle-free; the upstream aggregate is the only
+    shuffle."""
+    from dask_xgboost_spark.functions import cents
+
+    li = load(spark, sf, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(cents("l_quantity")).cast("bigint").alias("qty_c"),
+        F.sum(cents("l_extendedprice")).cast("bigint").alias("price_c"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        wide.unpivot(
+            ["l_returnflag"], ["qty_c", "price_c", "n_rows"], "measure", "val"
+        )
+        .orderBy("l_returnflag", "measure")
+    )

@@ -570,3 +570,55 @@ def q_graph_02(spark, sf):
     edge_cnt = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     tri_cnt = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     return edge_cnt.crossJoin(tri_cnt)
+
+
+@register(
+    "Q-SCD-02",
+    # version rows come from purchase events (each purchase re-tiers the
+    # user, effective from its timestamp); every event is then joined to
+    # the tier in force AT its own timestamp. The oracle runs the
+    # textbook SCD2 interval form (LEAD builds [eff_from, eff_to) and a
+    # range predicate picks the covering version); the engine runs the
+    # single-shuffle as-of form. Identical output = the PIT-lookup
+    # equivalence claim. Tie-break: versions ordered (ts, tier), so a
+    # same-instant double-purchase resolves to the higher tier in both.
+    sql="WITH v AS (SELECT user_id, tier, ts AS eff_from, "
+    " LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, tier) AS eff_to "
+    " FROM (SELECT user_id, ts, CAST(FLOOR(value / 50) AS BIGINT) % 5 AS tier "
+    f"       FROM {EVENTS_US} pe WHERE event_type = 'purchase') src) "
+    f"SELECT tier, COUNT(*) AS n_events FROM {EVENTS_US} f "
+    "LEFT JOIN v ON f.user_id = v.user_id AND f.ts >= v.eff_from "
+    " AND (v.eff_to IS NULL OR f.ts < v.eff_to) "
+    "GROUP BY tier ORDER BY tier NULLS FIRST",
+)
+def q_scd_02(spark, sf):
+    """Point-in-time (PIT) lookup against an SCD2 dimension: each fact
+    row reads the dimension version in force at the fact's own event
+    time — the temporal-join staple for feature backfills (no
+    label/feature leakage from future versions).
+
+    Executed as a backward as-of join (operators/asof.py): version-START
+    rows replace materialized [from, to) intervals, so the lookup is ONE
+    shuffle on the entity key with no interval explosion — at 100 TB the
+    interval range-join form degenerates to a per-key cross product,
+    while this form is linear per key and AQE-splittable. The DuckDB
+    oracle runs the interval form; matching output proves the
+    equivalence."""
+    ev = load(spark, sf, "events")
+    versions = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("vts"),
+        (F.floor(F.col("value") / 50).cast("bigint") % 5).alias("tier"),
+    )
+    fact = ev.select(F.col("user_id").alias("k"), "ts")
+    from dask_xgboost_spark.operators.asof import asof_join_backward
+
+    pit = asof_join_backward(
+        fact, versions, on="k", left_ts="ts", right_ts="vts",
+        carry={"tier": "tier"},
+    )
+    return (
+        pit.groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("tier").asc_nulls_first())
+    )

@@ -1,0 +1,171 @@
+"""Geospatial operators (Q-GEO family) — grid-blocked proximity joins.
+
+Spark has no native spatial join; the scale-correct pattern is the same
+blocking discipline used by the dedup family (dedup.py) and the binned
+range join (plans/scale.py::binned_range_join): map each point to a grid
+cell sized to the query radius, replicate ONE side into its 3x3 cell
+neighborhood, equi-join on the cell key, then apply the exact distance
+predicate post-join. Work scales with true point-pair density per cell —
+never the all-pairs cross product — and the cell key shuffles/AQE-splits
+like any other join key, so the plan survives a 1000-executor scale-up.
+Production systems (Sedona, BigQuery GIS) use exactly this cell-blocked
+shape; here it is expressed in pure DataFrame algebra.
+
+Coordinates are synthesized deterministically from integer fixture
+columns and kept in INTEGER grid units end-to-end, so the distance
+predicate ((dx^2 + dy^2) <= R^2) is exact int64 arithmetic — identical
+in Spark and the DuckDB oracle, with no float-ulp knife edges.
+
+Reference parity note: dask-xgboost has no spatial surface
+(/root/reference/dask_xgboost/core.py is ML orchestration only); this
+family belongs to the engine's broader analytics contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.sources import load
+
+# Integer grid-unit geometry: radius and its square (cell size == radius
+# so any pair within R spans at most one cell boundary per axis).
+_R = 1500
+_R2 = _R * _R
+
+# Deterministic synthetic point cloud over the events table: positions
+# are integer linear-congruential mixes of (user_id, event_id) modulo a
+# 100k x 100k grid. Pure int64 arithmetic — bit-identical in DuckDB.
+_PTS_SQL = (
+    "(SELECT event_id AS id, "
+    " (user_id * 131 + event_id * 17) % 100000 AS x, "
+    " (user_id * 313 + event_id * 29) % 100000 AS y "
+    " FROM events WHERE event_id % 37 = 0)"
+)
+
+
+def _points(spark: SparkSession, sf: str, every: int = 37) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return ev.filter(F.col("event_id") % every == 0).select(
+        F.col("event_id").alias("id"),
+        ((F.col("user_id") * 131 + F.col("event_id") * 17) % 100000).alias("x"),
+        ((F.col("user_id") * 313 + F.col("event_id") * 29) % 100000).alias("y"),
+    )
+
+
+def radius_pairs(points: DataFrame, radius: int) -> DataFrame:
+    """All unordered point pairs within ``radius`` (Euclidean, integer
+    units): grid-cell blocked self-join.
+
+    Left side keeps its own cell; right side replicates into the 3x3
+    neighborhood, so each qualifying pair is produced exactly once (the
+    9 replica cells are distinct, and only one can equal the left cell).
+    Shuffle key is the cell id — bounded replication (9x) instead of the
+    quadratic per-key explosion a raw theta-join would produce.
+    """
+    r2 = radius * radius
+    a = points.select(
+        F.col("id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.expr(f"x div {radius}").alias("cx"),
+        F.expr(f"y div {radius}").alias("cy"),
+    )
+    offs = F.expr(
+        "explode(array(-1,0,1)) "
+    )
+    b = (
+        points.select(
+            F.col("id").alias("b_id"), F.col("x").alias("bx"), F.col("y").alias("by"),
+            F.expr(f"x div {radius}").alias("bcx"),
+            F.expr(f"y div {radius}").alias("bcy"),
+        )
+        .withColumn("dx", offs)
+        .withColumn("dy", F.expr("explode(array(-1,0,1))"))
+        .select(
+            "b_id", "bx", "by",
+            (F.col("bcx") + F.col("dx")).alias("cx"),
+            (F.col("bcy") + F.col("dy")).alias("cy"),
+        )
+    )
+    dist2 = (a.ax - F.col("bx")) * (a.ax - F.col("bx")) + (
+        a.ay - F.col("by")
+    ) * (a.ay - F.col("by"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("a_id") < F.col("b_id")) & (dist2 <= F.lit(r2)))
+        .select("a_id", "b_id", "ax", "ay", "bx", "by")
+    )
+
+
+@register(
+    "Q-GEO-01",
+    sql=f"WITH p AS (SELECT * FROM {_PTS_SQL} q) "
+    "SELECT a.x // 20000 AS band, COUNT(*) AS pairs "
+    "FROM p a JOIN p b ON a.id < b.id "
+    f" AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {_R2} "
+    "GROUP BY band ORDER BY band",
+)
+def q_geo_01(spark, sf):
+    """Radius self-join (proximity pairs): points within R of each other,
+    counted per x-band. Spark side runs the grid-cell blocked join
+    (``radius_pairs``); the DuckDB oracle runs the naive all-pairs
+    theta-join — different physical strategies, identical output, which
+    is precisely the blocking-correctness claim."""
+    pairs = radius_pairs(_points(spark, sf), _R)
+    return (
+        pairs.groupBy(F.expr("ax div 20000").alias("band"))
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .orderBy("band")
+    )
+
+
+_ZONES = [
+    ("core", 20000, 40000, 20000, 40000),
+    ("north", 0, 100000, 80000, 100000),
+    ("east", 80000, 100000, 0, 80000),
+    ("downtown", 30000, 35000, 30000, 35000),
+    ("strip", 0, 100000, 49000, 51000),
+    ("empty_corner", 99990, 99999, 99990, 99999),
+]
+
+_ZONES_SQL = ", ".join(f"('{n}', {x0}, {x1}, {y0}, {y1})" for n, x0, x1, y0, y1 in _ZONES)
+
+
+@register(
+    "Q-GEO-02",
+    sql="WITH p AS (SELECT id, x, y FROM "
+    "(SELECT event_id AS id, (user_id * 131 + event_id * 17) % 100000 AS x, "
+    " (user_id * 313 + event_id * 29) % 100000 AS y FROM events) q), "
+    f"z AS (SELECT * FROM (VALUES {_ZONES_SQL}) v(zone, x0, x1, y0, y1)) "
+    "SELECT zone, COUNT(p.id) AS n_points "
+    "FROM z LEFT JOIN p ON p.x >= z.x0 AND p.x < z.x1 AND p.y >= z.y0 AND p.y < z.y1 "
+    "GROUP BY zone ORDER BY zone",
+)
+def q_geo_02(spark, sf):
+    """Point-in-rectangle containment join: every event-derived point
+    against a small zone table (overlapping zones allowed; empty zones
+    kept via LEFT join). The zone side is broadcast — a containment join
+    against a small geometry set is a broadcast nested-loop by design,
+    and the fact side streams through without a shuffle. For large zone
+    sets the scale path is the same cell-blocking as ``radius_pairs``
+    (index zones by the grid cells they overlap, equi-join on cell)."""
+    ev = load(spark, sf, "events")
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        ((F.col("user_id") * 131 + F.col("event_id") * 17) % 100000).alias("x"),
+        ((F.col("user_id") * 313 + F.col("event_id") * 29) % 100000).alias("y"),
+    )
+    zones = F.broadcast(
+        spark.createDataFrame(_ZONES, "zone string, x0 bigint, x1 bigint, y0 bigint, y1 bigint")
+    )
+    return (
+        zones.join(
+            pts,
+            (pts.x >= zones.x0) & (pts.x < zones.x1)
+            & (pts.y >= zones.y0) & (pts.y < zones.y1),
+            "left",
+        )
+        .groupBy("zone")
+        .agg(F.count(F.col("id")).alias("n_points"))
+        .orderBy("zone")
+    )

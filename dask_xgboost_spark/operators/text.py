@@ -959,3 +959,78 @@ def l_sim_09(spark, sf):
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(10)
     )
+
+
+_VOCAB_K = 1000
+
+
+@register(
+    "L-TEXT-19",
+    # oracle: same vocab (top-K by count desc, token asc — fully
+    # deterministic incl. the rank-K boundary), same OOV=0 convention,
+    # per-doc encoding rebuilt with an ORDER BY pos list aggregate
+    sql="WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "t AS (SELECT doc_id, unnest(toks) AS tok, "
+    "      unnest(range(1, len(toks) + 1)) AS pos FROM d), "
+    "c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok), "
+    "v AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INT) AS id "
+    f"     FROM (SELECT * FROM c ORDER BY cnt DESC, tok LIMIT {_VOCAB_K}) q), "
+    "j AS (SELECT doc_id, pos, COALESCE(v.id, 0) AS id FROM t LEFT JOIN v ON t.tok = v.tok) "
+    "SELECT doc_id, array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ' ') AS encoded, "
+    " COUNT(*) AS n_tokens, "
+    " CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov "
+    "FROM j GROUP BY doc_id ORDER BY doc_id",
+)
+def l_text_19(spark, sf):
+    """Vocabulary build + integer encoding — the word-level
+    tokenizer-train-and-apply step of an LLM data pipeline: rank the
+    corpus's top-K tokens into a (token → id) vocabulary, then encode
+    every document as its id sequence (OOV → 0), with per-doc token/OOV
+    counts for the coverage audit.
+
+    Scale shape, stage by stage: (1) token counting is one
+    map-side-combined groupBy; (2) top-K selection is
+    ``orderBy().limit(K)`` — TakeOrderedAndProject, per-partition heaps,
+    NO global sort; (3) id assignment is a row_number window over the
+    already-bounded K rows (a deliberate single-partition window on a
+    small frame — the pattern the linter's global-window rule exists to
+    keep OFF unbounded data); (4) encoding is posexplode + a BROADCAST
+    vocab join (KB-MB at any corpus size) + one groupBy(doc_id) that
+    rebuilds order via sort_array over (pos, id) structs. The only
+    unbounded shuffles are keyed by token and doc_id.
+    Real BPE training is iterative merge-rule learning (driver-bounded
+    loop over pair counts); word-level top-K is the distributed-friendly
+    degenerate case and the standard baseline."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    tok = d.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(_VOCAB_K)
+    vocab = topk.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("tok")))
+        .cast("int")
+        .alias("id"),
+    )
+    enc = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("id")
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
+                " ",
+            ).alias("encoded"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).cast("bigint").alias("n_oov"),
+        )
+        .orderBy("doc_id")
+    )

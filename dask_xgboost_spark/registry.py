@@ -42,6 +42,7 @@ _OPERATOR_MODULES = [
     "dask_xgboost_spark.operators.composite",
     "dask_xgboost_spark.operators.tpch_full",
     "dask_xgboost_spark.operators.analytics",
+    "dask_xgboost_spark.operators.geo",
     "dask_xgboost_spark.operators.scalar",
     "dask_xgboost_spark.operators.windows",
     "dask_xgboost_spark.operators.timeseries",

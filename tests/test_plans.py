@@ -337,6 +337,9 @@ def test_lint_sweep_headline_families(spark, sf_dir):
         # broadcast side is k query rows, documented in the op docstrings
         "L-SIM-01": {"CARTESIAN_BNLJ"},
         "L-DEDUP-05": {"CARTESIAN_BNLJ"},
+        # containment join against a 6-row broadcast zone table — BNLJ is
+        # the intended physical plan for a tiny geometry set (geo.py)
+        "Q-GEO-02": {"CARTESIAN_BNLJ"},
     }
     names = [
         n
@@ -345,7 +348,8 @@ def test_lint_sweep_headline_families(spark, sf_dir):
         and getattr(s, "mode", "hash") not in ("stream", "golden")
         and n.startswith(("Q-AGG", "Q-JOIN", "Q-TPCH", "Q-WIN", "Q-FIL",
                           "Q-SORT", "Q-SET", "Q-SUBQ", "Q-CTE-01",
-                          "Q-TS", "Q-DIFF", "Q-GRAPH", "G-MV",
+                          "Q-TS", "Q-DIFF", "Q-GRAPH", "Q-GEO", "Q-SCD",
+                          "Q-PIVOT", "G-MV",
                           "L-TEXT", "L-DEDUP-0", "L-MIX", "L-PIPE-01"))
     ]
     assert len(names) >= 60, len(names)
