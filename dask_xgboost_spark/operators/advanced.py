@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dask_xgboost_spark.functions import sql_dec
+from dask_xgboost_spark.functions import sql_cents, sql_dec
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -334,15 +334,15 @@ def q_subq_05(spark, sf):
     # oracle = the portable UNION ALL melt; measures are exact int64
     # cents/counts so the long-form `val` column is one BIGINT type
     sql="WITH w AS (SELECT l_returnflag, "
-    " CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c, "
-    " CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_c, "
+    f" CAST(SUM({sql_cents('l_quantity')}) AS BIGINT) AS qty_c, "
+    f" CAST(SUM({sql_cents('l_extendedprice')}) AS BIGINT) AS price_c, "
     " COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag) "
     "SELECT l_returnflag, 'qty_c' AS measure, qty_c AS val FROM w "
     "UNION ALL SELECT l_returnflag, 'price_c', price_c FROM w "
     "UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w "
     "ORDER BY l_returnflag, measure",
 )
-def q_pivot_02(spark, sf):
+def q_pivot_03(spark, sf):
     """Unpivot / melt via the native ``DataFrame.unpivot`` API (Catalyst
     Expand node: one pass, rows × measures output, no join, no Python) —
     the declarative twin of Q-PIVOT-02's ``stack`` expression form, here

@@ -37,20 +37,27 @@ _R2 = _R * _R
 # Deterministic synthetic point cloud over the events table: positions
 # are integer linear-congruential mixes of (user_id, event_id) modulo a
 # 100k x 100k grid. Pure int64 arithmetic — bit-identical in DuckDB.
-_PTS_SQL = (
-    "(SELECT event_id AS id, "
-    " (user_id * 131 + event_id * 17) % 100000 AS x, "
-    " (user_id * 313 + event_id * 29) % 100000 AS y "
-    " FROM events WHERE event_id % 37 = 0)"
-)
+# The SQL and DataFrame forms below are the SAME formula; change both.
+_X_EXPR = "(user_id * 131 + event_id * 17) % 100000"
+_Y_EXPR = "(user_id * 313 + event_id * 29) % 100000"
 
 
-def _points(spark: SparkSession, sf: str, every: int = 37) -> DataFrame:
+def _pts_sql(every: int | None) -> str:
+    where = f" WHERE event_id % {every} = 0" if every else ""
+    return (
+        f"(SELECT event_id AS id, {_X_EXPR} AS x, {_Y_EXPR} AS y"
+        f" FROM events{where})"
+    )
+
+
+def _points(spark: SparkSession, sf: str, every: int | None = 37) -> DataFrame:
     ev = load(spark, sf, "events")
-    return ev.filter(F.col("event_id") % every == 0).select(
+    if every:
+        ev = ev.filter(F.col("event_id") % every == 0)
+    return ev.select(
         F.col("event_id").alias("id"),
-        ((F.col("user_id") * 131 + F.col("event_id") * 17) % 100000).alias("x"),
-        ((F.col("user_id") * 313 + F.col("event_id") * 29) % 100000).alias("y"),
+        F.expr(_X_EXPR).alias("x"),
+        F.expr(_Y_EXPR).alias("y"),
     )
 
 
@@ -70,17 +77,15 @@ def radius_pairs(points: DataFrame, radius: int) -> DataFrame:
         F.expr(f"x div {radius}").alias("cx"),
         F.expr(f"y div {radius}").alias("cy"),
     )
-    offs = F.expr(
-        "explode(array(-1,0,1)) "
-    )
+    neighbor = F.expr("explode(array(-1, 0, 1))")
     b = (
         points.select(
             F.col("id").alias("b_id"), F.col("x").alias("bx"), F.col("y").alias("by"),
             F.expr(f"x div {radius}").alias("bcx"),
             F.expr(f"y div {radius}").alias("bcy"),
         )
-        .withColumn("dx", offs)
-        .withColumn("dy", F.expr("explode(array(-1,0,1))"))
+        .withColumn("dx", neighbor)
+        .withColumn("dy", neighbor)
         .select(
             "b_id", "bx", "by",
             (F.col("bcx") + F.col("dx")).alias("cx"),
@@ -99,7 +104,7 @@ def radius_pairs(points: DataFrame, radius: int) -> DataFrame:
 
 @register(
     "Q-GEO-01",
-    sql=f"WITH p AS (SELECT * FROM {_PTS_SQL} q) "
+    sql=f"WITH p AS (SELECT * FROM {_pts_sql(37)} q) "
     "SELECT a.x // 20000 AS band, COUNT(*) AS pairs "
     "FROM p a JOIN p b ON a.id < b.id "
     f" AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {_R2} "
@@ -133,9 +138,7 @@ _ZONES_SQL = ", ".join(f"('{n}', {x0}, {x1}, {y0}, {y1})" for n, x0, x1, y0, y1 
 
 @register(
     "Q-GEO-02",
-    sql="WITH p AS (SELECT id, x, y FROM "
-    "(SELECT event_id AS id, (user_id * 131 + event_id * 17) % 100000 AS x, "
-    " (user_id * 313 + event_id * 29) % 100000 AS y FROM events) q), "
+    sql=f"WITH p AS (SELECT id, x, y FROM {_pts_sql(None)} q), "
     f"z AS (SELECT * FROM (VALUES {_ZONES_SQL}) v(zone, x0, x1, y0, y1)) "
     "SELECT zone, COUNT(p.id) AS n_points "
     "FROM z LEFT JOIN p ON p.x >= z.x0 AND p.x < z.x1 AND p.y >= z.y0 AND p.y < z.y1 "
@@ -149,12 +152,7 @@ def q_geo_02(spark, sf):
     and the fact side streams through without a shuffle. For large zone
     sets the scale path is the same cell-blocking as ``radius_pairs``
     (index zones by the grid cells they overlap, equi-join on cell)."""
-    ev = load(spark, sf, "events")
-    pts = ev.select(
-        F.col("event_id").alias("id"),
-        ((F.col("user_id") * 131 + F.col("event_id") * 17) % 100000).alias("x"),
-        ((F.col("user_id") * 313 + F.col("event_id") * 29) % 100000).alias("y"),
-    )
+    pts = _points(spark, sf, every=None)
     zones = F.broadcast(
         spark.createDataFrame(_ZONES, "zone string, x0 bigint, x1 bigint, y0 bigint, y1 bigint")
     )

@@ -993,8 +993,9 @@ def l_text_19(spark, sf):
     ``orderBy().limit(K)`` — TakeOrderedAndProject, per-partition heaps,
     NO global sort; (3) id assignment is a row_number window over the
     already-bounded K rows (a deliberate single-partition window on a
-    small frame — the pattern the linter's global-window rule exists to
-    keep OFF unbounded data); (4) encoding is posexplode + a BROADCAST
+    small frame — the bounded case the linter's GLOBAL_WINDOW warning
+    exists to distinguish from unbounded data); (4) encoding is
+    posexplode + a BROADCAST
     vocab join (KB-MB at any corpus size) + one groupBy(doc_id) that
     rebuilds order via sort_array over (pos, id) structs. The only
     unbounded shuffles are keyed by token and doc_id.

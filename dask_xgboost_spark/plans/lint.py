@@ -57,6 +57,11 @@ def lint_plan(df: DataFrame, max_exchanges: int = 4) -> list[Finding]:
       repartition across stages.
     - ``NO_CODEGEN``: no WholeStageCodegen span at all — the hot path is
       running interpreted.
+    - ``GLOBAL_WINDOW``: a Window operator fed by an Exchange
+      SinglePartition — an unpartitioned window funnels the whole input
+      through ONE task. Legitimate only on provably bounded frames (a
+      top-K vocabulary, a LIMITed rank assignment); fatal on unbounded
+      data.
     """
     plan = _formatted_plan(df)
     findings: list[Finding] = []
@@ -131,6 +136,18 @@ def lint_plan(df: DataFrame, max_exchanges: int = 4) -> list[Finding]:
                 "MANY_EXCHANGES",
                 f"{n_exchanges} shuffle Exchanges: check for a reusable "
                 "partitioning (bucketing / repartition once, consume twice).",
+            )
+        )
+
+    if "Exchange SinglePartition" in plan and re.search(r"\bWindow\b", plan):
+        findings.append(
+            Finding(
+                "warn",
+                "GLOBAL_WINDOW",
+                "Window over an Exchange SinglePartition: the whole input "
+                "serializes through one task. Acceptable only when the "
+                "windowed frame is provably bounded (top-K, LIMITed) — "
+                "partition the window otherwise.",
             )
         )
 

@@ -18,15 +18,13 @@ _coord = st.integers(min_value=0, max_value=45)  # ~4x4 cells at R=10
 
 
 def _brute_force(pts, radius):
-    out = set()
-    for i, (ia, xa, ya) in enumerate(pts):
-        for ib, xb, yb in pts[i + 1 :]:
-            a, b = ((ia, xa, ya), (ib, xb, yb))
-            if a[0] > b[0]:
-                a, b = b, a
-            if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= radius * radius:
-                out.add((a[0], b[0]))
-    return out
+    # ids are the enumeration index, so ia < ib already holds
+    return {
+        (ia, ib)
+        for i, (ia, xa, ya) in enumerate(pts)
+        for ib, xb, yb in pts[i + 1 :]
+        if (xa - xb) ** 2 + (ya - yb) ** 2 <= radius * radius
+    }
 
 
 @settings(

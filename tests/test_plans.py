@@ -334,7 +334,10 @@ def test_lint_sweep_headline_families(spark, sf_dir):
 
     allow = {
         # brute-force verification twins / broadcast query sets: the
-        # broadcast side is k query rows, documented in the op docstrings
+        # broadcast side is k query rows, documented in the op docstrings.
+        # (CARTESIAN_BNLJ is warn-severity today, so these entries gate
+        # nothing yet — they pin the intent if BNLJ is ever promoted to
+        # error severity.)
         "L-SIM-01": {"CARTESIAN_BNLJ"},
         "L-DEDUP-05": {"CARTESIAN_BNLJ"},
         # containment join against a 6-row broadcast zone table — BNLJ is
