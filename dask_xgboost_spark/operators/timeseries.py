@@ -307,3 +307,56 @@ def q_ts_03(spark, sf):
         )
         .orderBy("user_id")
     )
+
+
+_C = "CAST(FLOOR({x} * 100 + 0.5) AS BIGINT)"
+
+_TS04_SQL = (
+    "WITH e AS (SELECT date_trunc('hour', ts) AS bucket, ts, event_id, value "
+    f"FROM {EVENTS_US} ev), "
+    "r AS (SELECT bucket, value, "
+    " ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ts, event_id) AS rn_a, "
+    " ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ts DESC, event_id DESC) AS rn_d "
+    "FROM e) "
+    "SELECT bucket, "
+    f" {_C.format(x='MAX(CASE WHEN rn_a = 1 THEN value END)')} AS open_c, "
+    f" {_C.format(x='MAX(value)')} AS high_c, "
+    f" {_C.format(x='MIN(value)')} AS low_c, "
+    f" {_C.format(x='MAX(CASE WHEN rn_d = 1 THEN value END)')} AS close_c, "
+    " COUNT(*) AS n_ticks "
+    "FROM r GROUP BY bucket ORDER BY bucket"
+)
+
+
+@register("Q-TS-04", sql=_TS04_SQL)
+def q_ts_04(spark, sf):
+    """OHLC downsampling (candlestick bars): per hourly bucket, the
+    first (open), max (high), min (low), and last (close) tick value —
+    the hypertable rollup TimescaleDB spells first()/last() and every
+    market-data pipeline runs continuously.
+
+    Open/close are ONE aggregate each — min/max over a
+    (ts, event_id, value) struct whose lexicographic order makes the
+    earliest/latest tick win (event_id breaks ts ties, so the result is
+    deterministic under any partitioning) — not a window + rn=1 filter,
+    which would shuffle-sort every tick; the whole query is a single
+    map-side-combinable groupBy. Values are exact int64 cents;
+    cents(max(x)) == max(cents(x)) since the mapping is monotone. The
+    oracle states the row_number formulation — matching output proves
+    the struct-aggregate trick. At 100 TB: one shuffle keyed by bucket;
+    partial aggregation bounds map output at O(buckets) per task."""
+    ev = load(spark, sf, "events")
+    tick = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    cents_of = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return (
+        ev.select(F.date_trunc("hour", "ts").alias("bucket"), "ts", "event_id", "value")
+        .groupBy("bucket")
+        .agg(
+            cents_of(F.min(tick)["value"]).alias("open_c"),
+            cents_of(F.max("value")).alias("high_c"),
+            cents_of(F.min("value")).alias("low_c"),
+            cents_of(F.max(tick)["value"]).alias("close_c"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .orderBy("bucket")
+    )
