@@ -476,7 +476,10 @@ def q_graph_01(spark, sf):
     e2 = cust.select(
         F.col("k").alias("src"), ((F.col("k") * 13 + 2) % n_total).alias("dst")
     )
-    edges = e1.union(e2)
+    # the edge list is consumed by every iteration's join — materialize
+    # it once instead of re-deriving union+projection per round (same
+    # multi-reference idiom as Q-TPCH-15; CacheManager dedupes by plan)
+    edges = e1.union(e2).persist()
     ranks = cust.select("k", F.lit(1000000).cast("long").alias("r"))
     for _ in range(3):
         ranks = (
@@ -544,6 +547,11 @@ def q_graph_02(spark, sf):
         .agg(F.count(F.lit(1)).alias("m"))
         .filter(F.col("m") >= 2)
         .select("u", "v")
+        # the edge set feeds degree counting (twice), the orientation
+        # join, and the edge-count leg — materialize the fact self-join
+        # ONCE instead of re-running it per reference (multi-reference
+        # idiom, see Q-TPCH-15)
+        .persist()
     )
     deg = (
         pairs.select(F.col("u").alias("node"))
@@ -560,7 +568,7 @@ def q_graph_02(spark, sf):
     o = with_deg.select(
         F.when(ku <= kv, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(ku <= kv, F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
+    ).persist()  # oriented edges feed both wedge legs and the closing join
     e1 = o.select(F.col("s").alias("x"), F.col("t").alias("y"))
     e2 = o.select(F.col("s").alias("y"), F.col("t").alias("z"))
     wedges = e1.join(e2, "y")

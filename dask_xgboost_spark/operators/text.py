@@ -821,12 +821,16 @@ def lexical_scores(spark, sf, query_terms):
     score(d) = Σ_w (bitlen(N_docs) − bitlen(df(w))) · min(tf(w,d), 3)
     over w ∈ query_terms. Shared by L-SIM-08 (single-ranker top-k) and
     L-SIM-09 (rank fusion). The query-term filter runs BEFORE the tf
-    aggregate, so only matching postings shuffle."""
+    aggregate, so only matching postings shuffle. The document-frequency
+    statistics (one row per vocab term — bounded) are persisted: they ARE
+    the index in IR terms, built once per corpus and reused by every
+    query and by both of L-SIM-09's retriever legs (CacheManager dedupes
+    the cache entry by canonicalized plan)."""
     toks = (
         load(spark, sf, "documents")
         .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
     )
-    dfreq = toks.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    dfreq = toks.groupBy("w").agg(F.count_distinct("doc_id").alias("df")).persist()
     n_docs = load(spark, sf, "documents").agg(F.count(F.lit(1)).alias("n"))
 
     def bitlen(c):
