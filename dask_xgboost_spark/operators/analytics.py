@@ -146,7 +146,9 @@ def q_cohort_01(spark, sf):
     so it broadcasts when dims allow. Week truncation and day arithmetic
     are exact in both engines (no epoch division drift)."""
     ev = load(spark, sf, "events")
-    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    # user-cardinality aggregate, re-read by the fact join — materialize
+    # it (the "user dimension" build; multi-reference idiom, Q-TPCH-15)
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts")).persist()
     joined = ev.join(first_seen, "user_id")
     cohort = F.date_trunc("week", F.col("first_ts"))
     week = F.date_trunc("week", F.col("ts"))

@@ -69,7 +69,9 @@ def minhash_candidates(docs, dist_threshold: float = 0.5, num_tables: int = 8):
         ),
     ).filter(F.size("shingles") > 0)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feat = tf.transform(shingled)
+    # both sides of the self-similarity-join re-derive shingling +
+    # hashing unless the featurized frame is materialized once
+    feat = tf.transform(shingled).persist()
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42
     )
