@@ -395,3 +395,14 @@ def test_not_in_nullable_plans_null_aware_anti_join(spark, sf_dir):
     assert raw.count() == 0
     p_filtered = plan(spark, sf_dir, "Q-SUBQ-05")
     assert "LeftAnti" in p_filtered
+
+
+def test_multi_referenced_views_materialize(spark, sf_dir):
+    """The multi-reference idiom (SCALE.md): Q-TPCH-15's revenue view and
+    Q-GRAPH-02's pair set must read from an InMemoryRelation, not
+    recompute the fact subtree per reference."""
+    for name in ("Q-TPCH-15", "Q-GRAPH-02"):
+        df = SPECS[name].fn(spark, sf_dir)
+        df.limit(1).collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, f"{name}: no cache read in plan"
