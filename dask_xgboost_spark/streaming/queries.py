@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.functions import EVENTS_US
+from dask_xgboost_spark.operators.timeseries import _TS04_SQL as _OHLC_SQL
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.streaming.core import (
     events_stream,
@@ -91,6 +92,34 @@ def s_win_03(spark, sf):
     return out.select(
         "user_id", F.col("session_window.start").alias("s_start"), "n"
     ).orderBy("user_id", "s_start")
+
+
+@register("S-WIN-04", sql=_OHLC_SQL, mode="stream")
+def s_win_04(spark, sf):
+    """Streaming OHLC bars — the continuous twin of Q-TS-04: per hourly
+    tumbling window, open/close as min/max over a (ts, event_id, value)
+    struct, high/low/count alongside. The struct trick matters MORE in
+    streaming than in batch: open/close become ordinary mergeable
+    aggregate state (one struct per window in the state store, merged
+    across micro-batches in any arrival order), where a window+rn=1
+    formulation is not expressible over an unbounded stream at all.
+    Oracle: the same row_number SQL as the batch twin Q-TS-04 — final
+    streaming state must hash-match the batch result."""
+    ev = events_stream(spark, sf)
+    tick = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    cents_of = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    agg = ev.groupBy(F.window("ts", "1 hour")).agg(
+        cents_of(F.min(tick)["value"]).alias("open_c"),
+        cents_of(F.max("value")).alias("high_c"),
+        cents_of(F.min("value")).alias("low_c"),
+        cents_of(F.max(tick)["value"]).alias("close_c"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("bucket"),
+        "open_c", "high_c", "low_c", "close_c", "n_ticks",
+    ).orderBy("bucket")
 
 
 @register("S-WM-01", sql=None, mode="golden")
