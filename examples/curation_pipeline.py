@@ -155,6 +155,39 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     n_train = curated.filter(F.col("split") == "train").count()
 
+    # 7b. tokenizer train/apply (L-TEXT-19 shape): vocabulary is built on
+    # the TRAIN split only — building it on all docs would leak test-set
+    # tokens into the artifact — then both splits are encoded against it;
+    # the test-split OOV rate is the coverage metric that decides K.
+    from pyspark.sql import Window
+
+    toks = curated.select(
+        "doc_id", "split", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    topk = (
+        toks.filter(F.col("split") == "train")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(1000)
+    )
+    vocab = topk.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("tok")))
+        .alias("tok_id"),
+    )
+    enc = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = (
+        enc.groupBy("split")
+        .agg(
+            (F.sum(F.when(F.col("tok_id").isNull(), 1).otherwise(0)) / F.count(F.lit(1)))
+            .alias("oov_rate")
+        )
+        .collect()
+    )
+    oov_by_split = {r["split"]: r["oov_rate"] for r in oov}
+
     # 8. sharded JSONL export
     out = os.path.join(tempfile.mkdtemp(prefix="dxs_curated_"), "corpus")
     (
@@ -176,6 +209,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     print(
         f"dup-8-gram rate: {health_before:.4f} before → {health_after:.4f} after"
+    )
+    print(
+        "tokenizer (train-split vocab, K=1000) OOV rate: "
+        + ", ".join(f"{s}={r:.4f}" for s, r in sorted(oov_by_split.items()))
     )
     spark.stop()
 
