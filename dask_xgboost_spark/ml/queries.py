@@ -500,3 +500,47 @@ def m_prep_07(spark, sf):
         .otherwise("test")
         .alias("split"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "M-PREP-08",
+    sql="WITH g AS (SELECT event_type, "
+    " SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_c, "
+    " COUNT(*) AS cnt FROM events GROUP BY event_type) "
+    "SELECT event_id, "
+    " CASE WHEN cnt > 1 THEN "
+    "  CAST(sum_c - CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS DOUBLE) / (cnt - 1) "
+    " END AS loo_enc "
+    "FROM events e JOIN g USING (event_type) ORDER BY event_id",
+)
+def m_prep_08(spark, sf):
+    """Leave-one-out target encoding: each row's categorical feature is
+    replaced by the mean target of its category EXCLUDING the row itself
+    — (sum − own) / (cnt − 1). Plain per-category mean encoding leaks
+    the row's own label into its feature (training metrics inflate,
+    generalization collapses); LOO is the standard leakage-safe form,
+    and it needs NO second pass: one grouped aggregate, broadcast back,
+    row-local arithmetic. Sums are exact int64 cents so the final double
+    division is the single (deterministic IEEE) float op.
+
+    Scale shape: one map-combined groupBy over the category key (output
+    = category cardinality, a broadcast-size dim at any corpus size) +
+    a broadcast join — the fact table never shuffles. Singleton
+    categories yield NULL (no peer information), handled identically in
+    both engines via the cnt > 1 guard."""
+    ev = load(spark, sf, "events")
+    own_c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    g = ev.groupBy("event_type").agg(
+        F.sum(own_c).alias("sum_c"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        ev.join(F.broadcast(g), "event_type")
+        .select(
+            "event_id",
+            F.when(
+                F.col("cnt") > 1,
+                (F.col("sum_c") - own_c).cast("double") / (F.col("cnt") - 1),
+            ).alias("loo_enc"),
+        )
+        .orderBy("event_id")
+    )

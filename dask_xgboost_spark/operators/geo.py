@@ -167,3 +167,49 @@ def q_geo_02(spark, sf):
         .agg(F.count(F.col("id")).alias("n_points"))
         .orderBy("zone")
     )
+
+
+@register(
+    "Q-GEO-03",
+    sql="WITH p AS (SELECT user_id, ts, event_id, x, y FROM "
+    "(SELECT user_id, ts, event_id, "
+    f" {_X_EXPR} AS x, {_Y_EXPR} AS y "
+    f" FROM (SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id "
+    "        FROM events) e) q), "
+    "s AS (SELECT user_id, "
+    " ABS(x - LAG(x) OVER w) + ABS(y - LAG(y) OVER w) AS step "
+    " FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT user_id, CAST(SUM(step) AS BIGINT) AS total_dist, "
+    " CAST(COUNT(step) AS BIGINT) AS n_steps "
+    "FROM s GROUP BY user_id ORDER BY user_id",
+)
+def q_geo_03(spark, sf):
+    """Trajectory length: per-entity total movement over time-ordered
+    positions (Manhattan metric, exact int64 — no float sqrt) — the
+    movement-analytics staple (fleet distance, user mobility). LAG over
+    a (user, time) window computes successive steps; (ts, event_id)
+    ordering makes same-instant fixes deterministic.
+
+    Scale shape: ONE shuffle on the entity key, then a linear
+    sequential pass per key (the same discipline as the as-of join) —
+    never a self-join on consecutive rows, which would double-scan and
+    explode on hot entities. Aggregation is map-combinable after the
+    window."""
+    from pyspark.sql import Window
+
+    pts = _points(spark, sf, every=None)
+    ev = load(spark, sf, "events").select("user_id", "ts", "event_id")
+    p = ev.join(pts, ev.event_id == pts.id).select("user_id", "ts", "event_id", "x", "y")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = p.select(
+        "user_id",
+        (F.abs(F.col("x") - F.lag("x").over(w)) + F.abs(F.col("y") - F.lag("y").over(w))).alias("step"),
+    )
+    return (
+        steps.groupBy("user_id")
+        .agg(
+            F.sum("step").cast("bigint").alias("total_dist"),
+            F.count("step").cast("bigint").alias("n_steps"),
+        )
+        .orderBy("user_id")
+    )
