@@ -209,3 +209,109 @@ def l_mm_04(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+# --- perceptual-hash near-dup (L-MM-05) ----------------------------------
+#
+# The pixel source is the STUBBED decode (md5-chain pseudo-pixels — no
+# media libs in this container; same discipline as decode_media): 7 rows
+# x 9 cols of 4-bit "grayscale" values per asset. Everything downstream
+# of the pixels — the dHash gradient bits, the banded LSH join, the
+# Hamming verification — is the real algorithm, shared verbatim with any
+# true decoder. Near-duplicates are planted at the PIXEL level (one
+# pixel bumped on copies of doc_id < 40), because a byte-level text
+# perturbation would scramble the fake decode entirely — with a real
+# decoder, a re-encoded/resized image perturbs pixels exactly like this.
+
+_PHASH_ROWS, _PHASH_COLS = 7, 9  # 56 gradient bits < 63 → int64-safe
+
+
+def _phash_sql() -> str:
+    """dHash over the pseudo-pixel grid, as engine-portable SQL (valid in
+    both Spark SQL and DuckDB: md5/substr/instr/CASE/bit-shifts)."""
+
+    def pix(i: int) -> str:
+        raw = f"(instr('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1)"
+        if i == 1:  # the planted perturbation site
+            return f"(({raw} + bump) % 16)"
+        return raw
+
+    bits = []
+    for r in range(_PHASH_ROWS):
+        for c in range(_PHASH_COLS - 1):
+            b = r * (_PHASH_COLS - 1) + c
+            bits.append(
+                f"(CASE WHEN {pix(r * _PHASH_COLS + c)} > "
+                f"{pix(r * _PHASH_COLS + c + 1)} THEN {1 << b} ELSE 0 END)"
+            )
+    return "(" + " + ".join(bits) + ")"
+
+
+_PHASH_BASE = (
+    "SELECT doc_id, md5(text) || md5(text || 'x') || md5(text || 'y') AS hx, "
+    "0 AS bump FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 500000, md5(text) || md5(text || 'x') || md5(text || 'y'), 1 "
+    "FROM documents WHERE doc_id < 40"
+)
+
+_HAMMING_MAX = 3  # with 4 x 14-bit bands, pigeonhole guarantees recall <= 3
+
+
+@register(
+    "L-MM-05",
+    sql=f"WITH b AS ({_PHASH_BASE}), "
+    f"h AS (SELECT doc_id, {_phash_sql()} AS dhash FROM b) "
+    "SELECT a.doc_id AS d1, c.doc_id AS d2, "
+    " CAST(bit_count(xor(a.dhash, c.dhash)) AS INT) AS hamming "
+    "FROM h a JOIN h c ON a.doc_id < c.doc_id "
+    f" AND bit_count(xor(a.dhash, c.dhash)) <= {_HAMMING_MAX} "
+    "ORDER BY d1, d2",
+)
+def l_mm_05(spark, sf):
+    """Perceptual-hash near-duplicate detection for media assets: dHash
+    (horizontal-gradient bits over a decoded thumbnail) + banded LSH
+    join + exact Hamming verification — the image-dedup staple
+    (re-encoded / slightly-edited copies share all but a few gradient
+    bits, while byte hashes see unrelated blobs).
+
+    Scale shape: the 56-bit hash splits into 4 x 14-bit bands; assets
+    equi-join on (band_index, band_value), so candidates are
+    hash-bucketed — never all-pairs (the oracle IS the naive all-pairs
+    theta-join; identical output proves banding recall). Pigeonhole: a
+    pair within Hamming ≤ 3 differs in at most 3 of 4 bands, so at
+    least one band matches exactly — banding is lossless at this
+    threshold. Random 56-bit hashes collide in a band at ~2^-14, so
+    candidate volume stays near-linear; a duplicate pair can match in
+    several bands, hence the pair-level dedup before verification."""
+    load(spark, sf, "documents").createOrReplaceTempView("documents")
+    base = spark.sql(f"WITH b AS ({_PHASH_BASE}) SELECT * FROM b")
+    h = base.selectExpr("doc_id", f"{_phash_sql()} AS dhash")
+    bands = h.select(
+        "doc_id", "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    F.expr(f"(dhash >> {14 * k}) & 16383").alias("bv"),
+                )
+                for k in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "dhash", F.col("band.k").alias("k"), F.col("band.bv").alias("bv"))
+    a = bands.select(F.col("doc_id").alias("d1"), F.col("dhash").alias("h1"), "k", "bv")
+    c = bands.select(F.col("doc_id").alias("d2"), F.col("dhash").alias("h2"), "k", "bv")
+    cand = (
+        a.join(c, ["k", "bv"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2", "h1", "h2")  # a pair can share several bands
+        .agg(F.count(F.lit(1)).alias("_nbands"))
+    )
+    return (
+        cand.select(
+            "d1", "d2",
+            F.expr("CAST(bit_count(h1 ^ h2) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .orderBy("d1", "d2")
+    )
