@@ -632,3 +632,65 @@ def q_scd_02(spark, sf):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy(F.col("tier").asc_nulls_first())
     )
+
+
+@register(
+    "Q-QUAL-02",
+    # snapshots are stood in by a deterministic event_id parity split
+    # (fixtures carry no second snapshot); with real data the two sides
+    # are yesterday's and today's partition of the same table
+    sql="WITH s AS (SELECT event_id % 2 AS side, "
+    " CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c, user_id FROM events), "
+    "w AS (SELECT "
+    " COUNT(*) FILTER (WHERE side = 0) AS a_rows, "
+    " COUNT(*) FILTER (WHERE side = 1) AS b_rows, "
+    " SUM(v_c) FILTER (WHERE side = 0) AS a_sum, "
+    " SUM(v_c) FILTER (WHERE side = 1) AS b_sum, "
+    " COUNT(DISTINCT CASE WHEN side = 0 THEN user_id END) AS a_users, "
+    " COUNT(DISTINCT CASE WHEN side = 1 THEN user_id END) AS b_users "
+    "FROM s) "
+    "SELECT metric, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
+    " CAST(b - a AS BIGINT) AS delta FROM ("
+    " SELECT 'n_rows' AS metric, a_rows AS a, b_rows AS b FROM w "
+    " UNION ALL SELECT 'sum_cents', a_sum, b_sum FROM w "
+    " UNION ALL SELECT 'n_users', a_users, b_users FROM w) t "
+    "ORDER BY metric",
+)
+def q_qual_02(spark, sf):
+    """Snapshot drift report — the data-quality monitor that runs after
+    every pipeline load: row count, exact value mass (cents), and
+    entity cardinality of the new snapshot vs the previous one, with
+    deltas. Complements Q-PROF-01 (one snapshot's profile) and
+    Q-DIFF-01 (row-level reconciliation): drift triage reads THIS 3-row
+    report first and only escalates to the row-level diff on anomaly.
+
+    Scale shape: ONE pass over the union of both snapshots — every
+    metric is a FILTER-clause aggregate, so the fact table is scanned
+    once and reduces map-side to a single row; the metric unpivot
+    (stack) touches 1 row. No joins, no per-snapshot second scan."""
+    s = load(spark, sf, "events").select(
+        (F.col("event_id") % 2).alias("side"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_c"),
+        "user_id",
+    )
+    side = lambda k: F.col("side") == k  # noqa: E731
+    w = s.agg(
+        F.count(F.when(side(0), 1)).alias("a_rows"),
+        F.count(F.when(side(1), 1)).alias("b_rows"),
+        F.sum(F.when(side(0), F.col("v_c"))).alias("a_sum"),
+        F.sum(F.when(side(1), F.col("v_c"))).alias("b_sum"),
+        F.count_distinct(F.when(side(0), F.col("user_id"))).alias("a_users"),
+        F.count_distinct(F.when(side(1), F.col("user_id"))).alias("b_users"),
+    )
+    return (
+        w.selectExpr(
+            "stack(3, 'n_rows', a_rows, b_rows, "
+            "'sum_cents', a_sum, b_sum, "
+            "'n_users', a_users, b_users) AS (metric, a, b)"
+        )
+        .selectExpr(
+            "metric", "CAST(a AS BIGINT) AS a", "CAST(b AS BIGINT) AS b",
+            "CAST(b - a AS BIGINT) AS delta",
+        )
+        .orderBy("metric")
+    )
