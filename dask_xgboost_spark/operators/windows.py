@@ -415,3 +415,47 @@ def q_win_13(spark, sf):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "Q-WIN-14",
+    sql="SELECT o_custkey, o_orderkey, price_c, rk FROM ("
+    f" SELECT o_custkey, o_orderkey, {sql_cents('o_totalprice')} AS price_c, "
+    "  ROW_NUMBER() OVER (PARTITION BY o_custkey "
+    f"   ORDER BY {sql_cents('o_totalprice')} DESC, o_orderkey) AS rk "
+    " FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk",
+)
+def q_win_14(spark, sf):
+    """Skew-safe top-k per group: identical OUTPUT to the plain
+    row_number window (the oracle), different physical strategy — the
+    plan that survives a hot key at 100 TB.
+
+    A single window PARTITION BY custkey funnels every hot customer's
+    rows through one task (AQE cannot split a window partition the way
+    it splits a join). Two-stage salted execution bounds it: stage 1
+    ranks within (custkey, salt = orderkey % 8) — each salt sees ~1/8 of
+    a hot key — and keeps its local top-3; stage 2 re-ranks the ≤ 24
+    survivors per customer. Correct because the global top-3 is a subset
+    of the union of per-salt top-3s (every kept row beats all dropped
+    rows of its own salt; a globally-top row is top in its salt).
+    Deterministic (price DESC, orderkey) tie-break end-to-end. The salt
+    count is the knob: worst per-task group shrinks k-fold for one extra
+    (cheap, pre-filtered) shuffle."""
+    price_c = cents("o_totalprice").cast("bigint")
+    o = load(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", price_c.alias("price_c"),
+        (F.col("o_orderkey") % 8).alias("salt"),
+    )
+    w1 = Window.partitionBy("o_custkey", "salt").orderBy(
+        F.col("price_c").desc(), F.col("o_orderkey")
+    )
+    stage1 = o.withColumn("lrk", F.row_number().over(w1)).filter(F.col("lrk") <= 3)
+    w2 = Window.partitionBy("o_custkey").orderBy(
+        F.col("price_c").desc(), F.col("o_orderkey")
+    )
+    return (
+        stage1.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "price_c", "rk")
+        .orderBy("o_custkey", "rk")
+    )
