@@ -1,0 +1,52 @@
+"""Partition-count invariance: a distributed engine's results must not
+depend on how the data happens to be split. Every hash-mode registry
+entry is *designed* deterministic (exact integer carriers, total
+ordering, tie-breaks); this suite actually varies the execution layout —
+shuffle partition count AND a pre-shuffled input — for a representative
+sample across operator families, and requires bit-identical results.
+
+This is the local stand-in for "same answer on 32 cores and on 1000
+executors": aggregation merge order, window partition placement, and
+join side ordering all change with the layout; only a query with a
+genuinely order-independent formulation survives the comparison.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dask_xgboost_spark.registry import load_all
+
+SPECS = load_all()
+
+# one (fast) representative per family: agg, join, window, sort, set,
+# scalar, date, pivot, subquery, analytics, graph, geo, timeseries,
+# dedup, text, mixture, ml-prep
+SAMPLE = [
+    "Q-AGG-01", "Q-JOIN-02", "Q-WIN-01", "Q-WIN-14", "Q-SORT-02",
+    "Q-SET-01", "Q-DATE-02", "Q-PIVOT-03", "Q-SUBQ-01", "Q-SCD-02",
+    "Q-GRAPH-01", "Q-GEO-01", "Q-TS-04", "L-DEDUP-01", "L-TEXT-19",
+    "L-MIX-01", "M-PREP-08", "Q-QUAL-02",
+]
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect())
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_partition_invariance(name, spark, sf_dir):
+    # NB: ops that persist() an intermediate (Q-GRAPH-01) share that
+    # cache between both runs — their DOWNSTREAM stages still execute
+    # under both layouts, which is what this asserts.
+    spec = SPECS[name]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = _rows(spec.fn(spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = _rows(spec.fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b, f"{name}: result depends on shuffle partition count"
