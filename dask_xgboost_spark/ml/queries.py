@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from dask_xgboost_spark.functions import cents, sql_cents
 from dask_xgboost_spark.ml.core import XGBClassifier, XGBRegressor, assemble_features
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
@@ -505,11 +506,11 @@ def m_prep_07(spark, sf):
 @register(
     "M-PREP-08",
     sql="WITH g AS (SELECT event_type, "
-    " SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_c, "
+    f" SUM({sql_cents('value')}) AS sum_c, "
     " COUNT(*) AS cnt FROM events GROUP BY event_type) "
     "SELECT event_id, "
     " CASE WHEN cnt > 1 THEN "
-    "  CAST(sum_c - CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS DOUBLE) / (cnt - 1) "
+    f"  CAST(sum_c - {sql_cents('value')} AS DOUBLE) / (cnt - 1) "
     " END AS loo_enc "
     "FROM events e JOIN g USING (event_type) ORDER BY event_id",
 )
@@ -529,7 +530,7 @@ def m_prep_08(spark, sf):
     categories yield NULL (no peer information), handled identically in
     both engines via the cnt > 1 guard."""
     ev = load(spark, sf, "events")
-    own_c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    own_c = cents("value")
     g = ev.groupBy("event_type").agg(
         F.sum(own_c).alias("sum_c"), F.count(F.lit(1)).alias("cnt")
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dask_xgboost_spark.functions import EVENTS_US, sql_cents
+from dask_xgboost_spark.functions import EVENTS_US, cents, sql_cents
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -146,9 +146,7 @@ def q_cohort_01(spark, sf):
     so it broadcasts when dims allow. Week truncation and day arithmetic
     are exact in both engines (no epoch division drift)."""
     ev = load(spark, sf, "events")
-    # user-cardinality aggregate, re-read by the fact join — materialize
-    # it (the "user dimension" build; multi-reference idiom, Q-TPCH-15)
-    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts")).persist()
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
     joined = ev.join(first_seen, "user_id")
     cohort = F.date_trunc("week", F.col("first_ts"))
     week = F.date_trunc("week", F.col("ts"))
@@ -640,7 +638,7 @@ def q_scd_02(spark, sf):
     # (fixtures carry no second snapshot); with real data the two sides
     # are yesterday's and today's partition of the same table
     sql="WITH s AS (SELECT event_id % 2 AS side, "
-    " CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c, user_id FROM events), "
+    f" {sql_cents('value')} AS v_c, user_id FROM events), "
     "w AS (SELECT "
     " COUNT(*) FILTER (WHERE side = 0) AS a_rows, "
     " COUNT(*) FILTER (WHERE side = 1) AS b_rows, "
@@ -670,7 +668,7 @@ def q_qual_02(spark, sf):
     (stack) touches 1 row. No joins, no per-snapshot second scan."""
     s = load(spark, sf, "events").select(
         (F.col("event_id") % 2).alias("side"),
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_c"),
+        cents("value").alias("v_c"),
         "user_id",
     )
     side = lambda k: F.col("side") == k  # noqa: E731

@@ -197,9 +197,11 @@ def q_geo_03(spark, sf):
     window."""
     from pyspark.sql import Window
 
-    pts = _points(spark, sf, every=None)
-    ev = load(spark, sf, "events").select("user_id", "ts", "event_id")
-    p = ev.join(pts, ev.event_id == pts.id).select("user_id", "ts", "event_id", "x", "y")
+    p = load(spark, sf, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_X_EXPR).alias("x"),
+        F.expr(_Y_EXPR).alias("y"),
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     steps = p.select(
         "user_id",

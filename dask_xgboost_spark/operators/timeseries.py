@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dask_xgboost_spark.functions import EVENTS_US
+from dask_xgboost_spark.functions import EVENTS_US, cents, sql_cents
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -309,9 +309,7 @@ def q_ts_03(spark, sf):
     )
 
 
-_C = "CAST(FLOOR({x} * 100 + 0.5) AS BIGINT)"
-
-_TS04_SQL = (
+TS04_OHLC_SQL = (
     "WITH e AS (SELECT date_trunc('hour', ts) AS bucket, ts, event_id, value "
     f"FROM {EVENTS_US} ev), "
     "r AS (SELECT bucket, value, "
@@ -319,16 +317,16 @@ _TS04_SQL = (
     " ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ts DESC, event_id DESC) AS rn_d "
     "FROM e) "
     "SELECT bucket, "
-    f" {_C.format(x='MAX(CASE WHEN rn_a = 1 THEN value END)')} AS open_c, "
-    f" {_C.format(x='MAX(value)')} AS high_c, "
-    f" {_C.format(x='MIN(value)')} AS low_c, "
-    f" {_C.format(x='MAX(CASE WHEN rn_d = 1 THEN value END)')} AS close_c, "
+    f" {sql_cents('MAX(CASE WHEN rn_a = 1 THEN value END)')} AS open_c, "
+    f" {sql_cents('MAX(value)')} AS high_c, "
+    f" {sql_cents('MIN(value)')} AS low_c, "
+    f" {sql_cents('MAX(CASE WHEN rn_d = 1 THEN value END)')} AS close_c, "
     " COUNT(*) AS n_ticks "
     "FROM r GROUP BY bucket ORDER BY bucket"
 )
 
 
-@register("Q-TS-04", sql=_TS04_SQL)
+@register("Q-TS-04", sql=TS04_OHLC_SQL)
 def q_ts_04(spark, sf):
     """OHLC downsampling (candlestick bars): per hourly bucket, the
     first (open), max (high), min (low), and last (close) tick value —
@@ -347,15 +345,14 @@ def q_ts_04(spark, sf):
     partial aggregation bounds map output at O(buckets) per task."""
     ev = load(spark, sf, "events")
     tick = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
-    cents_of = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return (
         ev.select(F.date_trunc("hour", "ts").alias("bucket"), "ts", "event_id", "value")
         .groupBy("bucket")
         .agg(
-            cents_of(F.min(tick)["value"]).alias("open_c"),
-            cents_of(F.max("value")).alias("high_c"),
-            cents_of(F.min("value")).alias("low_c"),
-            cents_of(F.max(tick)["value"]).alias("close_c"),
+            cents(F.min(tick)["value"]).alias("open_c"),
+            cents(F.max("value")).alias("high_c"),
+            cents(F.min("value")).alias("low_c"),
+            cents(F.max(tick)["value"]).alias("close_c"),
             F.count(F.lit(1)).alias("n_ticks"),
         )
         .orderBy("bucket")

@@ -139,21 +139,28 @@ def lint_plan(df: DataFrame, max_exchanges: int = 4) -> list[Finding]:
             )
         )
 
-    if "Exchange SinglePartition" in plan and re.search(r"\bWindow\b", plan):
+    # codegen markers ("*(n)") only appear in the executed-plan string,
+    # not in formatted explain
+    executed = df._jdf.queryExecution().executedPlan().toString()
+
+    # GLOBAL_WINDOW must check ADJACENCY, not co-occurrence: an unrelated
+    # scalar-subquery global aggregate also plans an Exchange
+    # SinglePartition, and flagging every plan containing both would cry
+    # wolf (e.g. key-partitioned gapfill windows + a MIN/MAX-bounds
+    # subquery). Walk the executed-plan tree: from each Window line, the
+    # first Exchange among its (deeper-indented) descendants is the one
+    # feeding it; flag only when that Exchange is SinglePartition.
+    if _window_fed_by_single_partition(executed):
         findings.append(
             Finding(
                 "warn",
                 "GLOBAL_WINDOW",
-                "Window over an Exchange SinglePartition: the whole input "
+                "Window fed by an Exchange SinglePartition: the whole input "
                 "serializes through one task. Acceptable only when the "
                 "windowed frame is provably bounded (top-K, LIMITed) — "
                 "partition the window otherwise.",
             )
         )
-
-    # codegen markers ("*(n)") only appear in the executed-plan string,
-    # not in formatted explain
-    executed = df._jdf.queryExecution().executedPlan().toString()
     if "*(" not in executed:
         findings.append(
             Finding(
@@ -178,3 +185,22 @@ def assert_scales(df: DataFrame, allow: set[str] | frozenset[str] = frozenset())
         raise AssertionError(
             "plan fails scale lint:\n" + "\n".join(f"  [{f.code}] {f.message}" for f in bad)
         )
+
+
+def _window_fed_by_single_partition(tree: str) -> bool:
+    """True when a Window node's input chain reaches an Exchange whose
+    partitioning is SinglePartition (tree = executedPlan().toString();
+    a node's single input child prints on the following lines, so the
+    FIRST Exchange printed after a Window line is the one feeding it —
+    a later Exchange re-partitions upstream of that and cannot be the
+    window's direct input)."""
+    lines = tree.split("\n")
+    for i, line in enumerate(lines):
+        if not re.search(r"\bWindow\b", line):
+            continue
+        for nxt in lines[i + 1:]:
+            if "Exchange" in nxt:
+                if "SinglePartition" in nxt:
+                    return True
+                break
+    return False

@@ -15,7 +15,8 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.functions import EVENTS_US
-from dask_xgboost_spark.operators.timeseries import _TS04_SQL as _OHLC_SQL
+from dask_xgboost_spark.functions import cents as _cents
+from dask_xgboost_spark.operators.timeseries import TS04_OHLC_SQL as _OHLC_SQL
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.streaming.core import (
     events_stream,
@@ -107,12 +108,11 @@ def s_win_04(spark, sf):
     streaming state must hash-match the batch result."""
     ev = events_stream(spark, sf)
     tick = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
-    cents_of = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
     agg = ev.groupBy(F.window("ts", "1 hour")).agg(
-        cents_of(F.min(tick)["value"]).alias("open_c"),
-        cents_of(F.max("value")).alias("high_c"),
-        cents_of(F.min("value")).alias("low_c"),
-        cents_of(F.max(tick)["value"]).alias("close_c"),
+        _cents(F.min(tick)["value"]).alias("open_c"),
+        _cents(F.max("value")).alias("high_c"),
+        _cents(F.min("value")).alias("low_c"),
+        _cents(F.max(tick)["value"]).alias("close_c"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
     out = run_to_memory(agg, "complete")
