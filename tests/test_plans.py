@@ -406,3 +406,34 @@ def test_multi_referenced_views_materialize(spark, sf_dir):
         df.limit(1).collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in plan, f"{name}: no cache read in plan"
+
+
+def test_global_window_lint_flags_unpartitioned_window(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.plans.lint import lint_plan
+    from dask_xgboost_spark.sources import load
+
+    o = load(spark, sf_dir, "orders")
+    g = o.withColumn("rk", F.row_number().over(Window.orderBy("o_orderkey")))
+    assert "GLOBAL_WINDOW" in {f.code for f in lint_plan(g)}
+
+
+def test_global_window_lint_ignores_partitioned_window_with_global_agg(spark, sf_dir):
+    # a key-partitioned window plus an unrelated scalar-aggregate branch
+    # (its own Exchange SinglePartition) must NOT trigger the warning —
+    # the pre-fix co-occurrence check cried wolf on exactly this shape
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.plans.lint import lint_plan
+    from dask_xgboost_spark.sources import load
+
+    o = load(spark, sf_dir, "orders")
+    w = o.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("o_custkey").orderBy("o_orderkey"))
+    )
+    total = o.agg(F.count(F.lit(1)).alias("n_total"))
+    j = w.crossJoin(F.broadcast(total))
+    assert "GLOBAL_WINDOW" not in {f.code for f in lint_plan(j)}
