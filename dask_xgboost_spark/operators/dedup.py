@@ -594,3 +594,75 @@ def l_dedup_10(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+# URL noise applied to the PLANTED variant copies (doc_id < 60, re-keyed
+# +700000): tracking params, upper-cased host, trailing slash, fragment.
+# Canonicalization must collapse each variant onto its original.
+_URL_BASE = (
+    "SELECT doc_id, lang, 0 AS noisy FROM documents "
+    "UNION ALL SELECT doc_id + 700000, lang, 1 FROM documents WHERE doc_id < 60"
+)
+
+
+@register(
+    "L-DEDUP-11",
+    # oracle: the ground-truth canonical is derivable directly from the
+    # synthesis columns (no URL parsing needed) — the engine must RECOVER
+    # it from the noisy URL string; keeper = the original (min doc_id %
+    # 700000 keyspace folds variants onto originals for grouping only)
+    sql=f"WITH b AS ({_URL_BASE}) "
+    "SELECT lang || '.example.com/docs/' || CAST(doc_id % 700000 AS VARCHAR) "
+    "  || '?id=' || CAST(doc_id % 7 AS VARCHAR) AS canonical, "
+    " CAST(MIN(doc_id) AS BIGINT) AS keeper, COUNT(*) AS n_variants "
+    "FROM b GROUP BY canonical ORDER BY canonical",
+)
+def l_dedup_11(spark, sf):
+    """URL canonicalization dedup — the crawl-frontier staple: the same
+    page arrives as ``?utm_source=...`` variants, host-case variants,
+    trailing-slash variants, and ``#fragment`` variants; byte-dedup sees
+    distinct URLs. Canonicalize (lowercase host, strip trailing slash,
+    drop fragment, keep only semantic query params) and group.
+
+    The engine PARSES the noisy URL (``parse_url`` HOST/PATH/QUERY —
+    single JVM-side parse, per-part extraction) and rebuilds the
+    canonical form; the oracle derives the ground-truth canonical
+    straight from the synthesis columns — matching output proves the
+    parser-based canonicalization recovers truth. Scale shape: map-only
+    expressions + one groupBy on the canonical key; the 64-char key
+    could be sha2-compressed for shuffle width at 100 TB."""
+    b = load(spark, sf, "documents").select("doc_id", "lang")
+    planted = (
+        load(spark, sf, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select((F.col("doc_id") + 700000).alias("doc_id"), "lang")
+        .withColumn("noisy", F.lit(1))
+    )
+    rows = b.withColumn("noisy", F.lit(0)).unionByName(planted)
+    page_id = F.col("doc_id") % 700000
+    host = F.when(
+        F.col("noisy") == 1, F.concat(F.upper("lang"), F.lit(".EXAMPLE.com"))
+    ).otherwise(F.concat(F.col("lang"), F.lit(".example.com")))
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/docs/"), page_id.cast("string"),
+        F.when(F.col("noisy") == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("noisy") == 1, F.lit("?utm_source=feed&")).otherwise(F.lit("?")),
+        F.lit("id="), (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("noisy") == 1, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    u = rows.select("doc_id", url.alias("url"))
+    canonical = F.concat(
+        F.lower(F.parse_url("url", F.lit("HOST"))),
+        F.regexp_replace(F.parse_url("url", F.lit("PATH")), "/+$", ""),
+        F.lit("?id="),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")),
+    )
+    return (
+        u.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .orderBy("canonical")
+    )
