@@ -481,3 +481,51 @@ def g_snap_01(spark, sf):
     as_of_v1 = rollup(read_snapshot(spark, base, 1), 1)  # time travel
     current = rollup(read_snapshot(spark, base), 2)  # manifest resolution
     return as_of_v1.unionAll(current).orderBy("version")
+
+
+@register(
+    "G-DELETE-01",
+    sql="SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+    " CAST((SELECT COUNT(*) FROM events e2 WHERE e2.user_id % 37 = 0) AS BIGINT) AS n_erased "
+    "FROM events e WHERE user_id % 37 <> 0 "
+    "GROUP BY event_type ORDER BY event_type",
+)
+def g_delete_01(spark, sf):
+    """Deletion-list propagation (GDPR/CCPA right-to-be-forgotten): a
+    table of subject ids arrives, every fact row belonging to them must
+    be physically rewritten out, and the job must report what it erased
+    (the audit trail a DPO signs off on). The check round-trips through
+    a REAL parquet rewrite — the returned counts are read back from the
+    rewritten files, so the oracle match proves rows are gone from
+    storage, not just filtered in a view.
+
+    Scale shape: the deletion list is entity-cardinality (tiny vs the
+    fact table) → broadcast LEFT ANTI join, fact scanned once, no
+    shuffle of the fact side; the rewrite preserves event_type
+    partitioning so subsequent reads keep pruning. At 100 TB the rewrite
+    targets only the partitions that contain deleted subjects (join the
+    list against partition-level min/max stats first); with
+    copy-on-write table formats this is the compaction-style rewrite
+    Delta/Iceberg DELETE compiles to."""
+    import tempfile
+
+    ev = load(spark, sf, "events")
+    dels = (
+        ev.select("user_id").distinct()
+        .filter(F.col("user_id") % 37 == 0)
+    )
+    n_erased = (
+        ev.join(F.broadcast(dels), "user_id", "left_semi").count()
+    )
+    out = tempfile.mkdtemp(prefix="dxs_gdpr_") + "/events"
+    (
+        ev.join(F.broadcast(dels), "user_id", "left_anti")
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    )
+    survived = spark.read.parquet(out)
+    return (
+        survived.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .withColumn("n_erased", F.lit(n_erased).cast("bigint"))
+        .orderBy("event_type")
+    )
