@@ -529,3 +529,89 @@ def g_delete_01(spark, sf):
         .withColumn("n_erased", F.lit(n_erased).cast("bigint"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "G-CDF-01",
+    # same synthesized version pair as Q-DIFF-01 (v2 = v1 with k%101
+    # re-priced, k%97 deleted, -k added for k%103) — here the output is
+    # the CHANGELOG ITSELF, not the reconciliation counts
+    sql="""
+    WITH v1 AS (
+        SELECT o_orderkey AS k,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM orders
+    ),
+    v2 AS (
+        SELECT k,
+               CASE WHEN k % 101 = 0 THEN price_c + 500 ELSE price_c END AS price_c
+        FROM v1 WHERE k % 97 <> 0
+        UNION ALL
+        SELECT -k, price_c FROM v1 WHERE k % 103 = 0 AND k > 0
+    ),
+    j AS (SELECT v1.k AS k1, v2.k AS k2, v1.price_c AS p1, v2.price_c AS p2
+          FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+    SELECT op, k, pre_c, post_c FROM (
+        SELECT 'I' AS op, k2 AS k, CAST(NULL AS BIGINT) AS pre_c, p2 AS post_c
+        FROM j WHERE k1 IS NULL
+        UNION ALL
+        SELECT 'D', k1, p1, CAST(NULL AS BIGINT) FROM j WHERE k2 IS NULL
+        UNION ALL
+        SELECT 'U', k1, p1, p2 FROM j
+        WHERE k1 IS NOT NULL AND k2 IS NOT NULL AND p1 <> p2) c
+    ORDER BY k, op
+    """,
+)
+def g_cdf_01(spark, sf):
+    """Change-data-feed EMISSION — the inverse of Q-MERGE-02's changelog
+    compaction and the row-level companion to Q-DIFF-01's counts: given
+    two versions of a table, emit the (op, key, pre-image, post-image)
+    changelog — insert / delete / update rows only, unchanged rows
+    produce nothing. This is what Delta's Change Data Feed serves to
+    downstream incremental consumers; emitting it from two plain
+    snapshots is the portable fallback when the table format doesn't
+    record changes.
+
+    Scale shape: ONE full-outer shuffle join on the key, then map-side
+    classification + Expand-free projection (three filtered branches of
+    the same joined frame — Spark scans the join output once per branch
+    but the join itself reuses via ReusedExchange; at 100 TB emit all
+    three ops in one pass with a CASE-typed op column if the triple
+    branch measures hot)."""
+    v1 = load(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("price_c"),
+    )
+    v2 = v1.filter(F.col("k") % 97 != 0).select(
+        "k",
+        F.when(F.col("k") % 101 == 0, F.col("price_c") + 500)
+        .otherwise(F.col("price_c"))
+        .alias("price_c"),
+    ).unionByName(
+        v1.filter((F.col("k") % 103 == 0) & (F.col("k") > 0)).select(
+            (-F.col("k")).alias("k"), "price_c"
+        )
+    )
+    j = v1.select(
+        F.col("k").alias("k1"), F.col("price_c").alias("p1")
+    ).join(
+        v2.select(F.col("k").alias("k2"), F.col("price_c").alias("p2")),
+        F.col("k1") == F.col("k2"),
+        "full_outer",
+    )
+    nul = F.lit(None).cast("bigint")
+    ins = j.filter(F.col("k1").isNull()).select(
+        F.lit("I").alias("op"), F.col("k2").alias("k"), nul.alias("pre_c"),
+        F.col("p2").alias("post_c"),
+    )
+    dele = j.filter(F.col("k2").isNull()).select(
+        F.lit("D").alias("op"), F.col("k1").alias("k"),
+        F.col("p1").alias("pre_c"), nul.alias("post_c"),
+    )
+    upd = j.filter(
+        F.col("k1").isNotNull() & F.col("k2").isNotNull() & (F.col("p1") != F.col("p2"))
+    ).select(
+        F.lit("U").alias("op"), F.col("k1").alias("k"),
+        F.col("p1").alias("pre_c"), F.col("p2").alias("post_c"),
+    )
+    return ins.unionByName(dele).unionByName(upd).orderBy("k", "op")
