@@ -183,3 +183,57 @@ def l_mix_03(spark, sf):
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "L-MIX-04",
+    # keep_l = floor(sqrt(n_l * n_min)) — IEEE-754 sqrt is correctly
+    # rounded in both engines, so the double (and its floor) is
+    # bit-identical; no pow()-ulp portability risk
+    sql="WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang), "
+    "t AS (SELECT lang, cnt, "
+    " LEAST(cnt, CAST(FLOOR(SQRT(CAST(cnt AS DOUBLE) * (SELECT MIN(cnt) FROM c))) AS BIGINT)) AS keep_n "
+    " FROM c), "
+    "ranked AS (SELECT doc_id, lang, "
+    " ROW_NUMBER() OVER (PARTITION BY lang "
+    " ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
+    "SELECT r.lang, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+    " CAST(SUM(doc_id) AS BIGINT) AS id_sum "
+    "FROM ranked r JOIN t ON r.lang = t.lang WHERE r.rn <= t.keep_n "
+    "GROUP BY r.lang ORDER BY r.lang",
+)
+def l_mix_04(spark, sf):
+    """Temperature-balanced language sampling (α = 0.5): each language
+    keeps ``floor(sqrt(n_l · n_min))`` documents — the geometric mean of
+    its natural size and the smallest language's size. The standard
+    compromise between natural sampling (head languages drown the tail)
+    and uniform balancing (L-MIX-02 throws away most head-language
+    data); multilingual pretraining recipes (mBERT, XLM-R) use exactly
+    this exponent-damped shape. α is fixed at 0.5 because IEEE sqrt is
+    correctly rounded in every engine — general pow() is not, and a
+    1-ulp difference would flip a floor() and break the hash check.
+
+    Scale shape: identical to L-MIX-02 — per-language count (tiny,
+    broadcast), per-language rank window, md5-deterministic selection."""
+    docs = load(spark, sf, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    min_cnt = counts.agg(F.min("cnt").alias("min_cnt"))
+    targets = counts.crossJoin(F.broadcast(min_cnt)).select(
+        "lang",
+        F.least(
+            F.col("cnt"),
+            F.floor(F.sqrt(F.col("cnt").cast("double") * F.col("min_cnt"))).cast("bigint"),
+        ).alias("keep_n"),
+    )
+    w = Window.partitionBy("lang").orderBy(_doc_hash(), "doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(targets), "lang")
+        .filter(F.col("rn") <= F.col("keep_n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
