@@ -215,3 +215,63 @@ def q_geo_03(spark, sf):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "Q-GEO-04",
+    # cell size 10000 → 10x10 grid; density = own count + 8 neighbors
+    # (boundary cells simply have fewer contributing neighbors)
+    sql="WITH p AS (SELECT x // 10000 AS cx, y // 10000 AS cy FROM "
+    f"(SELECT {_X_EXPR} AS x, {_Y_EXPR} AS y FROM events) q), "
+    "c AS (SELECT cx, cy, COUNT(*) AS n FROM p GROUP BY cx, cy) "
+    "SELECT a.cx, a.cy, CAST(a.n AS BIGINT) AS n_own, "
+    " CAST(SUM(b.n) AS BIGINT) AS n_smoothed "
+    "FROM c a JOIN c b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1 "
+    " AND b.cy BETWEEN a.cy - 1 AND a.cy + 1 "
+    "GROUP BY a.cx, a.cy, a.n ORDER BY a.cx, a.cy",
+)
+def q_geo_04(spark, sf):
+    """Grid-density heatmap with 3×3 neighborhood smoothing — the
+    stencil / box-blur convolution in relational form (hotspot maps,
+    kernel-density approximations). Points aggregate to cell counts
+    first, then the stencil runs on the CELL table: each cell's
+    contribution replicates to its 9 neighbors via a bounded explode and
+    re-aggregates — never a point-level neighbor join.
+
+    Scale shape: the point→cell rollup is the only fact-sized shuffle
+    (map-side combined); the stencil operates on O(cells) rows —
+    resolution-bounded, independent of point count — with a fixed 9×
+    replication. The oracle runs the range-predicate neighbor join on
+    the cell table; the engine runs the explode+equi-join form (exactly
+    the Q-GEO-01 blocking discipline, applied as convolution)."""
+    cells = (
+        _points(spark, sf, every=None)
+        .select(
+            F.expr("x div 10000").alias("cx"),
+            F.expr("y div 10000").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    contrib = (
+        cells.withColumn("dx", F.expr("explode(array(-1, 0, 1))"))
+        .withColumn("dy", F.expr("explode(array(-1, 0, 1))"))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("tcx"),
+            (F.col("cy") + F.col("dy")).alias("tcy"),
+            "n",
+        )
+    )
+    smoothed = contrib.groupBy("tcx", "tcy").agg(F.sum("n").alias("n_smoothed"))
+    return (
+        cells.join(
+            smoothed,
+            (cells.cx == smoothed.tcx) & (cells.cy == smoothed.tcy),
+        )
+        .select(
+            "cx", "cy",
+            F.col("n").cast("bigint").alias("n_own"),
+            F.col("n_smoothed").cast("bigint"),
+        )
+        .orderBy("cx", "cy")
+    )
