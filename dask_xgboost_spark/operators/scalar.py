@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dask_xgboost_spark.functions import EVENTS_US, dec
+from dask_xgboost_spark.functions import EVENTS_US, cents, dec, sql_cents
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -923,4 +923,59 @@ def q_math_02(spark, sf):
             .alias("parsed"),
         )
         .orderBy("event_id")
+    )
+
+
+@register(
+    "Q-JSON-04",
+    # the oracle never touches JSON: shredding must recover the exact
+    # relational input, so ground truth IS the join itself
+    sql="SELECT l_orderkey, l_linenumber, "
+    f" {sql_cents('l_quantity')} AS qty_c "
+    "FROM lineitem WHERE l_orderkey % 91 = 0 "
+    "ORDER BY l_orderkey, l_linenumber",
+)
+def q_json_04(spark, sf):
+    """Document assembly + shredding round-trip — the doc-store ETL in
+    both directions: (1) DENORMALIZE an order and its line items into
+    one nested JSON document (``collect_list`` of item structs inside
+    ``to_json`` — the export shape for document APIs / event buses);
+    (2) SHRED it back (``from_json`` with an explicit schema →
+    ``inline`` explode of the items array) into relational child rows.
+    The oracle is the plain relational join — matching output proves the
+    round-trip is lossless, including item order (``sort_array`` on the
+    (linenumber,...) struct makes assembly deterministic under any
+    partitioning).
+
+    Scale shape: assembly is one groupBy on the order key with map-side
+    combine; shredding is map-only (parse + Generate). At 100 TB the
+    anti-pattern is re-parsing documents per field — parse ONCE per doc
+    (or land VARIANT, Q-JSON-03) and explode from the parsed struct."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") % 91 == 0)
+    item = F.struct(
+        F.col("l_linenumber").alias("ln"),
+        cents("l_quantity").cast("bigint").alias("qty_c"),
+    )
+    docs = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list(item)).alias("items"))
+        .select(
+            F.to_json(
+                F.struct(F.col("l_orderkey").alias("oid"), F.col("items"))
+            ).alias("doc")
+        )
+    )
+    schema = "oid BIGINT, items ARRAY<STRUCT<ln: BIGINT, qty_c: BIGINT>>"
+    parsed = docs.select(F.from_json("doc", schema).alias("d"))
+    return (
+        parsed.select(
+            F.col("d.oid").alias("l_orderkey"),
+            F.explode("d.items").alias("item"),
+        )
+        .select(
+            "l_orderkey",
+            F.col("item.ln").alias("l_linenumber"),
+            F.col("item.qty_c").alias("qty_c"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
     )
