@@ -545,3 +545,65 @@ def m_prep_08(spark, sf):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "M-EVAL-01",
+    sql="WITH s AS (SELECT "
+    f" {sql_cents('value')} % 100 AS score, "
+    " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events), "
+    "b AS (SELECT score, SUM(y) AS n_pos, COUNT(*) - SUM(y) AS n_neg "
+    " FROM s GROUP BY score), "
+    "c AS (SELECT score, "
+    " SUM(n_pos) OVER (ORDER BY score DESC) AS tp, "
+    " SUM(n_neg) OVER (ORDER BY score DESC) AS fp, "
+    " (SELECT SUM(n_pos) FROM b) AS p_total FROM b) "
+    "SELECT CAST(score AS BIGINT) AS score, CAST(tp AS BIGINT) AS tp, "
+    " CAST(fp AS BIGINT) AS fp, CAST(p_total - tp AS BIGINT) AS fn, "
+    " CAST(tp AS DOUBLE) / (tp + fp) AS precision_, "
+    " CAST(tp AS DOUBLE) / p_total AS recall_ "
+    "FROM c ORDER BY score",
+)
+def m_eval_01(spark, sf):
+    """Precision/recall curve over score thresholds — distributed model
+    evaluation: for every threshold t, the confusion counts of
+    'predict positive when score ≥ t' and the derived precision/recall.
+    (Scores are synthesized from the fixture: cents(value) mod 100;
+    label = purchase. With a real model this input is M-PRED-01's
+    scored output.)
+
+    Scale shape — the one-pass curve algorithm every eval library uses,
+    distributed: (1) bucket scores and count (pos, neg) per bucket —
+    the ONLY pass over the fact table, map-side combined to ≤ 100 rows;
+    (2) cumulative sums over the bucket table ordered by score DESC
+    turn per-bucket counts into per-threshold confusion counts — a
+    window over the BOUNDED bucket table (the GLOBAL_WINDOW-lint
+    bounded case), never over raw scores. Precision/recall are int÷int
+    doubles — deterministic IEEE, hash-identical cross-engine."""
+    from pyspark.sql import Window
+
+    s = load(spark, sf, "events").select(
+        (cents("value") % 100).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = s.groupBy("score").agg(
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = b.agg(F.sum("n_pos").alias("p_total"))
+    c = (
+        b.withColumn("tp", F.sum("n_pos").over(w))
+        .withColumn("fp", F.sum("n_neg").over(w))
+        .crossJoin(F.broadcast(totals))
+    )
+    return c.select(
+        F.col("score").cast("bigint"),
+        F.col("tp").cast("bigint"),
+        F.col("fp").cast("bigint"),
+        (F.col("p_total") - F.col("tp")).cast("bigint").alias("fn"),
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias("precision_"),
+        (F.col("tp").cast("double") / F.col("p_total")).alias("recall_"),
+    ).orderBy("score")
