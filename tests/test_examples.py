@@ -27,6 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "similarity_search.py",
         "warehouse_ops.py",
         "python_extensions.py",
+        "geo_analytics.py",
     ],
 )
 def test_example_runs(script):
