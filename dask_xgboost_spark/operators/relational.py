@@ -1682,3 +1682,48 @@ def q_join_12(spark, sf):
         .distinct()
         .orderBy("n1", "n2")
     )
+
+
+@register(
+    "Q-SCAN-14",
+    # ground truth derives from the planting rule, not from parsing:
+    # doc_id % 17 == 0 lines are written truncated (unparseable)
+    sql="SELECT CAST(COUNT(*) FILTER (WHERE doc_id % 17 <> 0) AS BIGINT) AS n_good, "
+    " CAST(COUNT(*) FILTER (WHERE doc_id % 17 = 0) AS BIGINT) AS n_bad, "
+    " CAST(SUM(CASE WHEN doc_id % 17 <> 0 THEN n_chars END) AS BIGINT) AS chars_good "
+    "FROM documents",
+)
+def q_scan_14(spark, sf):
+    """Corrupt-record quarantine on JSON ingestion: malformed lines land
+    in ``columnNameOfCorruptRecord`` instead of killing the job or
+    silently vanishing — the PERMISSIVE-mode contract that makes raw
+    crawl/log ingestion auditable (CSV-cast twin: Q-SCAN-10's ANSI
+    try_cast quarantine). Corruption is planted deterministically
+    (doc_id % 17 lines written truncated), the file is round-tripped
+    through a REAL text write + JSON read, and the good/bad accounting
+    must match the planting rule — proving corrupt rows are neither
+    dropped nor double-counted.
+
+    Scale shape: the corrupt column is populated per-partition during
+    the ordinary parallel scan — no extra pass; quarantined rows filter
+    to a dead-letter sink with a plain predicate."""
+    import tempfile
+
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars")
+    line = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "n_chars":')),
+    ).otherwise(F.to_json(F.struct("doc_id", "n_chars")))
+    out = tempfile.mkdtemp(prefix="dxs_quar_") + "/docs"
+    docs.select(line.alias("value")).write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.schema("doc_id bigint, n_chars bigint, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(out)
+    )
+    return parsed.agg(
+        F.count(F.when(F.col("_bad").isNull(), 1)).cast("bigint").alias("n_good"),
+        F.count(F.when(F.col("_bad").isNotNull(), 1)).cast("bigint").alias("n_bad"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars"))).cast("bigint").alias("chars_good"),
+    )
