@@ -708,3 +708,76 @@ def s_sink_03(spark, sf):
         .select("event_type", F.col("n").cast("long").alias("n"), "sv_c")
         .orderBy("event_type")
     )
+
+
+@register(
+    "S-SINK-04",
+    # ground truth = the planting rule (event_id % 13 lines malformed)
+    sql="SELECT CAST(COUNT(*) FILTER (WHERE event_id % 13 <> 0) AS BIGINT) AS n_good, "
+    " CAST(COUNT(*) FILTER (WHERE event_id % 13 = 0) AS BIGINT) AS n_dlq, "
+    " CAST(SUM(CASE WHEN event_id % 13 <> 0 THEN user_id END) AS BIGINT) AS user_sum "
+    "FROM events",
+    mode="stream",
+)
+def s_sink_04(spark, sf):
+    """Streaming dead-letter queue — the quarantine pattern
+    (Q-SCAN-14's batch twin) running continuously: a raw JSON-lines
+    stream is parsed with ``columnNameOfCorruptRecord``, and each
+    micro-batch SPLITS — parsed rows append to the serving sink,
+    malformed rows to the DLQ sink with their raw payload preserved for
+    replay. One foreachBatch, two appends; nothing is dropped. Final
+    accounting (good counts + a value witness from the parsed rows,
+    DLQ row count) must equal the planting rule.
+
+    Scale shape: the corrupt column is populated during the ordinary
+    parallel parse (no second pass); the split is two filtered
+    projections of the same batch DataFrame. DLQ rows keep the raw
+    line, so a fixed parser replays the DLQ directory through the same
+    pipeline."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="dxs_dlq_")
+    raw_dir, good_dir, dlq_dir = (os.path.join(base, d) for d in ("raw", "good", "dlq"))
+
+    from dask_xgboost_spark.sources import load as _load
+
+    ev = _load(spark, sf, "events").select("event_id", "user_id")
+    line = F.when(
+        F.col("event_id") % 13 == 0,
+        F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string"), F.lit(", ")),
+    ).otherwise(F.to_json(F.struct("event_id", "user_id")))
+    ev.select(line.alias("value")).repartition(4).write.mode("overwrite").text(raw_dir)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .option("maxFilesPerTrigger", 1)
+        .json(raw_dir)
+    )
+
+    def split(batch_df, batch_id):
+        batch_df.filter(F.col("_bad").isNull()).select("event_id", "user_id").write.mode(
+            "append"
+        ).parquet(good_dir)
+        batch_df.filter(F.col("_bad").isNotNull()).select(
+            F.col("_bad").alias("raw")
+        ).write.mode("append").parquet(dlq_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="dxs_dlq_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(split)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    good = spark.read.parquet(good_dir)
+    n_dlq = spark.read.parquet(dlq_dir).count()
+    return good.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_good"),
+        F.lit(n_dlq).cast("bigint").alias("n_dlq"),
+        F.sum("user_id").cast("bigint").alias("user_sum"),
+    )
