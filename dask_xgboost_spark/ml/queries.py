@@ -607,3 +607,58 @@ def m_eval_01(spark, sf):
         (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias("precision_"),
         (F.col("tp").cast("double") / F.col("p_total")).alias("recall_"),
     ).orderBy("score")
+
+
+@register(
+    "M-EVAL-02",
+    # fixed decision threshold 50; slice = user_id % 4 (stands in for a
+    # demographic/segment column)
+    sql="WITH s AS (SELECT user_id % 4 AS slice, "
+    f" {sql_cents('value')} % 100 AS score, "
+    " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events) "
+    "SELECT slice, "
+    " CAST(SUM(CASE WHEN score >= 50 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
+    " CAST(SUM(CASE WHEN score >= 50 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp, "
+    " CAST(SUM(CASE WHEN score < 50 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn, "
+    " CAST(SUM(CASE WHEN score < 50 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn, "
+    " CAST(SUM(CASE WHEN score >= 50 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+    "  / NULLIF(SUM(CASE WHEN score >= 50 THEN 1 ELSE 0 END), 0) AS precision_, "
+    " CAST(SUM(CASE WHEN score >= 50 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+    "  / NULLIF(SUM(y), 0) AS recall_ "
+    "FROM s GROUP BY slice ORDER BY slice",
+)
+def m_eval_02(spark, sf):
+    """Sliced (per-segment) evaluation at a fixed threshold — the
+    fairness/robustness discipline: aggregate metrics hide a model that
+    fails on a subgroup, so the confusion matrix and precision/recall
+    are computed PER SLICE and shipped as the release gate's evidence
+    table. One FILTER-style conditional aggregate pass grouped by the
+    slice key — the same single-scan shape as Q-QUAL-02, keyed by
+    segment; slices with no predicted positives yield NULL precision
+    (no evidence) rather than a fake 0 or 1, identically in both
+    engines via the NULLIF guard.
+
+    Scale shape: one map-side-combined groupBy on the slice key; output
+    is O(slices). Composes with M-EVAL-01 (curve per slice = add the
+    slice key to its bucket stage)."""
+    s = load(spark, sf, "events").select(
+        (F.col("user_id") % 4).alias("slice"),
+        (cents("value") % 100).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    pos = F.col("score") >= 50
+    y1 = F.col("y") == 1
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    tp = cnt(pos & y1)
+    return (
+        s.groupBy("slice")
+        .agg(
+            tp.cast("bigint").alias("tp"),
+            cnt(pos & ~y1).cast("bigint").alias("fp"),
+            cnt(~pos & y1).cast("bigint").alias("fn"),
+            cnt(~pos & ~y1).cast("bigint").alias("tn"),
+            (tp.cast("double") / F.nullif(cnt(pos), F.lit(0))).alias("precision_"),
+            (tp.cast("double") / F.nullif(F.sum("y"), F.lit(0))).alias("recall_"),
+        )
+        .orderBy("slice")
+    )
