@@ -369,3 +369,29 @@ def q_pivot_03(spark, sf):
         )
         .orderBy("l_returnflag", "measure")
     )
+
+
+_LATERAL_SQL = (
+    "SELECT n.n_name, t.c_custkey, t.bal_c FROM nation n, "
+    "LATERAL (SELECT c_custkey, "
+    f" {sql_cents('c_acctbal')} AS bal_c "
+    " FROM customer WHERE c_nationkey = n.n_nationkey "
+    " ORDER BY bal_c DESC, c_custkey LIMIT 2) t "
+    "ORDER BY n.n_name, t.bal_c DESC, t.c_custkey"
+)
+
+
+@register("Q-SUBQ-06", sql=_LATERAL_SQL)
+def q_subq_06(spark, sf):
+    """True ``LATERAL`` correlated table subquery — the SQL-standard
+    per-row derived table (top-2 customers for EACH nation), written
+    with the actual LATERAL keyword in both engines (Q-SUBQ-04 covers
+    the semantically-equivalent ranked-window rewrite; this entry pins
+    the SYNTAX surface). Catalyst decorrelates the LATERAL LIMIT
+    subquery into a ranked-window join — same physical plan family as
+    the rewrite, which is exactly the claim: users can write the
+    standard form and still get the distributed plan, not a per-row
+    subquery execution. Deterministic (bal_c, custkey) tie-break."""
+    for t in ("nation", "customer"):
+        load(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
