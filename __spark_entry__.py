@@ -71,7 +71,7 @@ _DRIVER_PRIORITY = [
     # never-checked hash-mode entries, then goldens.
     "Q-GEO-01", "Q-GEO-02", "Q-SCD-02", "L-TEXT-19", "Q-PIVOT-03",
     "Q-TS-04", "S-WIN-04", "Q-GEO-03", "M-PREP-08", "L-MM-05",
-    "Q-QUAL-02", "Q-WIN-14", "L-DEDUP-11", "G-DELETE-01", "G-CDF-01", "L-MIX-04", "Q-GEO-04", "Q-JSON-04", "M-EVAL-01", "Q-SCAN-14", "S-SINK-04", "M-EVAL-02", "Q-SUBQ-06",
+    "Q-QUAL-02", "Q-WIN-14", "L-DEDUP-11", "G-DELETE-01", "G-CDF-01", "L-MIX-04", "Q-GEO-04", "Q-JSON-04", "M-EVAL-01", "Q-SCAN-14", "S-SINK-04", "M-EVAL-02", "Q-SUBQ-06", "Q-AGG-23",
     "Q-DIFF-01", "Q-AGG-22", "Q-JOIN-12", "L-MM-04", "G-BACKFILL-01",
     "Q-TS-03", "U-MAP-02", "G-OBS-01", "S-GEN-02",
     "Q-SCAN-12", "U-GAPPLY-03", "Q-SQL-01", "G-SNAP-01", "Q-WIN-13",

@@ -1727,3 +1727,35 @@ def q_scan_14(spark, sf):
         F.count(F.when(F.col("_bad").isNotNull(), 1)).cast("bigint").alias("n_bad"),
         F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars"))).cast("bigint").alias("chars_good"),
     )
+
+
+_BITMAP_SQL = (
+    "SELECT event_type, bitmap_count(bitmap_or_agg(b)) AS n_users FROM ("
+    "  SELECT event_type, bitmap_bucket_number(user_id + 1) AS bn, "
+    "         bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS b "
+    "  FROM events GROUP BY event_type, bn) t "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
+@register(
+    "Q-AGG-23",
+    sql="SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+)
+def q_agg_23(spark, sf):
+    """Bitmap-accelerated EXACT distinct count (Spark 4 bitmap aggregate
+    family): ids map to (bucket, bit-position), per-bucket bitmaps build
+    map-side via ``bitmap_construct_agg``, merge associatively via
+    ``bitmap_or_agg``, and ``bitmap_count`` reads the cardinality. The
+    result is exactly COUNT(DISTINCT) — the oracle — but the
+    intermediate state is a MERGEABLE fixed-width bitmap per (group,
+    bucket): unlike raw COUNT(DISTINCT)'s shuffle of every distinct
+    value, bitmap partial state is bounded by the id range, and unlike
+    HLL (Q-AGG-17) it is exact. This is the materialized-view /
+    pre-aggregation shape for distinct counts: store per-segment
+    bitmaps, OR them at query time across any segment combination —
+    distinct counts over arbitrary slices without rescanning facts."""
+    load(spark, sf, "events").createOrReplaceTempView("events")
+    out = spark.sql(_BITMAP_SQL)
+    return out.select("event_type", F.col("n_users").cast("bigint")).orderBy("event_type")
