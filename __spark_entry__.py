@@ -28,65 +28,69 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dask_xgboost_spark.registry import load_all  # noqa: E402
 
-# Window rotation, round 4. Two goals, per VERDICT.md r3 §next-round:
-# (1) re-run the 13 r3 entries that errored on the (now fixed) events.ts
-#     fixture drift so they land green, and (2) burn down the ~84
-#     never-driver-checked entries, one-per-family first (analytics,
-#     mixture sampling, extra scan formats, remaining TPC-H, streaming
-#     state v2, ML prep). Fast hash-mode batch entries lead so a
-#     time-budgeted harness still lands the strong rows first; streaming
-#     (slow: real micro-batch runs) anchors the tail of the window.
+# Window rotation, round 5, per VERDICT.md r4 §next-round items 1+4:
+# (1) re-verify the four repaired HUGEINT oracles (Q-WIN-08 was the only
+#     r4 FAIL; Q-SCAN-08/09 and Q-SQL-01 carried the same latent uncast-SUM
+#     trap and would have failed on rotation — all four now CAST to BIGINT,
+#     and Q-WIN-08 additionally compares session gaps in exact epoch-µs),
+# (2) promote the round-4 spillover (GEO family, SCD2 PIT, OHLC, vocab
+#     encoding, pHash dedup, GDPR rewrite, CDF, temperature sampling,
+#     PR curve, LATERAL, bitmap distinct, …) and the remaining
+#     never-driver-checked hash entries (TPC-H 16/17/18/19/20/22, STR/DATE/
+#     ARR/MATH stragglers, U-WIN/U-MAP surfaces).
+# Golden-mode (no-oracle) entries stay OUT of the 50-window — each one
+# burns a hash-verifiable slot (S-WM-02 cost one in r4). Streaming
+# (slow: real micro-batch runs) anchors the tail of the window.
 # Everything here is green in the local sweep (tests/test_oracle_parity.py
 # at the same sf0.01 the driver uses).
 _DRIVER_PRIORITY = [
-    # r3 errored, now fixed — batch (7)
-    "Q-SCAN-05", "Q-JOIN-11", "Q-DATE-05", "Q-DATE-06", "Q-JSON-02",
-    "Q-WIN-08", "Q-WIN-09",
-    # never-checked batch, hash-mode (25)
-    "Q-SCAN-06", "Q-SCAN-07", "Q-SCAN-10",
-    "Q-AGG-18", "Q-AGG-20", "Q-AGG-21",
-    "Q-TPCH-07", "Q-TPCH-09", "Q-TPCH-11", "Q-TPCH-15",
-    "Q-SCD-01", "Q-FUNNEL-01", "Q-COHORT-01", "Q-BASKET-01",
-    "Q-PROF-01", "Q-QUAL-01", "Q-TREND-01", "Q-GRAPH-01",
-    "Q-WIN-10", "Q-WIN-11", "Q-SUBQ-04",
-    "Q-CTE-02",
-    "L-DEDUP-08", "L-MIX-01", "L-TEXT-11",
-    # round-4 additions, hash-mode (7): incl. the Spark-4 surfaces
-    # (custom Python Data Source, VARIANT) and the ML family's first
-    # hash-checkable row (M-PRED-04 broadcast-model scoring)
-    "Q-TS-01", "Q-TS-02", "Q-GRAPH-02", "G-MV-01",
-    "Q-SCAN-11", "Q-JSON-03", "M-PRED-04",
-    # never-checked ML prep, hash-mode (1)
-    "M-PREP-03",
-    # streaming: r3 errored now fixed (6) + never-checked (4)
-    "S-WIN-02", "S-WIN-03", "S-STATE-02", "S-JOIN-01", "S-JOIN-02",
-    "S-SINK-01",
-    "S-GEN-01", "S-STATE-04", "S-JOIN-03", "S-WM-02",
-    # displaced to spillover: Q-WIN-12/Q-SORT-03 (families already
-    # driver-green) and S-STATE-03 (protobuf-gated twin of the checked
-    # S-STATE-02 fold)
-    "Q-WIN-12", "Q-SORT-03", "S-STATE-03",
-    # past-the-50-window spillover, in value order, in case the driver
-    # checks deeper: remaining round-4 additions, the rest of the
-    # never-checked hash-mode entries, then goldens.
-    "Q-GEO-01", "Q-GEO-02", "Q-SCD-02", "L-TEXT-19", "Q-PIVOT-03",
-    "Q-TS-04", "S-WIN-04", "Q-GEO-03", "M-PREP-08", "L-MM-05",
-    "Q-QUAL-02", "Q-WIN-14", "L-DEDUP-11", "G-DELETE-01", "G-CDF-01", "L-MIX-04", "Q-GEO-04", "Q-JSON-04", "M-EVAL-01", "Q-SCAN-14", "S-SINK-04", "M-EVAL-02", "Q-SUBQ-06", "Q-AGG-23",
-    "Q-DIFF-01", "Q-AGG-22", "Q-JOIN-12", "L-MM-04", "G-BACKFILL-01",
-    "Q-TS-03", "U-MAP-02", "G-OBS-01", "S-GEN-02",
-    "Q-SCAN-12", "U-GAPPLY-03", "Q-SQL-01", "G-SNAP-01", "Q-WIN-13",
-    "L-TEXT-17", "L-TEXT-18", "Q-SCAN-13", "U-TABLE-02", "L-SIM-08",
-    "L-SIM-09", "S-JOIN-04", "S-SINK-03", "Q-STR-08",
-    "Q-SCAN-08", "Q-SCAN-09", "Q-TPCH-18", "Q-TPCH-22",
-    "Q-TPCH-16", "Q-TPCH-17", "Q-TPCH-19", "Q-TPCH-20",
-    "Q-STR-06", "Q-STR-07", "Q-DATE-07", "Q-ARR-07", "Q-MATH-02",
-    "Q-SAMPLE-02", "Q-SUBQ-05", "Q-MERGE-02", "U-WIN-01",
+    # repaired oracles — prove the fix (4)
+    "Q-WIN-08", "Q-SCAN-08", "Q-SCAN-09", "Q-SQL-01",
+    # round-4 spillover promotions, hash-mode (22)
+    "Q-GEO-01", "Q-GEO-02", "Q-GEO-03", "Q-GEO-04",
+    "Q-SCD-02", "L-TEXT-19", "Q-PIVOT-03", "Q-TS-03", "Q-TS-04",
+    "M-PREP-08", "L-MM-05", "Q-WIN-14", "L-DEDUP-11",
+    "G-DELETE-01", "G-CDF-01", "L-MIX-04", "Q-JSON-04",
+    "M-EVAL-01", "M-EVAL-02", "Q-SCAN-14", "Q-SUBQ-06", "Q-AGG-23",
+    # never-driver-checked hash-mode batch (21)
+    "Q-QUAL-02", "Q-DIFF-01", "Q-AGG-22", "Q-JOIN-12",
+    "Q-TPCH-16", "Q-TPCH-17", "Q-TPCH-18", "Q-TPCH-19", "Q-TPCH-20",
+    "Q-TPCH-22",
+    "Q-STR-06", "Q-STR-07", "Q-STR-08", "Q-DATE-07", "Q-ARR-07",
+    "Q-MATH-02", "Q-SAMPLE-02", "Q-SUBQ-05", "Q-MERGE-02",
+    "U-WIN-01", "U-MAP-02",
+    # streaming tail (3)
+    "S-WIN-04", "S-SINK-04", "S-GEN-02",
+    # ---- 50-window boundary ----
+    # past-the-window spillover, in value order, in case the driver
+    # checks deeper: remaining never-checked hash-mode entries first,
+    # then round-5 additions, then goldens.
+    "G-BACKFILL-01", "L-MM-04", "G-OBS-01", "Q-SCAN-12",
+    "U-GAPPLY-03", "G-SNAP-01", "Q-WIN-13", "L-TEXT-17", "L-TEXT-18",
+    "Q-SCAN-13", "U-TABLE-02", "L-SIM-08", "L-SIM-09",
+    "S-JOIN-04", "S-SINK-03",
     "L-DEDUP-09", "L-DEDUP-10", "L-SIM-06", "L-MIX-02", "L-MIX-03",
     "L-TEXT-12", "L-TEXT-13", "L-TEXT-14", "L-TEXT-15", "L-TEXT-16",
     "L-PIPE-03", "L-PIPE-04",
     "M-PREP-04", "M-PREP-05", "M-PREP-06", "M-PREP-07",
     "Q-AGG-17", "Q-AGG-19", "U-GAPPLY-02", "L-SIM-05", "L-SIM-07",
-    "L-TEXT-04", "L-MM-02", "G-COMPACT-01", "G-GEN-01", "M-PREP-01",
+    "L-TEXT-04", "L-MM-02", "G-COMPACT-01",
+    # previously driver-green re-check pool (r1-r4 rows), cheapest first
+    "Q-WIN-12", "Q-SORT-03", "S-STATE-03",
+    "Q-SCAN-05", "Q-JOIN-11", "Q-DATE-05", "Q-DATE-06", "Q-JSON-02",
+    "Q-WIN-09", "Q-SCAN-06", "Q-SCAN-07", "Q-SCAN-10",
+    "Q-AGG-18", "Q-AGG-20", "Q-AGG-21",
+    "Q-TPCH-07", "Q-TPCH-09", "Q-TPCH-11", "Q-TPCH-15",
+    "Q-SCD-01", "Q-FUNNEL-01", "Q-COHORT-01", "Q-BASKET-01",
+    "Q-PROF-01", "Q-QUAL-01", "Q-TREND-01", "Q-GRAPH-01",
+    "Q-WIN-10", "Q-WIN-11", "Q-SUBQ-04", "Q-CTE-02",
+    "L-DEDUP-08", "L-MIX-01", "L-TEXT-11",
+    "Q-TS-01", "Q-TS-02", "Q-GRAPH-02", "G-MV-01",
+    "Q-SCAN-11", "Q-JSON-03", "M-PRED-04", "M-PREP-03",
+    "S-WIN-02", "S-WIN-03", "S-STATE-02", "S-JOIN-01", "S-JOIN-02",
+    "S-SINK-01", "S-GEN-01", "S-STATE-04", "S-JOIN-03", "S-WM-02",
+    # goldens last (no oracle — driver records rows-only)
+    "G-GEN-01", "M-PREP-01",
     "M-TRAIN-02", "M-TRAIN-03", "M-TRAIN-04", "M-TRAIN-05",
     "M-TRAIN-06", "M-TRAIN-07", "M-PRED-02", "M-PRED-03",
 ]

@@ -92,7 +92,7 @@ def q_cte_01(spark, sf):
 @register(
     "Q-SQL-01",
     sql="SELECT l_returnflag, COUNT(*) AS n, "
-    "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev_c "
+    "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c "
     "FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag "
     "ORDER BY l_returnflag",
 )

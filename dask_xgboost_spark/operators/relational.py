@@ -1225,7 +1225,7 @@ def q_scan_07(spark, sf):
     "Q-SCAN-08",
     sql="SELECT c_mktsegment, COUNT(*) AS n, MIN(c_custkey) AS min_key, "
     "MAX(c_custkey) AS max_key, "
-    "SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS bal_c "
+    "CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_c "
     "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
 )
 def q_scan_08(spark, sf):
@@ -1262,8 +1262,8 @@ def q_scan_08(spark, sf):
 @register(
     "Q-SCAN-09",
     sql="SELECT l_returnflag, COUNT(*) AS n, "
-    "SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c, "
-    "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_c "
+    "CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c, "
+    "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_c "
     "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
 )
 def q_scan_09(spark, sf):

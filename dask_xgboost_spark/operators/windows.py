@@ -185,11 +185,17 @@ def q_win_06(spark, sf):
 
 @register(
     "Q-WIN-08",
+    # gap test rides integer epoch-microseconds on BOTH engines (the
+    # Q-WIN-10 discipline): fixture timestamps carry sub-second µs, so a
+    # seconds-truncated comparison would disagree with an exact one for
+    # any gap in [1800.0s, 1801.0s). CAST(...SUM OVER... AS BIGINT)
+    # because DuckDB types a windowed BIGINT sum as HUGEINT, which the
+    # driver's pandas fetch path renders as float64 → hash mismatch.
     sql="WITH l AS (SELECT user_id, ts, event_id, CASE WHEN LAG(ts) OVER w IS NULL "
-    "OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+    "OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk "
     f"FROM {EVENTS_US} e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
-    "s AS (SELECT user_id, ts, SUM(brk) OVER ("
-    "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM l) "
+    "s AS (SELECT user_id, ts, CAST(SUM(brk) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM l) "
     "SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end, COUNT(*) AS n "
     "FROM s GROUP BY user_id, sid ORDER BY user_id, s_start",
 )
@@ -202,7 +208,10 @@ def q_win_08(spark, sf):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     brk = F.when(
         F.lag("ts").over(w).isNull()
-        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            > 1_800_000_000
+        ),
         1,
     ).otherwise(0)
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -195,12 +195,65 @@ def _window_fed_by_single_partition(tree: str) -> bool:
     a later Exchange re-partitions upstream of that and cannot be the
     window's direct input)."""
     lines = tree.split("\n")
+    # Only a SHUFFLE exchange can feed a Window's partitioning;
+    # BroadcastExchange / ReusedExchange lines also contain "Exchange"
+    # and must not terminate the walk (a single-partition feed hidden
+    # behind a broadcast-join branch would otherwise go unseen). AQE
+    # plan text prints the final plan first ("AdaptiveSparkPlan
+    # isFinalPlan=true" then "+- == Initial Plan =="); stop at the
+    # initial-plan marker so the pre-adaptive section is not re-scanned.
+    shuffle_exchange = re.compile(
+        r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)"
+    )
+    try:
+        cut = next(i for i, l in enumerate(lines) if "== Initial Plan ==" in l)
+        lines = lines[:cut]
+    except StopIteration:
+        pass
     for i, line in enumerate(lines):
         if not re.search(r"\bWindow\b", line):
             continue
         for nxt in lines[i + 1:]:
-            if "Exchange" in nxt:
+            m = shuffle_exchange.search(nxt)
+            if m:
                 if "SinglePartition" in nxt:
                     return True
                 break
     return False
+
+
+# Oracle dtype discipline (VERDICT r4 §wrong 1-2) ---------------------------
+#
+# DuckDB types an aggregate/windowed SUM over BIGINT as HUGEINT (int128).
+# The driver's correctness harness fetches oracle results through pandas
+# (`fetchdf()`), which renders HUGEINT as float64 — "1.0" against Spark's
+# "1" — so an oracle whose output schema contains HUGEINT hash-mismatches
+# even when every value agrees. The repo's own Arrow-path harness converts
+# HUGEINT to decimal ("1") and stays green, which is exactly how Q-WIN-08
+# shipped red in round 4 while the local sweep passed. These helpers make
+# the trap un-reintroducible: DESCRIBE the oracle (plans it, never runs
+# it) and reject any 128-bit output column.
+
+_UNHASHABLE_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "INT128")
+
+
+def lint_oracle_types(con, sql: str) -> list[Finding]:
+    """DESCRIBE ``sql`` on a DuckDB connection with the fixture views
+    registered; flag output columns whose type a pandas fetch path
+    renders lossily (HUGEINT → float64). Fix at the source: wrap the
+    offending aggregate in ``CAST(... AS BIGINT)``."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    findings = []
+    for name, dtype, *_ in rows:
+        up = str(dtype).upper()
+        if any(t in up for t in _UNHASHABLE_DUCK_TYPES):
+            findings.append(
+                Finding(
+                    "error",
+                    "ORACLE_HUGEINT",
+                    f"oracle output column {name!r} is {dtype}: DuckDB's pandas "
+                    "fetch renders it float64 and the driver hash-mismatches; "
+                    "CAST the aggregate to BIGINT",
+                )
+            )
+    return findings

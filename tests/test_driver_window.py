@@ -66,3 +66,38 @@ def test_window_prefix_mostly_hash_mode():
     window = list(entrymod.queries())[:50]
     with_oracle = sum(1 for n in window if specs[n].sql is not None)
     assert with_oracle >= 40, f"only {with_oracle}/50 window entries hash-mode"
+
+
+def test_oracle_output_types_survive_pandas_fetch(duck):
+    """Type-parity gate (VERDICT r4 item 2): DESCRIBE every oracle and
+    reject 128-bit output columns. DuckDB types SUM(BIGINT) as HUGEINT;
+    the driver's pandas fetch path renders HUGEINT as float64 ("1.0" vs
+    Spark's "1") so such an oracle hash-fails at the driver even when
+    every value matches — which is exactly how Q-WIN-08 shipped red in
+    round 4 while the Arrow-path local sweep stayed green. DESCRIBE only
+    plans the query, so this sweeps all ~250 oracles in seconds."""
+    from dask_xgboost_spark.plans.lint import lint_oracle_types
+    from dask_xgboost_spark.registry import load_all
+
+    offenders = {}
+    for name, spec in load_all().items():
+        if spec.sql is None:
+            continue
+        findings = lint_oracle_types(duck, spec.sql)
+        if findings:
+            offenders[name] = [f.message for f in findings]
+    assert not offenders, f"HUGEINT-emitting oracles: {offenders}"
+
+
+def test_oracle_type_lint_catches_uncast_sum(duck):
+    """The lint itself must fail on the round-4 trap pattern."""
+    from dask_xgboost_spark.plans.lint import lint_oracle_types
+
+    bad = "SELECT o_orderstatus, SUM(o_orderkey) AS s FROM orders GROUP BY o_orderstatus"
+    findings = lint_oracle_types(duck, bad)
+    assert findings and findings[0].code == "ORACLE_HUGEINT"
+    good = (
+        "SELECT o_orderstatus, CAST(SUM(o_orderkey) AS BIGINT) AS s "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    assert lint_oracle_types(duck, good) == []

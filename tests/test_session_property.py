@@ -97,3 +97,59 @@ def test_normalize_events_ts_handles_all_encodings(spark):
     )
     got = out.select(F.unix_micros("ts").alias("u")).first().u
     assert got == sentinel_us, ("sentinel", got, sentinel_us)
+
+
+def test_subsecond_gap_straddle_agrees_with_oracle(spark, duck):
+    """VERDICT r4 item 3: a gap of exactly 1800.5 s (straddling the
+    whole-second 1800 s session boundary) must split/not-split
+    identically in the Spark engine and the DuckDB oracle. The old
+    engine compared ``ts.cast("long")`` (seconds-truncated: 1800 s → no
+    break) while the oracle compared exact microseconds (1800.5 s →
+    break); both now ride epoch-µs. Planted cases: 1799.5 s (no break
+    either way), 1800.5 s (break — the divergence case), 3601.0 s
+    (break both ways)."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 00:00:00.250000")
+    rows = [
+        # user 1: gaps 1799.5s then 1800.5s → sessions {e1,e2} {e3}
+        (1, 1, base),
+        (2, 1, base + pd.Timedelta(seconds=1799, microseconds=500_000)),
+        (3, 1, base + pd.Timedelta(seconds=3600)),
+        # user 2: gap 3601s → two singleton sessions
+        (4, 2, base),
+        (5, 2, base + pd.Timedelta(seconds=3601)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pdf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = {
+        r["event_id"]: (r["user_id"], r["sid"])
+        for r in df.select("event_id", "user_id", "ts", brk.alias("brk"))
+        .withColumn("sid", F.sum("brk").over(wrun))
+        .collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 1), 3: (1, 2), 4: (2, 1), 5: (2, 2)}
+
+    # same shape through the oracle dialect used by Q-WIN-08's sql
+    duck.execute("CREATE OR REPLACE TABLE _sess_probe AS SELECT * FROM pdf")
+    oracle = duck.execute(
+        "WITH l AS (SELECT event_id, user_id, CASE WHEN LAG(ts) OVER w IS NULL "
+        "OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk "
+        "FROM _sess_probe WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT event_id, user_id, CAST(SUM(brk) OVER ("
+        "PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid "
+        "FROM l"
+    ).fetchall()
+    duck.execute("DROP TABLE _sess_probe")
+    assert {e: (u, s) for e, u, s in oracle} == got
