@@ -204,6 +204,12 @@ def main() -> None:
         df.toPandas()
         results[key] = round(_timed_full(df, runs=5), 4)
         stage_reuse[key] = round(_median_timed(lambda: df.toPandas(), runs=5), 4)
+        # a handful of operators persist() small multi-referenced
+        # intermediates (Q-TPCH-15's revenue view, graph edge sets,
+        # lexical dfreq); dropping them between queries keeps one
+        # query's cache from skewing the next one's timings and bounds
+        # executor storage over the sweep (ADVICE r4)
+        spark.catalog.clearCache()
 
     # fixed per-job floor: a trivial 2-stage (shuffle) query over 8
     # cached rows, fully re-executed — pure job-submission + stage
@@ -320,6 +326,7 @@ def main() -> None:
         sql = specs[name].sql
         con.execute(sql).df()
         tpch_duck[key] = round(_median_timed(lambda: con.execute(sql).df()), 4)
+        spark.catalog.clearCache()  # see BENCH_QUERIES loop note
 
     # data-skipping lever: same 16 files, four clusterings; how many
     # files' footer stats overlap a selective (p95) predicate on EACH

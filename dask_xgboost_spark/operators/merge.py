@@ -55,6 +55,7 @@ def merge_into(
 
 from dask_xgboost_spark.functions import EVENTS_US
 from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.scratch import scratch_dir
 from dask_xgboost_spark.sources import load
 
 _ORDER_COLS = (
@@ -105,8 +106,8 @@ def g_compact_01(spark, sf):
     import os
     import tempfile
 
-    src = tempfile.mkdtemp(prefix="dxs_frag_")
-    dst = tempfile.mkdtemp(prefix="dxs_compact_")
+    src = scratch_dir("compact_src")
+    dst = scratch_dir("compact_dst")
     ev = load(spark, sf, "events")
     ev.repartition(32).write.mode("overwrite").parquet(src)
     n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
@@ -485,9 +486,15 @@ def g_snap_01(spark, sf):
 
 @register(
     "G-DELETE-01",
+    # NULL-subject semantics pinned on BOTH sides: a deletion list names
+    # concrete subjects, so a fact row with user_id NULL is NOT deletable
+    # and must survive. The engine gets this for free (a NULL key never
+    # matches in left_anti/left_semi); the oracle says it explicitly
+    # (`user_id IS NULL OR …`) so the two cannot diverge if the fixtures
+    # ever gain NULL user_ids (today they have none).
     sql="SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept, "
     " CAST((SELECT COUNT(*) FROM events e2 WHERE e2.user_id % 37 = 0) AS BIGINT) AS n_erased "
-    "FROM events e WHERE user_id % 37 <> 0 "
+    "FROM events e WHERE user_id IS NULL OR user_id % 37 <> 0 "
     "GROUP BY event_type ORDER BY event_type",
 )
 def g_delete_01(spark, sf):
@@ -517,7 +524,7 @@ def g_delete_01(spark, sf):
     n_erased = (
         ev.join(F.broadcast(dels), "user_id", "left_semi").count()
     )
-    out = tempfile.mkdtemp(prefix="dxs_gdpr_") + "/events"
+    out = scratch_dir("gdpr") + "/events"
     (
         ev.join(F.broadcast(dels), "user_id", "left_anti")
         .write.mode("overwrite").partitionBy("event_type").parquet(out)

@@ -33,6 +33,7 @@ from dask_xgboost_spark.functions import (
 )
 from dask_xgboost_spark.operators.asof import asof_join_backward
 from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.scratch import scratch_dir
 from dask_xgboost_spark.sources import load, read_csv, read_parquet
 
 # --------------------------------------------------------------------------
@@ -61,7 +62,7 @@ NATION_CSV_SCHEMA = StructType(
 )
 def q_scan_02(spark, sf):
     """CSV sink + scan roundtrip (reference: dd.read_csv, README.rst:37)."""
-    out = tempfile.mkdtemp(prefix="dxs_csv_")
+    out = scratch_dir("scan02_csv")
     load(spark, sf, "nation").write.mode("overwrite").option("header", "true").csv(out)
     return read_csv(spark, out, schema=NATION_CSV_SCHEMA).orderBy("n_nationkey")
 
@@ -72,7 +73,7 @@ def q_scan_02(spark, sf):
 )
 def q_scan_03(spark, sf):
     """Parquet write/read roundtrip (sink path)."""
-    out = tempfile.mkdtemp(prefix="dxs_pq_")
+    out = scratch_dir("scan03_pq")
     load(spark, sf, "nation").write.mode("overwrite").parquet(out)
     return read_parquet(spark, out).orderBy("n_nationkey")
 
@@ -83,7 +84,7 @@ def q_scan_03(spark, sf):
 )
 def q_scan_04(spark, sf):
     """JSON-lines sink + scan roundtrip (schema-explicit read)."""
-    out = tempfile.mkdtemp(prefix="dxs_json_")
+    out = scratch_dir("scan04_json")
     load(spark, sf, "nation").write.mode("overwrite").json(out)
     return (
         spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
@@ -107,7 +108,7 @@ def q_scan_05(spark, sf):
     the scan — asserted in tests/test_plans.py::test_partition_pruning
     for the same layout), so a one-day query on a 10-year table touches
     1/3650th of the files."""
-    out = tempfile.mkdtemp(prefix="dxs_part_")
+    out = scratch_dir("scan05_part")
     ev = load(spark, sf, "events")
     ev.withColumn("d", F.to_date(F.date_trunc("day", "ts"))).write.partitionBy(
         "d"
@@ -1714,7 +1715,7 @@ def q_scan_14(spark, sf):
         F.col("doc_id") % 17 == 0,
         F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "n_chars":')),
     ).otherwise(F.to_json(F.struct("doc_id", "n_chars")))
-    out = tempfile.mkdtemp(prefix="dxs_quar_") + "/docs"
+    out = scratch_dir("scan14_quar") + "/docs"
     docs.select(line.alias("value")).write.mode("overwrite").text(out)
     parsed = (
         spark.read.schema("doc_id bigint, n_chars bigint, _bad string")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.scratch import scratch_dir
 from dask_xgboost_spark.sources import load
 
 # Explicit stopword list — mirrored literally in the oracle SQL (never
@@ -285,7 +286,7 @@ def l_pipe_02(spark, sf):
     import shutil
     import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="dxs_jsonl_")
+    out_dir = scratch_dir("jsonl_shard")
     docs = load(spark, sf, "documents").filter(F.col("lang").isin("en", "de", "es"))
     (
         docs.select("doc_id", "lang", "text")

@@ -18,6 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dask_xgboost_spark.scratch import scratch_mkdtemp
 from dask_xgboost_spark.session import ensure_session_confs
 from dask_xgboost_spark.sources.tables import normalize_events_ts
 
@@ -49,11 +50,11 @@ def events_stream(
     src = f"{sf_dir}/events.parquet"
     if n_files == 1 and not duplicate and not late_rows and not future_sentinels:
         # file-stream sources require a directory
-        stream_dir = tempfile.mkdtemp(prefix="dxs_stream_")
+        stream_dir = scratch_mkdtemp("dxs_stream_")
         os.symlink(src, os.path.join(stream_dir, "events.parquet"))
         schema = spark.read.parquet(src).schema
     else:
-        stream_dir = tempfile.mkdtemp(prefix="dxs_stream_")
+        stream_dir = scratch_mkdtemp("dxs_stream_")
         batch = spark.read.parquet(src).orderBy("ts")
         pdf = batch.toPandas()
         late = None
@@ -111,7 +112,7 @@ def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming frame to completion (availableNow) into a memory
     sink; returns the final in-memory table."""
     name = "dxs_" + uuid.uuid4().hex[:12]
-    ckpt = tempfile.mkdtemp(prefix="dxs_ckpt_")
+    ckpt = scratch_mkdtemp("dxs_ckpt_")
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -135,7 +136,7 @@ def run_to_memory_progress(df: DataFrame, output_mode: str):
     a correctness incident waiting to be noticed; S-WM-02 pins the
     accounting down."""
     name = "dxs_" + uuid.uuid4().hex[:12]
-    ckpt = tempfile.mkdtemp(prefix="dxs_ckpt_")
+    ckpt = scratch_mkdtemp("dxs_ckpt_")
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -159,7 +160,7 @@ def run_foreach_batch(df: DataFrame, fn, output_mode: str = "update") -> None:
     receives (batch_df, batch_id) per micro-batch; Spark guarantees
     at-least-once invocation with a stable batch_id, so idempotent or
     versioned writes give exactly-once end to end."""
-    ckpt = tempfile.mkdtemp(prefix="dxs_ckpt_")
+    ckpt = scratch_mkdtemp("dxs_ckpt_")
     q = (
         df.writeStream.foreachBatch(fn)
         .outputMode(output_mode)
@@ -173,8 +174,8 @@ def run_foreach_batch(df: DataFrame, fn, output_mode: str = "update") -> None:
 
 def run_to_parquet(df: DataFrame, output_mode: str = "append") -> str:
     """Run a streaming frame to a parquet file sink; returns the sink dir."""
-    out_dir = tempfile.mkdtemp(prefix="dxs_sink_")
-    ckpt = tempfile.mkdtemp(prefix="dxs_ckpt_")
+    out_dir = scratch_mkdtemp("dxs_sink_")
+    ckpt = scratch_mkdtemp("dxs_ckpt_")
     q = (
         df.writeStream.format("parquet")
         .option("path", out_dir)

@@ -18,6 +18,7 @@ from dask_xgboost_spark.functions import EVENTS_US
 from dask_xgboost_spark.functions import cents as _cents
 from dask_xgboost_spark.operators.timeseries import TS04_OHLC_SQL as _OHLC_SQL
 from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.scratch import scratch_dir, scratch_mkdtemp
 from dask_xgboost_spark.streaming.core import (
     events_stream,
     run_foreach_batch,
@@ -290,7 +291,7 @@ def s_sink_02(spark, sf):
     import shutil
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="dxs_fb_")
+    base = scratch_dir("stream_fb")
     state = {"last": 0}
     ev = events_stream(spark, sf, n_files=4, max_files_per_trigger=1)
 
@@ -380,7 +381,7 @@ def s_gen_01(spark, sf):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
     )
     name = "dxs_gen_" + uuid.uuid4().hex[:12]
-    ckpt = tempfile.mkdtemp(prefix="dxs_ckpt_")
+    ckpt = scratch_mkdtemp("ckpt_")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -430,7 +431,7 @@ def s_gen_02(spark, sf):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
     )
     name = "dxs_pygen_" + uuid.uuid4().hex[:12]
-    ckpt = tempfile.mkdtemp(prefix="dxs_ckpt_")
+    ckpt = scratch_mkdtemp("ckpt_")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -737,7 +738,7 @@ def s_sink_04(spark, sf):
     import os
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="dxs_dlq_")
+    base = scratch_dir("stream_dlq")
     raw_dir, good_dir, dlq_dir = (os.path.join(base, d) for d in ("raw", "good", "dlq"))
 
     from dask_xgboost_spark.sources import load as _load
@@ -765,7 +766,7 @@ def s_sink_04(spark, sf):
             F.col("_bad").alias("raw")
         ).write.mode("append").parquet(dlq_dir)
 
-    ckpt = tempfile.mkdtemp(prefix="dxs_dlq_ckpt_")
+    ckpt = scratch_mkdtemp("dlq_ckpt_")
     q = (
         stream.writeStream.foreachBatch(split)
         .option("checkpointLocation", ckpt)
