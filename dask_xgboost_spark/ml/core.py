@@ -115,16 +115,22 @@ def assemble_features(df: DataFrame, feature_col: str = "embedding") -> DataFram
 
 
 def _sparse_vector_udf():
-    """(size, indices, values) → SparseVector. A plain Python UDF is the
-    only construction path for the VectorUDT user-defined type (Arrow /
-    pandas_udf cannot carry UDTs; verified on this Spark build) — O(nnz)
-    per row and, critically, the vector stays SPARSE end-to-end: a
-    1e6-dim one-hot row costs its nnz, not 8 MB of dense doubles.
+    """(size, indices, values) → SparseVector. A Python UDF is the only
+    construction path for the VectorUDT user-defined type — pandas_udf
+    cannot return UDTs (verified on this Spark build: the worker rejects
+    VectorUDT as a pandas_udf return type) — but ``useArrow=True`` moves
+    the data transfer onto Arrow record batches, so only the per-row
+    SparseVector construction stays in Python while serialization is
+    columnar (ArrowEvalPython, not pickled-row BatchEvalPython).
+    O(nnz) per row and, critically, the vector stays SPARSE end-to-end:
+    a 1e6-dim one-hot row costs its nnz, not 8 MB of dense doubles.
     MLlib's tree learners consume SparseVector natively downstream."""
     from pyspark.ml.linalg import SparseVector, VectorUDT
 
     return F.udf(
-        lambda s, i, v: SparseVector(s, i or [], v or []), VectorUDT()
+        lambda s, i, v: SparseVector(s, i or [], v or []),
+        VectorUDT(),
+        useArrow=True,
     )
 
 
