@@ -662,3 +662,55 @@ def m_eval_02(spark, sf):
         )
         .orderBy("slice")
     )
+
+
+@register(
+    "M-EVAL-03",
+    sql="WITH s AS (SELECT "
+    f" {sql_cents('value')} % 100 AS score, "
+    " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events), "
+    "b AS (SELECT score, SUM(y) AS np, COUNT(*) - SUM(y) AS ng "
+    " FROM s GROUP BY score), "
+    "c AS (SELECT np, ng, "
+    " SUM(ng) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) - ng AS ng_below FROM b) "
+    "SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(ng) AS BIGINT) AS n_neg, "
+    " CAST(SUM(np * (2 * ng_below + ng)) AS BIGINT) AS auc_num2, "
+    " CAST(SUM(np * (2 * ng_below + ng)) AS DOUBLE) "
+    "   / (2.0 * SUM(np) * SUM(ng)) AS auc "
+    "FROM c",
+)
+def m_eval_03(spark, sf):
+    """Distributed exact ROC-AUC via the rank-sum (Mann-Whitney U)
+    identity: AUC = P(score_pos > score_neg) + ½·P(tie), computed from
+    score-bucket counts without ever ranking individual rows. (Scores
+    synthesized as cents(value) mod 100, label = purchase, as in
+    M-EVAL-01; with a real model this input is M-PRED-01's output.)
+
+    Scale shape: the naive AUC computation global-sorts every scored
+    row (a single-partition rank over the fact table — the exact
+    GLOBAL_WINDOW killer). The bucket identity needs only (n_pos, n_neg)
+    per DISTINCT score: one map-side-combined aggregate over facts down
+    to ≤100 rows, then a window + weighted sum over the BOUNDED bucket
+    table — ``Σ np·(2·ng_below + ng)`` counts concordant pairs twice
+    and tied pairs once, so ``auc_num2 = 2·P·N·AUC`` stays an exact
+    int64 (hash-stable); the final auc is one int÷int IEEE division,
+    identical cross-engine. Production scores quantize to fixed-point
+    buckets for exactly this reason — the curve/AUC cost becomes
+    O(buckets), independent of fact cardinality."""
+    s = load(spark, sf, "events").select(
+        (cents("value") % 100).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = s.groupBy("score").agg(
+        F.sum("y").alias("np"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("ng"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = b.withColumn("ng_below", F.sum("ng").over(w) - F.col("ng"))
+    num2 = F.sum(F.col("np") * (2 * F.col("ng_below") + F.col("ng")))
+    return c.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("ng").cast("bigint").alias("n_neg"),
+        num2.cast("bigint").alias("auc_num2"),
+        (num2.cast("double") / (2.0 * F.sum("np") * F.sum("ng"))).alias("auc"),
+    )

@@ -666,3 +666,93 @@ def l_dedup_11(spark, sf):
         )
         .orderBy("canonical")
     )
+
+
+@register(
+    "L-DEDUP-12",
+    # the ledger is hashes of the historical 80% (doc_id % 10 < 8); the
+    # incoming batch is the other 20% PLUS planted re-crawls (copies of
+    # historical doc_id < 60 under new ids) and an in-batch double
+    # submission (copies of batch doc_id % 40 == 8 under new ids)
+    sql="""
+    WITH hist AS (SELECT sha256(text) AS h FROM documents WHERE doc_id % 10 < 8),
+    batch AS (
+        SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 10 >= 8
+        UNION ALL
+        SELECT doc_id + 200000, sha256(text) FROM documents WHERE doc_id % 10 < 8 AND doc_id < 60
+        UNION ALL
+        SELECT doc_id + 300000, sha256(text) FROM documents WHERE doc_id % 10 >= 8 AND doc_id % 40 = 8
+    ),
+    no_hist AS (SELECT b.doc_id, b.h FROM batch b WHERE NOT EXISTS
+                (SELECT 1 FROM hist WHERE hist.h = b.h)),
+    first_in AS (SELECT doc_id, h,
+                 ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM no_hist)
+    SELECT CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS n_batch,
+           CAST((SELECT COUNT(*) FROM batch) - (SELECT COUNT(*) FROM no_hist) AS BIGINT)
+               AS n_dup_vs_ledger,
+           CAST((SELECT COUNT(*) FROM no_hist)
+              - (SELECT COUNT(*) FROM first_in WHERE rn = 1) AS BIGINT) AS n_dup_in_batch,
+           CAST((SELECT COUNT(*) FROM first_in WHERE rn = 1) AS BIGINT) AS n_admitted,
+           CAST((SELECT SUM(doc_id) FROM first_in WHERE rn = 1) AS BIGINT) AS admitted_id_sum
+    """,
+)
+def l_dedup_12(spark, sf):
+    """Incremental dedup against a persisted fingerprint ledger — the
+    shape PRODUCTION dedup actually runs: the corpus is never re-deduped
+    from scratch; each ingest batch checks (1) against the accumulated
+    hash ledger of everything already admitted, then (2) within itself
+    (first-submission wins), and only the survivors append to both the
+    corpus and the ledger. Here the ledger is REALLY round-tripped
+    through parquet (written from the historical 80%, read back for the
+    join) so the check proves the persisted-state path, not a same-plan
+    self-join. Planted re-crawls of historical docs must die at step 1;
+    planted double submissions must die at step 2; the oracle recomputes
+    both sets relationally and checks the admitted id-checksum.
+
+    Scale shape: the ledger join is a hash-partitioned LEFT ANTI on a
+    32-byte key — at 100 TB the ledger is bucketed by hash so the join
+    is co-located with no fact-side shuffle; the in-batch pass is a
+    window over the BATCH only (increment-sized, not corpus-sized).
+    Total work per ingest tracks the increment, never the corpus —
+    that is the entire point of keeping the ledger."""
+    from dask_xgboost_spark.scratch import scratch_dir
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 10 < 8)
+
+    ledger_path = scratch_dir("dedup_ledger")
+    hist.select(F.sha2("text", 256).alias("h")).distinct().write.mode(
+        "overwrite"
+    ).parquet(ledger_path)
+    ledger = spark.read.parquet(ledger_path)
+
+    fresh = docs.filter(F.col("doc_id") % 10 >= 8)
+    recrawl = hist.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    resubmit = fresh.filter(F.col("doc_id") % 40 == 8).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    batch = (
+        fresh.unionByName(recrawl)
+        .unionByName(resubmit)
+        .select("doc_id", F.sha2("text", 256).alias("h"))
+    )
+
+    no_hist = batch.join(ledger, "h", "left_anti")
+    from pyspark.sql import Window
+
+    first_in = no_hist.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    )
+    admitted = first_in.filter(F.col("rn") == 1)
+
+    n_batch = batch.count()
+    n_no_hist = no_hist.count()
+    return admitted.agg(
+        F.lit(n_batch).cast("bigint").alias("n_batch"),
+        F.lit(n_batch - n_no_hist).cast("bigint").alias("n_dup_vs_ledger"),
+        (F.lit(n_no_hist) - F.count(F.lit(1))).cast("bigint").alias("n_dup_in_batch"),
+        F.count(F.lit(1)).cast("bigint").alias("n_admitted"),
+        F.sum("doc_id").cast("bigint").alias("admitted_id_sum"),
+    )

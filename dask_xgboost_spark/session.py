@@ -66,6 +66,13 @@ def ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the engine's execution posture, applied to externally created
+    # sessions too (all runtime-settable): AQE for coalescing/skew,
+    # Arrow for the driver-side fetch boundary
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # right-size externally created sessions that still carry the 200
     # default (tiny local runs; a tuned session is left untouched)
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
