@@ -622,3 +622,74 @@ def g_cdf_01(spark, sf):
         F.col("p1").alias("pre_c"), F.col("p2").alias("post_c"),
     )
     return ins.unionByName(dele).unionByName(upd).orderBy("k", "op")
+
+
+@register(
+    "G-MASK-01",
+    # k = 5; quasi-identifier = (event_type, day-of-month bucket of ts).
+    # Suppressed groups report NULL day_bucket and fold together.
+    sql="""
+    WITH m AS (
+        SELECT sha256('pepper-2026|' || CAST(user_id AS VARCHAR)) AS uid_pseud,
+               event_type,
+               CAST(datepart('day', ts) AS BIGINT) AS day_bucket
+        FROM events
+    ),
+    sized AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY event_type, day_bucket) AS grp_n
+        FROM m
+    ),
+    anon AS (
+        SELECT uid_pseud, event_type,
+               CASE WHEN grp_n >= 5 THEN day_bucket END AS day_bucket
+        FROM sized
+    )
+    SELECT event_type, day_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT uid_pseud) AS BIGINT) AS n_subjects
+    FROM anon GROUP BY event_type, day_bucket
+    ORDER BY event_type, day_bucket NULLS FIRST
+    """,
+)
+def g_mask_01(spark, sf):
+    """Pseudonymization + k-anonymity suppression — the release gate a
+    training-data export passes before leaving the governed boundary:
+    (1) direct identifiers are replaced by a KEYED hash (pepper ‖ id →
+    sha256; same subject → same pseudonym, so joins/aggregations still
+    work, but re-identification needs the pepper — never store it with
+    the data); (2) quasi-identifier combinations appearing fewer than
+    k=5 times are generalized (bucket → NULL) so no released group
+    isolates fewer than k subjects — the classic k-anonymity treatment,
+    with suppressed groups folding into a residual per event_type.
+
+    Scale shape: the pseudonym is a map-only expression; group sizing
+    is one count per quasi-identifier combination (window over the
+    grouped key — same shuffle the release rollup needs anyway, and
+    the QI space is bounded: |event_type| × 31 buckets, so the sizing
+    aggregate is dimension-sized). Nothing driver-side; the pepper
+    would come from a secret store in production (a literal here)."""
+    ev = load(spark, sf, "events")
+    from pyspark.sql import Window
+
+    m = ev.select(
+        F.sha2(F.concat(F.lit("pepper-2026|"), F.col("user_id").cast("string")), 256)
+        .alias("uid_pseud"),
+        "event_type",
+        F.dayofmonth("ts").cast("bigint").alias("day_bucket"),
+    )
+    sized = m.withColumn(
+        "grp_n", F.count(F.lit(1)).over(Window.partitionBy("event_type", "day_bucket"))
+    )
+    anon = sized.select(
+        "uid_pseud",
+        "event_type",
+        F.when(F.col("grp_n") >= 5, F.col("day_bucket")).alias("day_bucket"),
+    )
+    return (
+        anon.groupBy("event_type", "day_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct("uid_pseud").cast("bigint").alias("n_subjects"),
+        )
+        .orderBy("event_type", F.col("day_bucket").asc_nulls_first())
+    )

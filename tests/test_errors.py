@@ -102,3 +102,24 @@ def test_pyjsonl_missing_path_option_raises(spark):
     register_python_sources(spark)
     with pytest.raises(Exception, match="path|KeyError"):
         spark.read.format("pyjsonl").schema("doc_id bigint").load().collect()
+
+
+def test_scratch_dir_is_deterministic_and_wiped():
+    """scratch_dir: same tag → same path, previous contents wiped on
+    re-entry (the bounded-disk contract repeated sweeps rely on);
+    scratch_mkdtemp: unique per call, under the exit-cleaned root."""
+    import os
+
+    from dask_xgboost_spark.scratch import scratch_dir, scratch_mkdtemp
+
+    d1 = scratch_dir("unit_probe")
+    probe = os.path.join(d1, "leftover.txt")
+    with open(probe, "w") as f:
+        f.write("x")
+    d2 = scratch_dir("unit_probe")
+    assert d1 == d2
+    assert not os.path.exists(probe), "previous run's contents must be wiped"
+
+    m1, m2 = scratch_mkdtemp("u_"), scratch_mkdtemp("u_")
+    assert m1 != m2
+    assert os.path.dirname(m1) == os.path.dirname(d1)
