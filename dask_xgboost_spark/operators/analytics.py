@@ -692,3 +692,142 @@ def q_qual_02(spark, sf):
         )
         .orderBy("metric")
     )
+
+
+@register(
+    "Q-QUAL-03",
+    # thresholds deliberately plant violations (status 'P' exists but is
+    # not accepted; prices exceed 400k; quantities exceed 45) while the
+    # structural rules (not-null, unique, referential) pass — both
+    # directions of the gate are load-bearing
+    sql="""
+    SELECT 'orders.o_orderkey NOT NULL' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_failed,
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL) = 0 AS pass
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderkey UNIQUE',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           COUNT(*) = COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderstatus IN (O,F)',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                OR o_orderstatus NOT IN ('O','F')) AS BIGINT),
+           COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                OR o_orderstatus NOT IN ('O','F')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_totalprice IN [1000,400000]',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL
+                OR o_totalprice < 1000 OR o_totalprice > 400000) AS BIGINT),
+           COUNT(*) FILTER (WHERE o_totalprice IS NULL
+                OR o_totalprice < 1000 OR o_totalprice > 400000) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_quantity IN [1,45]',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE l_quantity IS NULL
+                OR l_quantity < 1 OR l_quantity > 45) AS BIGINT),
+           COUNT(*) FILTER (WHERE l_quantity IS NULL
+                OR l_quantity < 1 OR l_quantity > 45) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_orderkey REFERENCES orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+                (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           COUNT(*) FILTER (WHERE NOT EXISTS
+                (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+    FROM lineitem l
+    ORDER BY rule
+    """,
+)
+def q_qual_03(spark, sf):
+    """Expectation-suite validation (the dbt-test / Great-Expectations
+    gate): a declarative rule set — NOT NULL, UNIQUE, accepted values,
+    numeric range, referential integrity — evaluated into one
+    (rule, n_checked, n_failed, pass) report that CI gates a dataset
+    release on. Thresholds here plant real violations (status 'P',
+    prices > 400k, quantities > 45) while the structural rules pass, so
+    both outcomes are exercised.
+
+    Scale shape: all four orders rules fold into ONE conditional-
+    aggregate pass over orders (no per-rule rescans), the quantity rule
+    is one pass over lineitem, and referential integrity is a LEFT ANTI
+    count against the distinct key set — the only shuffle, co-located
+    when both tables are bucketed by the key. Report size is O(rules).
+    The same rule table drives Q-SCAN-10's quarantine path when the
+    action is 'route rows' rather than 'gate the release'."""
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+
+    cnt_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+
+    def rule_row(name, n_col, fail_col):
+        return F.struct(
+            F.lit(name).alias("rule"),
+            n_col.cast("bigint").alias("n_checked"),
+            fail_col.cast("bigint").alias("n_failed"),
+            (fail_col == 0).alias("pass"),
+        )
+
+    oagg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        cnt_if(F.col("o_orderkey").isNull()).alias("keynull"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("keydup"),
+        cnt_if(
+            F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin("O", "F")
+        ).alias("status_bad"),
+        cnt_if(
+            F.col("o_totalprice").isNull()
+            | (F.col("o_totalprice") < 1000)
+            | (F.col("o_totalprice") > 400000)
+        ).alias("price_oob"),
+    ).select(
+        F.explode(
+            F.array(
+                rule_row("orders.o_orderkey NOT NULL", F.col("n"), F.col("keynull")),
+                rule_row("orders.o_orderkey UNIQUE", F.col("n"), F.col("keydup")),
+                rule_row("orders.o_orderstatus IN (O,F)", F.col("n"), F.col("status_bad")),
+                rule_row(
+                    "orders.o_totalprice IN [1000,400000]", F.col("n"), F.col("price_oob")
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+
+    liagg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        cnt_if(
+            F.col("l_quantity").isNull()
+            | (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 45)
+        ).alias("qty_oob"),
+    ).select(
+        F.explode(
+            F.array(rule_row("lineitem.l_quantity IN [1,45]", F.col("n"), F.col("qty_oob")))
+        ).alias("r")
+    ).select("r.*")
+
+    orphans = (
+        li.join(o.select("o_orderkey").distinct(),
+                li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan"))
+    )
+    ref = (
+        li.agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            F.lit("lineitem.l_orderkey REFERENCES orders").alias("rule"),
+            F.col("n").cast("bigint").alias("n_checked"),
+            F.col("n_orphan").cast("bigint").alias("n_failed"),
+            (F.col("n_orphan") == 0).alias("pass"),
+        )
+    )
+    return oagg.unionByName(liagg).unionByName(ref).orderBy("rule")

@@ -352,7 +352,7 @@ def test_lint_sweep_headline_families(spark, sf_dir):
         and n.startswith(("Q-AGG", "Q-JOIN", "Q-TPCH", "Q-WIN", "Q-FIL",
                           "Q-SORT", "Q-SET", "Q-SUBQ", "Q-CTE-01",
                           "Q-TS", "Q-DIFF", "Q-GRAPH", "Q-GEO", "Q-SCD",
-                          "Q-PIVOT", "G-MV", "G-MASK", "M-EVAL",
+                          "Q-PIVOT", "Q-QUAL", "G-MV", "G-MASK", "M-EVAL",
                           "L-TEXT", "L-DEDUP-0", "L-DEDUP-1",
                           "L-MIX", "L-PIPE-01"))
     ]
