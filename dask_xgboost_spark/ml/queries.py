@@ -714,3 +714,47 @@ def m_eval_03(spark, sf):
         num2.cast("bigint").alias("auc_num2"),
         (num2.cast("double") / (2.0 * F.sum("np") * F.sum("ng"))).alias("auc"),
     )
+
+
+@register(
+    "M-PREP-09",
+    sql="WITH f AS (SELECT event_type, "
+    " (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) - 1) % 5 AS fold "
+    " FROM events) "
+    "SELECT event_type, CAST(fold AS BIGINT) AS fold, "
+    " CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM f GROUP BY event_type, fold ORDER BY event_type, fold",
+)
+def m_prep_09(spark, sf):
+    """Stratified k-fold assignment (k=5): within every label, rows are
+    dealt round-robin into folds by their rank on a unique key, so each
+    (label, fold) cell holds ⌈n_label/k⌉ or ⌊n_label/k⌋ rows — the
+    EXACT stratification cross-validation wants (class balance preserved
+    per fold, max−min ≤ 1), deterministic under retries and
+    repartitioning because the rank rides a total order, not physical
+    row order. Output is the (label, fold, n) balance table a CV
+    harness asserts before training.
+
+    Scale shape: one shuffle on the label; the in-partition rank is
+    linear. The label is a LOW-cardinality partition key, so a single
+    giant class serializes through one task — at fact scale either
+    pre-salt the rank (Q-WIN-14's two-stage shape, accepting ±salts
+    imbalance per cell) or fall back to the map-only hashed split
+    (M-PREP-07), whose fold sizes are binomial-approximate rather than
+    exact. The exact window form here is the right tool up to
+    hundreds-of-millions of rows per class; the docstring trade-off IS
+    the operator's contract."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    f = ev.select(
+        "event_type",
+        ((F.row_number().over(w) - 1) % 5).alias("fold"),
+    )
+    return (
+        f.groupBy("event_type", "fold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select("event_type", F.col("fold").cast("bigint"), "n")
+        .orderBy("event_type", "fold")
+    )
