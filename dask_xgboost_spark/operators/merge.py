@@ -693,3 +693,71 @@ def g_mask_01(spark, sf):
         )
         .orderBy("event_type", F.col("day_bucket").asc_nulls_first())
     )
+
+
+@register(
+    "G-DELETE-02",
+    # same NULL-subject contract as G-DELETE-01: NULL user_id rows are
+    # not deletable and survive on both engines
+    sql="SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+    " CAST((SELECT COUNT(*) FROM events e2 WHERE e2.user_id < 10) AS BIGINT) AS n_erased "
+    "FROM events e WHERE user_id IS NULL OR user_id >= 10 "
+    "GROUP BY event_type ORDER BY event_type",
+)
+def g_delete_02(spark, sf):
+    """Partition-PRUNED deletion rewrite — the 100 TB design G-DELETE-01's
+    docstring promises, implemented for real: the governed table is laid
+    out clustered by the subject key (repartitionByRange on user_id, 16
+    files with tight footer min/max), the deletion list (subjects
+    user_id < 10, a right-to-be-forgotten batch — ~7% of the fixture's
+    150 subjects; real DSAR batches are a far smaller fraction still) is checked against
+    PER-FILE FOOTER STATISTICS (plans/scale.py::prune_files_by_stats —
+    metadata-only, O(files·log|list|) driver work), and ONLY the files
+    that can contain a deleted subject are rewritten through a broadcast
+    LEFT ANTI join; every other file is hard-linked into the new table
+    version untouched. The read-back report proves rows are gone from
+    storage, identical to the full-rewrite oracle.
+
+    Scale shape: this is why subject-clustered layout is the
+    recommended design for erasable data — a deletion batch of S
+    subjects rewrites at most S files out of N (here 1-2 of 16,
+    asserted in tests/test_scale.py), so erasure cost tracks the
+    deletion batch, not the table. With a table format the footer loop
+    becomes a manifest scan and the hard-links become metadata entries
+    (copy-on-write DELETE); the pruning predicate is identical."""
+    import glob
+    import os
+
+    from dask_xgboost_spark.plans.scale import prune_files_by_stats
+
+    ev = load(spark, sf, "events")
+    base = scratch_dir("gdpr2_table")
+    ev.repartitionByRange(16, "user_id").write.mode("overwrite").parquet(base)
+
+    # subject list is entity-cardinality (bounded), sorted for the
+    # footer bisect; production reads it from the DSAR queue
+    dels = ev.select("user_id").distinct().filter(F.col("user_id") < 10)
+    del_ids = sorted(r["user_id"] for r in dels.collect())
+    n_erased = ev.join(F.broadcast(dels), "user_id", "left_semi").count()
+
+    files = sorted(glob.glob(base + "/*.parquet"))
+    hit, keep = prune_files_by_stats(files, "user_id", del_ids)
+
+    out = scratch_dir("gdpr2_out")
+    if hit:
+        (
+            spark.read.parquet(*hit)
+            .join(F.broadcast(dels), "user_id", "left_anti")
+            .write.mode("append")
+            .parquet(out)
+        )
+    for f in keep:
+        os.link(f, os.path.join(out, "linked-" + os.path.basename(f)))
+
+    survived = spark.read.parquet(out)
+    return (
+        survived.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+        .withColumn("n_erased", F.lit(n_erased).cast("bigint"))
+        .orderBy("event_type")
+    )

@@ -339,3 +339,50 @@ def write_hilbert_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def prune_files_by_stats(
+    paths: list[str], col: str, sorted_keys: list[int]
+) -> tuple[list[str], list[str]]:
+    """Split parquet files into (hit, untouched) by whether any key in
+    ``sorted_keys`` can fall inside the file's [min, max] footer range
+    for ``col`` — metadata-only (no data read), O(files · log|keys|)
+    driver work, the same footer statistics the Spark reader itself
+    prunes row groups with. A file with no stats for the column is
+    conservatively HIT (correctness over pruning).
+
+    This is the table-format-free form of what Delta/Iceberg do with
+    per-file column stats in the manifest: at 100 TB the manifest scan
+    replaces the footer loop, but the pruning predicate is identical.
+    """
+    import bisect
+
+    import pyarrow.parquet as pq
+
+    hit: list[str] = []
+    keep: list[str] = []
+    for f in paths:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            mins, maxs = [], []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or st.min is None or st.max is None:
+                    raise StopIteration
+                mins.append(st.min)
+                maxs.append(st.max)
+            mn, mx = min(mins), max(maxs)
+        except StopIteration:
+            hit.append(f)
+            continue
+        j = bisect.bisect_left(sorted_keys, mn)
+        if j < len(sorted_keys) and sorted_keys[j] <= mx:
+            hit.append(f)
+        else:
+            keep.append(f)
+    return hit, keep

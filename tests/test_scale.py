@@ -433,3 +433,50 @@ def test_hilbert_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
         h_hits, h_files = overlapping(hpath, col, cut)
         assert h_files >= 8
         assert h_hits <= h_files // 2, (col, h_hits, h_files)
+
+
+def test_deletion_rewrite_prunes_by_footer_stats(spark, sf_dir):
+    """G-DELETE-02's economics: with a subject-clustered layout, a
+    deletion batch of low-id subjects must rewrite only the file(s)
+    whose footer [min,max] can contain them — here ≤2 of 16 — and the
+    pruned rewrite must erase exactly the same rows a full rewrite
+    would."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.plans.scale import prune_files_by_stats
+    from dask_xgboost_spark.scratch import scratch_dir
+    from dask_xgboost_spark.sources import load
+
+    ev = load(spark, sf_dir, "events")
+    base = scratch_dir("gdpr2_prunetest")
+    ev.repartitionByRange(16, "user_id").write.mode("overwrite").parquet(base)
+    files = sorted(glob.glob(base + "/*.parquet"))
+    assert len(files) == 16
+
+    del_ids = sorted(
+        r["user_id"]
+        for r in ev.select("user_id").distinct().filter(F.col("user_id") < 10).collect()
+    )
+    hit, keep = prune_files_by_stats(files, "user_id", del_ids)
+    assert len(hit) <= 2, f"pruning failed: {len(hit)} of 16 files hit"
+    assert len(hit) + len(keep) == 16
+
+    # correctness of the pruning predicate: no kept file contains a
+    # deleted subject
+    leaked = (
+        spark.read.parquet(*keep)
+        .filter(F.col("user_id").isin([int(i) for i in del_ids]))
+        .count()
+    )
+    assert leaked == 0
+
+    # and the hit set really holds every to-be-erased row
+    n_in_hit = (
+        spark.read.parquet(*hit)
+        .filter(F.col("user_id").isin([int(i) for i in del_ids]))
+        .count()
+    )
+    n_total = ev.filter(F.col("user_id") < 10).count()
+    assert n_in_hit == n_total
