@@ -598,3 +598,73 @@ def l_sim_07(spark, sf):
         .select("qid", F.col("vec_id").alias("cid"), "cosine", "rnk")
         .orderBy("qid", "rnk")
     )
+
+
+_RERANK_CANDIDATES = 20
+_RERANK_K = 10
+
+
+def _l_sim_10_sql():
+    from dask_xgboost_spark.operators.text import _LEX_SQL
+
+    lex = _LEX_SQL.format(terms="'data', 'query', 'stream'")
+    return (
+        f"WITH lex AS ({lex}), "
+        "rl AS (SELECT doc_id, "
+        " ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank FROM lex), "
+        f"cand AS (SELECT doc_id, lex_rank FROM rl WHERE lex_rank <= {_RERANK_CANDIDATES}), "
+        "qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+        "sc AS (SELECT c.doc_id, c.lex_rank, "
+        f"{duck_cosine_sql('e.embedding', 'qe')} AS cosine "
+        " FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id CROSS JOIN qv), "
+        "rr AS (SELECT doc_id, lex_rank, cosine, "
+        " ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rerank FROM sc) "
+        "SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank, cosine, "
+        f"CAST(rerank AS BIGINT) AS rerank FROM rr WHERE rerank <= {_RERANK_K} "
+        "ORDER BY rerank"
+    )
+
+
+@register("L-SIM-10", sql=_l_sim_10_sql())
+def l_sim_10(spark, sf):
+    """Two-stage retrieve-then-rerank — the production RAG serving
+    shape: a cheap high-recall lexical retriever (L-SIM-08's
+    integer-exact saturating-tf scorer) narrows the corpus to a bounded
+    candidate set (top-20), then an expensive high-precision dense
+    scorer (exact cosine against the query embedding) re-orders ONLY
+    those candidates and emits the final top-10 with both ranks
+    preserved for debugging rank disagreement. In production the rerank
+    stage is a cross-encoder model call — precisely why the candidate
+    bound matters: stage-2 cost is O(candidates), never O(corpus).
+
+    Scale shape: stage 1 shuffles only postings of the query terms
+    (L-SIM-08's pushed filter); its global rank runs on the scored
+    candidate set, not the corpus. Stage 2 is a candidate-sized join
+    against the embedding table (partition-pruned when embeddings are
+    bucketed by id) plus one broadcast query vector — the corpus'
+    embeddings are never scanned in full. Cosine doubles hash-check
+    exactly (same IEEE operation order both engines, L-SIM-01
+    discipline)."""
+    from dask_xgboost_spark.operators.text import lexical_scores
+
+    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
+    cand = (
+        lexical_scores(spark, sf, ["data", "query", "stream"])
+        .withColumn("lex_rank", F.row_number().over(w_lex).cast("bigint"))
+        .filter(F.col("lex_rank") <= _RERANK_CANDIDATES)
+        .select("doc_id", "lex_rank")
+    )
+    emb = load(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = (
+        cand.join(emb, cand.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cosine", cosine_col("embedding", "qe"))
+    )
+    w_rr = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    return (
+        scored.withColumn("rerank", F.row_number().over(w_rr).cast("bigint"))
+        .filter(F.col("rerank") <= _RERANK_K)
+        .select("doc_id", "lex_rank", "cosine", "rerank")
+        .orderBy("rerank")
+    )

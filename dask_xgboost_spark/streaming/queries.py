@@ -782,3 +782,101 @@ def s_sink_04(spark, sf):
         F.lit(n_dlq).cast("bigint").alias("n_dlq"),
         F.sum("user_id").cast("bigint").alias("user_sum"),
     )
+
+
+@register(
+    "S-QUAL-01",
+    # rule thresholds chosen so violations are REAL on the fixture:
+    # 'error' is not an accepted type; values above 400 exist (max ~490);
+    # user_id NOT NULL passes — both gate outcomes exercised
+    sql="SELECT 'events.event_type accepted' AS rule, "
+    " CAST(COUNT(*) AS BIGINT) AS n_checked, "
+    " CAST(COUNT(*) FILTER (WHERE event_type IS NULL OR event_type NOT IN "
+    " ('click','view','purchase','signup')) AS BIGINT) AS n_failed "
+    "FROM events "
+    "UNION ALL "
+    "SELECT 'events.user_id NOT NULL', CAST(COUNT(*) AS BIGINT), "
+    " CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT) FROM events "
+    "UNION ALL "
+    "SELECT 'events.value IN [0,400]', CAST(COUNT(*) AS BIGINT), "
+    " CAST(COUNT(*) FILTER (WHERE value IS NULL OR value < 0 OR value > 400) AS BIGINT) "
+    "FROM events ORDER BY rule",
+    mode="stream",
+)
+def s_qual_01(spark, sf):
+    """Continuous expectation gate — Q-QUAL-03's streaming twin: every
+    micro-batch evaluates the declarative rule set (accepted values,
+    NOT NULL, numeric range) and APPENDS its per-batch
+    (batch_id, rule, n_checked, n_failed) metrics to a metrics table;
+    the report over the metrics table must equal the batch oracle over
+    the whole input, because counts are associative across batches.
+    This is how data-quality monitoring actually deploys: violations
+    surface within one trigger interval (alert on the metrics stream),
+    not at the next nightly batch audit.
+
+    Scale shape: rule evaluation is one conditional-aggregate pass over
+    each micro-batch (map-side combined, 3 output rows per batch);
+    metrics-table growth is O(batches · rules) — a retention sweep
+    compacts it in production. Nothing driver-side in the hot loop."""
+    import os
+
+    from dask_xgboost_spark.streaming.core import events_stream, run_foreach_batch
+
+    base = scratch_dir("stream_qual")
+    metrics_dir = os.path.join(base, "metrics")
+
+    stream = events_stream(spark, sf, n_files=4, max_files_per_trigger=1)
+
+    cnt_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+
+    def gate(batch_df, batch_id):
+        agg = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            cnt_if(
+                F.col("event_type").isNull()
+                | ~F.col("event_type").isin("click", "view", "purchase", "signup")
+            ).alias("type_bad"),
+            cnt_if(F.col("user_id").isNull()).alias("uid_null"),
+            cnt_if(
+                F.col("value").isNull() | (F.col("value") < 0) | (F.col("value") > 400)
+            ).alias("val_oob"),
+        )
+        (
+            agg.select(
+                F.lit(batch_id).alias("batch_id"),
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit("events.event_type accepted").alias("rule"),
+                            F.col("n").cast("bigint").alias("n_checked"),
+                            F.col("type_bad").cast("bigint").alias("n_failed"),
+                        ),
+                        F.struct(
+                            F.lit("events.user_id NOT NULL").alias("rule"),
+                            F.col("n").cast("bigint").alias("n_checked"),
+                            F.col("uid_null").cast("bigint").alias("n_failed"),
+                        ),
+                        F.struct(
+                            F.lit("events.value IN [0,400]").alias("rule"),
+                            F.col("n").cast("bigint").alias("n_checked"),
+                            F.col("val_oob").cast("bigint").alias("n_failed"),
+                        ),
+                    )
+                ).alias("m"),
+            )
+            .select("batch_id", "m.*")
+            .write.mode("append")
+            .parquet(metrics_dir)
+        )
+
+    run_foreach_batch(stream, gate, output_mode="append")
+
+    return (
+        spark.read.parquet(metrics_dir)
+        .groupBy("rule")
+        .agg(
+            F.sum("n_checked").cast("bigint").alias("n_checked"),
+            F.sum("n_failed").cast("bigint").alias("n_failed"),
+        )
+        .orderBy("rule")
+    )
