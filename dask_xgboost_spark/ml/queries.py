@@ -758,3 +758,49 @@ def m_prep_09(spark, sf):
         .select("event_type", F.col("fold").cast("bigint"), "n")
         .orderBy("event_type", "fold")
     )
+
+
+@register(
+    "M-EVAL-04",
+    sql="WITH s AS (SELECT "
+    f" {sql_cents('value')} % 100 AS score, "
+    " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events) "
+    "SELECT CAST(score // 10 AS BIGINT) AS decile, "
+    " CAST(COUNT(*) AS BIGINT) AS n, "
+    " CAST(SUM(y) AS BIGINT) AS n_pos, "
+    " CAST(SUM(score) AS BIGINT) AS score_sum, "
+    " CAST(SUM(y) AS DOUBLE) / COUNT(*) AS frac_pos, "
+    " CAST(SUM(score) AS DOUBLE) / (100.0 * COUNT(*)) AS mean_score "
+    "FROM s GROUP BY decile ORDER BY decile",
+)
+def m_eval_04(spark, sf):
+    """Calibration (reliability) table — the third leg of the eval
+    family after the PR curve (M-EVAL-01) and AUC (M-EVAL-03): bucket
+    scores into deciles and compare each bucket's MEAN PREDICTED
+    probability against its OBSERVED positive rate. A well-calibrated
+    model has frac_pos ≈ mean_score per bucket; the gap per bucket is
+    what reliability diagrams plot and what expected-calibration-error
+    sums. (Scores synthesized as cents(value) mod 100 read as
+    percentage points; label = purchase, as in M-EVAL-01/03.)
+
+    Scale shape: ONE map-side-combined aggregate over the facts to 10
+    bucket rows — counts and integer score sums are the sufficient
+    statistics, so the fact table is scanned once and nothing else
+    moves; the two ratios are single int÷int IEEE divisions,
+    hash-identical cross-engine."""
+    s = load(spark, sf, "events").select(
+        (cents("value") % 100).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    return (
+        s.groupBy(F.floor(F.col("score") / 10).cast("bigint").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum("score").cast("bigint").alias("score_sum"),
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias("frac_pos"),
+            (F.sum("score").cast("double") / (F.lit(100.0) * F.count(F.lit(1))))
+            .alias("mean_score"),
+        )
+        .orderBy("decile")
+    )

@@ -275,3 +275,77 @@ def q_geo_04(spark, sf):
         )
         .orderBy("cx", "cy")
     )
+
+
+_KNN_K = 3
+
+
+@register(
+    "Q-GEO-05",
+    # oracle: naive theta-join kNN-within-radius; the engine's 3x3 cell
+    # blocking is EXACT for dist <= R (cell size == R pigeonhole), so
+    # the outputs must match row-for-row
+    sql=f"WITH p AS (SELECT * FROM {_pts_sql(37)} c), "
+    f"q AS (SELECT * FROM {_pts_sql(101)} d), "
+    "s AS (SELECT q.id AS qid, p.id AS nid, "
+    " (q.x-p.x)*(q.x-p.x) + (q.y-p.y)*(q.y-p.y) AS dist2 "
+    " FROM q JOIN p ON q.id <> p.id "
+    f" WHERE (q.x-p.x)*(q.x-p.x) + (q.y-p.y)*(q.y-p.y) <= {_R2}), "
+    "r AS (SELECT qid, nid, dist2, "
+    " ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, nid) AS rnk FROM s) "
+    f"SELECT qid, nid, CAST(dist2 AS BIGINT) AS dist2, CAST(rnk AS BIGINT) AS rnk "
+    f"FROM r WHERE rnk <= {_KNN_K} ORDER BY qid, rnk",
+)
+def q_geo_05(spark, sf):
+    """Grid-blocked k-nearest-neighbor join (kNN within a max radius —
+    the bounded form every spatial engine serves): for each query point,
+    the k=3 nearest candidate points with dist ≤ R, exact integer
+    distances, deterministic (dist², id) tie-break. Queries with no
+    candidate in range produce no rows, matching the oracle's inner
+    semantics.
+
+    Scale shape: the same 3×3 cell-neighborhood equi-join as Q-GEO-01
+    (cell size = R makes the blocking EXACT — no candidate within R can
+    sit outside the neighborhood), then a per-query top-k window whose
+    partition key is the query id: cardinality = candidate pairs per
+    query neighborhood, never the corpus. An unbounded kNN (no radius)
+    needs iterative ring expansion for sparse queries — out of scope by
+    contract, stated rather than hidden."""
+    cand = _points(spark, sf, every=37)
+    q = _points(spark, sf, every=101)
+    a = q.select(
+        F.col("id").alias("qid"), F.col("x").alias("qx"), F.col("y").alias("qy"),
+        F.expr(f"x div {_R}").alias("cx"),
+        F.expr(f"y div {_R}").alias("cy"),
+    )
+    neighbor = F.expr("explode(array(-1, 0, 1))")
+    b = (
+        cand.select(
+            F.col("id").alias("nid"), F.col("x").alias("nx"), F.col("y").alias("ny"),
+            F.expr(f"x div {_R}").alias("bcx"),
+            F.expr(f"y div {_R}").alias("bcy"),
+        )
+        .withColumn("ddx", neighbor)
+        .withColumn("ddy", neighbor)
+        .select(
+            "nid", "nx", "ny",
+            (F.col("bcx") + F.col("ddx")).alias("cx"),
+            (F.col("bcy") + F.col("ddy")).alias("cy"),
+        )
+    )
+    dist2 = (F.col("qx") - F.col("nx")) * (F.col("qx") - F.col("nx")) + (
+        F.col("qy") - F.col("ny")
+    ) * (F.col("qy") - F.col("ny"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy("dist2", "nid")
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("dist2", dist2.cast("bigint"))
+        .filter(F.col("dist2") <= F.lit(_R2))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("qid", "nid", "dist2", "rnk")
+        .orderBy("qid", "rnk")
+    )
