@@ -27,6 +27,11 @@ SAMPLE = [
     "Q-SET-01", "Q-DATE-02", "Q-PIVOT-03", "Q-SUBQ-01", "Q-SCD-02",
     "Q-GRAPH-01", "Q-GEO-01", "Q-TS-04", "L-DEDUP-01", "L-TEXT-19",
     "L-MIX-01", "M-PREP-08", "Q-QUAL-02",
+    # round-5 additions: bloom join, AUC buckets, ledger dedup,
+    # k-anonymity window, expectation suite, stratified folds,
+    # pruned GDPR rewrite, rerank, calibration, kNN
+    "Q-JOIN-13", "M-EVAL-03", "L-DEDUP-12", "G-MASK-01", "Q-QUAL-03",
+    "M-PREP-09", "G-DELETE-02", "L-SIM-10", "M-EVAL-04", "Q-GEO-05",
 ]
 
 
