@@ -28,6 +28,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "warehouse_ops.py",
         "python_extensions.py",
         "geo_analytics.py",
+        "governance_gates.py",
     ],
 )
 def test_example_runs(script):
