@@ -1840,3 +1840,56 @@ def q_join_13(spark, sf):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "Q-AGG-24",
+    # deterministic mode: highest count wins, LOWEST value breaks ties —
+    # both engines state the tie-break explicitly (Spark's built-in
+    # mode() and DuckDB's mode() are both tie-nondeterministic)
+    sql="WITH c AS (SELECT user_id, event_type, COUNT(*) AS n "
+    " FROM events GROUP BY user_id, event_type), "
+    "r AS (SELECT user_id, event_type, n, "
+    " ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk "
+    " FROM c) "
+    "SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n "
+    "FROM r WHERE rk = 1 ORDER BY user_id",
+)
+def q_agg_24(spark, sf):
+    """Exact grouped MODE (most frequent value per key) with a stated
+    tie-break — per user, the event type they perform most, lowest
+    type name winning ties. Both engines' built-in ``mode()`` leave
+    ties engine-defined, so a reproducible pipeline must state the
+    rule; this formulation (count rollup → max_by on the (n, value)
+    ordering) makes it part of the contract.
+
+    Scale shape: the only fact-sized shuffle is the (key, value) count
+    rollup, map-side combined; the winner pick is ``max_by`` over the
+    ALREADY-AGGREGATED (key, value, n) table — a second, much smaller
+    aggregate, not a window over facts. The struct ordering encodes
+    (n DESC, value ASC) via negated count, keeping the whole pick one
+    associative aggregate that AQE can split on skewed keys."""
+    c = (
+        load(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # max_by with an ordering struct: greatest (n, reversed(event_type));
+    # string reversal for ASC-on-ties has no clean encoding, so use
+    # min_by on (-n, event_type) — lexicographic struct comparison gives
+    # highest n first, then lowest type
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("event_type").alias("modal_type"), F.col("n")),
+                F.struct((-F.col("n")).alias("neg"), F.col("event_type")),
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.modal_type").alias("modal_type"),
+            F.col("m.n").cast("bigint").alias("n"),
+        )
+        .orderBy("user_id")
+    )

@@ -468,3 +468,45 @@ def q_win_14(spark, sf):
         .select("o_custkey", "o_orderkey", "price_c", "rk")
         .orderBy("o_custkey", "rk")
     )
+
+
+@register(
+    "Q-WIN-15",
+    sql="WITH s AS (SELECT user_id, event_type, "
+    " LEAD(event_type, 1) OVER w AS nxt1, LEAD(event_type, 2) OVER w AS nxt2 "
+    f"FROM {EVENTS_US} e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT user_id, CAST(COUNT(*) FILTER (WHERE event_type = 'view' "
+    " AND (nxt1 = 'purchase' OR nxt2 = 'purchase')) AS BIGINT) AS n_hits "
+    "FROM s GROUP BY user_id HAVING n_hits > 0 ORDER BY user_id",
+)
+def q_win_15(spark, sf):
+    """Event-sequence pattern detection (the MATCH_RECOGNIZE-lite
+    shape): per user, count positions where a 'view' is followed by a
+    'purchase' within the next two events — adjacency-bounded patterns
+    ("A then B within n steps") compile to LEAD columns + a predicate,
+    no regex engine needed. Complements Q-FUNNEL-01, which orders steps
+    by TIME WINDOW; this matches on SEQUENCE POSITION, the
+    browse-to-buy micro-conversion shape.
+
+    Scale shape: one shuffle on user_id; both LEAD columns share the
+    same Window operator (single sort, two frame reads), and the rollup
+    reuses that partitioning — Catalyst collapses it into the same
+    exchange. Bounded lookahead keeps state O(n) per key; an unbounded
+    'eventually followed by' is a running flag (Q-WIN-12's conditional
+    running aggregate shape) instead."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = load(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    hit = (F.col("event_type") == "view") & (
+        (F.col("nxt1") == "purchase") | (F.col("nxt2") == "purchase")
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+        .orderBy("user_id")
+    )
