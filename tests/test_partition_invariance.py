@@ -32,6 +32,7 @@ SAMPLE = [
     # pruned GDPR rewrite, rerank, calibration, kNN
     "Q-JOIN-13", "M-EVAL-03", "L-DEDUP-12", "G-MASK-01", "Q-QUAL-03",
     "M-PREP-09", "G-DELETE-02", "L-SIM-10", "M-EVAL-04", "Q-GEO-05",
+    "Q-AGG-24", "Q-WIN-15",
 ]
 
 
