@@ -979,3 +979,54 @@ def q_json_04(spark, sf):
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "Q-DATE-08",
+    # day-of-week derived from EPOCH DAYS, not the engines' dayofweek()
+    # (DuckDB numbers Sunday=0, Spark Sunday=1 — a classic cross-engine
+    # trap): 1970-01-01 was a Thursday, so (epoch_day + 4) % 7 gives
+    # 0=Sunday..6=Saturday identically everywhere integers work
+    sql="WITH d AS (SELECT o_orderkey, o_orderdate, "
+    " (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS ed "
+    " FROM orders), "
+    "w AS (SELECT o_orderkey, o_orderdate, ed, (ed + 4) % 7 AS dow FROM d) "
+    "SELECT o_orderkey, CAST(dow AS BIGINT) AS dow, "
+    " dow IN (0, 6) AS is_weekend, "
+    " CAST(o_orderdate AS DATE) + CAST(CASE WHEN dow = 6 THEN 2 "
+    "   WHEN dow = 0 THEN 1 ELSE 0 END AS INTEGER) AS next_bday "
+    "FROM w ORDER BY o_orderkey",
+)
+def q_date_08(spark, sf):
+    """Business-day calendar arithmetic: weekend flag and
+    next-business-day shift per order — the SLA/settlement-date shape
+    every warehouse needs. Day-of-week is derived from EPOCH DAYS
+    ((days-since-1970 + 4) mod 7, anchored on 1970-01-01 = Thursday)
+    instead of the engines' dayofweek() functions, whose numbering
+    conventions disagree (DuckDB Sunday=0, Spark Sunday=1) — integer
+    arithmetic on epoch days is the only cross-engine-stable calendar
+    primitive, and the oracle states the same formula.
+
+    Scale shape: map-only expressions on a date column, no shuffle; a
+    holiday calendar joins in as a broadcast dimension when the rule
+    set grows beyond weekends."""
+    d = load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("ed"),
+    )
+    dow = F.pmod(F.col("ed") + 4, F.lit(7))
+    shift = (
+        F.when(dow == 6, 2).when(dow == 0, 1).otherwise(0)
+    )
+    return (
+        d.withColumn("dow", dow.cast("bigint"))
+        .select(
+            "o_orderkey",
+            "dow",
+            F.col("dow").isin(0, 6).alias("is_weekend"),
+            F.date_add(F.col("o_orderdate").cast("date"), shift).alias("next_bday"),
+        )
+        .orderBy("o_orderkey")
+    )
