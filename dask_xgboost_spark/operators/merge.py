@@ -761,3 +761,97 @@ def g_delete_02(spark, sf):
         .withColumn("n_erased", F.lit(n_erased).cast("bigint"))
         .orderBy("event_type")
     )
+
+
+def expire_snapshots(base: str, keep_last: int) -> tuple[list[int], list[int]]:
+    """Retention sweep (the VACUUM / expire_snapshots shape): drop every
+    snapshot directory except the newest ``keep_last``, manifest updated
+    FIRST so a concurrent reader resolving through it can never reach a
+    directory mid-delete (the inverse of write_snapshot's data-first
+    commit order). Returns (expired, retained) version lists."""
+    import json
+    import os
+    import shutil
+
+    path = f"{base}/_manifest.json"
+    with open(path) as fh:
+        manifest = json.load(fh)
+    versions = sorted(manifest["versions"])
+    retained = versions[-keep_last:]
+    expired = [v for v in versions if v not in retained]
+    manifest["versions"] = retained
+    manifest["current"] = max(retained)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, path)
+    for v in expired:
+        shutil.rmtree(f"{base}/v={v}", ignore_errors=True)
+    return expired, retained
+
+
+@register(
+    "G-SNAP-02",
+    # final state ≡ v4 = orders with keys %3==0 dropped and remaining
+    # values tripled across the three deltas (x2 at v2 for %2==0 keys
+    # is then overwritten by v3's flat reload — see the op body)
+    sql="SELECT CAST(2 AS BIGINT) AS n_expired, CAST(2 AS BIGINT) AS n_retained, "
+    "CAST(COUNT(*) AS BIGINT) AS current_n, "
+    "CAST(SUM(CASE WHEN o_orderkey % 3 <> 0 THEN 3 * o_orderkey END) AS BIGINT) "
+    " AS current_val_sum "
+    "FROM orders WHERE o_orderkey % 3 <> 0",
+)
+def g_snap_02(spark, sf):
+    """Snapshot retention / expiry (the VACUUM shape completing
+    G-SNAP-01's time travel): four snapshot versions accumulate, the
+    retention sweep keeps the newest two, and the check proves all
+    three contracts at once — expired directories are PHYSICALLY gone,
+    the manifest no longer lists them, and the current-version read is
+    byte-identical to before the sweep (the oracle recomputes the
+    expected final state from the base table).
+
+    Order of operations is the safety story: the manifest shrinks
+    FIRST, directories delete AFTER — a reader resolving through the
+    manifest can never reach a half-deleted version (mirror-image of
+    write_snapshot's data-first commit).
+
+    Scale shape: expiry is O(expired files) storage work and one tiny
+    manifest swap; nothing scans data. With a table format this is
+    exactly expire_snapshots/VACUUM with a retention window."""
+    import glob
+    import os
+
+    base = scratch_dir("snap_retention")
+    keys = load(spark, sf, "orders").select("o_orderkey", F.col("o_orderkey").alias("val"))
+    write_snapshot(keys, base, 1)
+    write_snapshot(
+        keys.withColumn(
+            "val", F.when(F.col("o_orderkey") % 2 == 0, 2 * F.col("val")).otherwise(F.col("val"))
+        ),
+        base,
+        2,
+    )
+    write_snapshot(keys.withColumn("val", 3 * F.col("o_orderkey")), base, 3)
+    write_snapshot(
+        keys.filter(F.col("o_orderkey") % 3 != 0).withColumn("val", 3 * F.col("o_orderkey")),
+        base,
+        4,
+    )
+
+    before = read_snapshot(spark, base).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("val").alias("s")
+    ).first()
+    expired, retained = expire_snapshots(base, keep_last=2)
+    gone = [v for v in expired if os.path.exists(f"{base}/v={v}")]
+    assert not gone, f"expired versions still on disk: {gone}"
+    assert sorted(glob.glob(base + "/v=*")) == [f"{base}/v={v}" for v in retained]
+
+    cur = read_snapshot(spark, base)
+    after = cur.agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s")).first()
+    assert (before["n"], before["s"]) == (after["n"], after["s"])
+    return cur.agg(
+        F.lit(len(expired)).cast("bigint").alias("n_expired"),
+        F.lit(len(retained)).cast("bigint").alias("n_retained"),
+        F.count(F.lit(1)).cast("bigint").alias("current_n"),
+        F.sum("val").cast("bigint").alias("current_val_sum"),
+    )
