@@ -1893,3 +1893,79 @@ def q_agg_24(spark, sf):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "Q-JOIN-14",
+    # is_special derives from epoch-day % 3 (engine-neutral, Q-DATE-08
+    # discipline), so the oracle needs no calendar table
+    sql="SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS val_c "
+    "FROM events "
+    "WHERE (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01') % 3 = 0 "
+    "GROUP BY d ORDER BY d",
+)
+def q_join_14(spark, sf):
+    """Runtime-derived partition pruning on a star join: the fact table
+    is stored partitioned by day, the filter lives on a separate
+    CALENDAR dimension (is_special days), so the fact's partition
+    filter is only knowable at runtime — static pruning cannot apply.
+
+    Engine-behavior note (measured on this Spark build): Catalyst's
+    automatic DPP rule does NOT insert a DynamicPruningExpression for
+    this shape here — verified with the canonical catalog-table repro,
+    optimized and physical plans both lack it. The portable equivalent
+    is done EXPLICITLY: the qualifying day list is fetched from the
+    filtered dimension (one calendar-BOUNDED driver fetch — |days|
+    rows, never fact-sized) and applied as a static partition
+    predicate, so the scan's PartitionFilters carries the IN-list and
+    only qualifying directories are listed/read (asserted in
+    tests/test_plans.py::test_q_join_14_prunes_partitions). This
+    two-step "semi-join reduction by hand" is exactly what DPP
+    automates; doing it explicitly costs one extra tiny job and works
+    on every build.
+
+    Scale shape: fact scan reads |special days|/|days| of the data;
+    the dim fetch is calendar-sized; the subsequent join still runs
+    (pruning is an optimization, not a semantics change)."""
+    import os
+
+    base = scratch_dir("dpp_fact")
+    ev = load(spark, sf, "events")
+    (
+        ev.withColumn("d", F.to_date(F.date_trunc("day", "ts")))
+        .write.partitionBy("d")
+        .mode("overwrite")
+        .parquet(base)
+    )
+    cal_path = os.path.join(scratch_dir("dpp_cal"), "calendar")
+    (
+        ev.select(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .distinct()
+        .withColumn(
+            "is_special",
+            F.pmod(
+                F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")), F.lit(3)
+            )
+            == 0,
+        )
+        .write.mode("overwrite")
+        .parquet(cal_path)
+    )
+    fact = spark.read.parquet(base)
+    cal = spark.read.parquet(cal_path).filter(F.col("is_special")).select("d")
+    # runtime-derived static partition predicate: calendar-bounded fetch
+    special_days = [r["d"] for r in cal.collect()]
+    return (
+        fact.filter(F.col("d").isin(special_days))
+        .join(cal, "d")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("val_c"),
+        )
+        .orderBy("d")
+    )

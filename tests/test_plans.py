@@ -438,3 +438,22 @@ def test_global_window_lint_ignores_partitioned_window_with_global_agg(spark, sf
     total = o.agg(F.count(F.lit(1)).alias("n_total"))
     j = w.crossJoin(F.broadcast(total))
     assert "GLOBAL_WINDOW" not in {f.code for f in lint_plan(j)}
+
+
+def test_q_join_14_prunes_partitions(spark, sf_dir):
+    """Q-JOIN-14's runtime-derived partition predicate must reach the
+    fact scan as a real PartitionFilters IN-list (not just isnotnull),
+    so only qualifying day directories are read. Also pins the
+    engine-behavior finding the op documents: this build's Catalyst
+    does not insert DynamicPruningExpression for the dim-filtered
+    star-join shape, which is why the explicit two-step exists."""
+    import re
+
+    from dask_xgboost_spark.plans.lint import _formatted_plan
+
+    df = SPECS["Q-JOIN-14"].fn(spark, sf_dir)
+    plan = _formatted_plan(df)
+    part_lines = [l for l in plan.split("\n") if "PartitionFilters" in l]
+    assert part_lines, "expected a partitioned fact scan"
+    pruned = [l for l in part_lines if re.search(r"\bd\S* IN \(", l)]
+    assert pruned, f"partition IN-list missing from scan: {part_lines}"
