@@ -312,6 +312,48 @@ def main() -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
+    # bloom semi-join reduction lever (Q-JOIN-13's mechanism): shuffled
+    # fact⋈dim join with and without the DIY bloom pre-filter, broadcast
+    # disabled so the shuffle is real. Reports the fact-side selectivity
+    # the 8 KB filter buys and both steady-state wall-clocks. NOTE the
+    # timed plan embeds the already-built filter literal — the one-off
+    # O(dim) build job (runs once per query compile) is excluded, the
+    # same accounting as the cached dims; at toy SF that build dominates,
+    # at scale it amortizes and the per-shuffled-byte saving is the point.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    orders_all = load(spark, sf_dir, "orders")
+    bl_keys = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    plain_bl = (
+        orders_all.join(bl_keys.hint("shuffle_hash"),
+                        orders_all.o_custkey == bl_keys.c_custkey)
+        .groupBy("o_orderpriority").count()
+    )
+    bloom_df = specs["Q-JOIN-13"].fn(spark, sf_dir)
+    plain_bl.toPandas()
+    bloom_df.toPandas()
+    from dask_xgboost_spark.operators.relational import (
+        _BLOOM_M_BITS as _bm, _BLOOM_SEEDS as _bs,
+    )
+    n_orders = orders_all.count()
+    n_match = orders_all.join(
+        F.broadcast(bl_keys), orders_all.o_custkey == bl_keys.c_custkey, "left_semi"
+    ).count()
+    bloom_lever = {
+        "plain_shuffle_join": round(_timed_full(plain_bl, runs=3), 4),
+        "bloom_prefiltered_join": round(_timed_full(bloom_df, runs=3), 4),
+        "fact_rows": n_orders,
+        "fact_rows_matching": n_match,
+        "prefilter_keeps_fraction": round(n_match / max(n_orders, 1), 4),
+        "filter_bits": _bm,
+        "hashes": len(_bs),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.catalog.clearCache()
+
     # full TPC-H sweep: all 22 shapes (Q1 ≡ Q-AGG-01), prepared-plan
     # execution vs DuckDB in the same run — the suite-level ratio is the
     # honest summary of relational-engine throughput at this SF
@@ -538,6 +580,7 @@ def main() -> None:
                 "scan_floor_lineitem_sec": scan_floor,
                 "join_strategy_q_join_02": join_strategies,
                 "skew_join_hot_key": skew,
+                "bloom_semi_join_reduction": bloom_lever,
                 "tpch_suite": tpch_spark,
                 "tpch_suite_total": round(sum(tpch_spark.values()), 4),
                 "tpch_suite_duckdb": tpch_duck,
