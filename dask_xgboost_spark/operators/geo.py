@@ -349,3 +349,89 @@ def q_geo_05(spark, sf):
         .select("qid", "nid", "dist2", "rnk")
         .orderBy("qid", "rnk")
     )
+
+
+_TRAJ_CELL = 10000   # coarse signature grid (10x10 over the 100k plane)
+_TRAJ_TOP = 10
+
+
+@register(
+    "Q-GEO-06",
+    # query trajectory = user 0; candidates = every other user sharing
+    # >= 1 signature cell. Jaccard carried as exact ints (inter, uni)
+    # plus the one-division double.
+    sql=f"WITH pts AS (SELECT user_id, ({_X_EXPR}) // {_TRAJ_CELL} AS cx, "
+    f" ({_Y_EXPR}) // {_TRAJ_CELL} AS cy FROM events), "
+    "cells AS (SELECT DISTINCT user_id, cx, cy FROM pts), "
+    "q AS (SELECT cx, cy FROM cells WHERE user_id = 0), "
+    "qn AS (SELECT COUNT(*) AS nq FROM q), "
+    "sizes AS (SELECT user_id, COUNT(*) AS nc FROM cells GROUP BY user_id), "
+    "inter AS (SELECT c.user_id, COUNT(*) AS ni FROM cells c JOIN q "
+    " ON c.cx = q.cx AND c.cy = q.cy WHERE c.user_id <> 0 GROUP BY c.user_id), "
+    "scored AS (SELECT i.user_id, i.ni AS inter_cells, "
+    " s.nc + qn.nq - i.ni AS union_cells, "
+    " CAST(i.ni AS DOUBLE) / (s.nc + qn.nq - i.ni) AS jac "
+    " FROM inter i JOIN sizes s ON s.user_id = i.user_id CROSS JOIN qn), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY jac DESC, user_id) AS rnk "
+    " FROM scored) "
+    "SELECT user_id, CAST(inter_cells AS BIGINT) AS inter_cells, "
+    " CAST(union_cells AS BIGINT) AS union_cells, jac, CAST(rnk AS BIGINT) AS rnk "
+    f"FROM r WHERE rnk <= {_TRAJ_TOP} ORDER BY rnk",
+)
+def q_geo_06(spark, sf):
+    """Trajectory similarity search via grid-cell signatures (the
+    cell-set Jaccard family of REPOSE/DITA-style distributed trajectory
+    search): each entity's trajectory collapses to the SET of coarse
+    grid cells it visits, similarity = Jaccard of cell sets, and the
+    query ranks every entity sharing ≥ 1 cell with the query entity's
+    signature. Cell signatures are the standard pre-filter for
+    expensive curve distances (Fréchet/DTW re-score the survivors in
+    production; here the signature IS the ranking, integer-exact and
+    hash-checkable).
+
+    Scale shape: signatures are bounded (≤ grid² cells per entity,
+    here ≤ 100) so the cells table is entity-cardinality; the query's
+    signature is a broadcast-sized set and candidates come from a
+    POSTING-LIST join on shared cells — work tracks entities that
+    overlap the query's cells, never all entities, and never all
+    pairs. The same shape answers entity-to-entity bulk search by
+    replacing the query set with a second posting join (L-DEDUP-03's
+    discipline)."""
+    from pyspark.sql import Window
+
+    pts = load(spark, sf, "events").select(
+        "user_id",
+        (F.expr(_X_EXPR) / _TRAJ_CELL).cast("long").alias("cx"),
+        (F.expr(_Y_EXPR) / _TRAJ_CELL).cast("long").alias("cy"),
+    )
+    cells = pts.distinct()
+    q = cells.filter(F.col("user_id") == 0).select("cx", "cy")
+    qn = q.agg(F.count(F.lit(1)).alias("nq"))
+    sizes = cells.groupBy("user_id").agg(F.count(F.lit(1)).alias("nc"))
+    inter = (
+        cells.filter(F.col("user_id") != 0)
+        .join(F.broadcast(q), ["cx", "cy"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("inter_cells"))
+    )
+    scored = (
+        inter.join(sizes, "user_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "user_id",
+            F.col("inter_cells").cast("bigint").alias("inter_cells"),
+            (F.col("nc") + F.col("nq") - F.col("inter_cells"))
+            .cast("bigint")
+            .alias("union_cells"),
+            (
+                F.col("inter_cells").cast("double")
+                / (F.col("nc") + F.col("nq") - F.col("inter_cells"))
+            ).alias("jac"),
+        )
+    )
+    w = Window.orderBy(F.col("jac").desc(), "user_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TRAJ_TOP)
+        .orderBy("rnk")
+    )

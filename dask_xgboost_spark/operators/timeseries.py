@@ -357,3 +357,76 @@ def q_ts_04(spark, sf):
         )
         .orderBy("bucket")
     )
+
+
+_PROFILE_TOP = 10
+
+
+@register(
+    "Q-TS-05",
+    # 24-dim hour-of-day activity profile in exact cents; squared
+    # Euclidean distance to user 0's profile stays int64 (≤ ~6e10 at
+    # fixture magnitudes; the DECIMAL carrier is the documented upgrade
+    # path if per-cell sums approach 2^31.5 cents)
+    sql="WITH hours AS (SELECT unnest(range(0, 24)) AS h), "
+    f"prof AS (SELECT user_id, EXTRACT(hour FROM ts) AS h, "
+    f" SUM({sql_cents('value')}) AS v FROM {EVENTS_US} e GROUP BY user_id, h), "
+    "users AS (SELECT DISTINCT user_id FROM events), "
+    "dense AS (SELECT u.user_id, hours.h, COALESCE(p.v, 0) AS v "
+    " FROM users u CROSS JOIN hours "
+    " LEFT JOIN prof p ON p.user_id = u.user_id AND p.h = hours.h), "
+    "q AS (SELECT h, v AS qv FROM dense WHERE user_id = 0), "
+    "d AS (SELECT dense.user_id, SUM((v - qv) * (v - qv)) AS dist2 "
+    " FROM dense JOIN q USING (h) WHERE user_id <> 0 GROUP BY dense.user_id), "
+    "r AS (SELECT user_id, dist2, "
+    " ROW_NUMBER() OVER (ORDER BY dist2, user_id) AS rnk FROM d) "
+    "SELECT user_id, CAST(dist2 AS BIGINT) AS dist2, CAST(rnk AS BIGINT) AS rnk "
+    f"FROM r WHERE rnk <= {_PROFILE_TOP} ORDER BY rnk",
+)
+def q_ts_05(spark, sf):
+    """Time-series similarity search over behavioral profiles: each
+    entity's event series collapses to a 24-dim hour-of-day activity
+    vector (exact cents per hour, missing hours = 0), and the query
+    ranks entities by squared Euclidean distance to the query entity's
+    profile — the series-to-vector featurization that makes
+    distributed time-series search tractable (the same reduction the
+    data-series search literature applies before any exact
+    re-scoring; L-SIM-01..07 then serve the vector stage at scale).
+
+    Scale shape: the profile build is one map-combined aggregate to a
+    (entities × 24)-row feature matrix — the standard feature-matrix
+    size, linear in entities; the query profile is a broadcast-sized
+    24-row set, so distance is a map-side join + per-entity aggregate.
+    No pairwise work: bulk all-vs-all search swaps the broadcast for
+    an LSH/IVF stage over the same vectors."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load(spark, sf, "events")
+    prof = ev.groupBy(
+        "user_id", F.hour("ts").alias("h")
+    ).agg(F.sum(cents("value")).alias("v"))
+    users = ev.select("user_id").distinct()
+    hours = load(spark, sf, "events").sparkSession.range(24).select(
+        F.col("id").cast("int").alias("h")
+    )
+    dense = (
+        users.crossJoin(F.broadcast(hours))
+        .join(prof, ["user_id", "h"], "left")
+        .select("user_id", "h", F.coalesce("v", F.lit(0)).alias("v"))
+    )
+    q = dense.filter(F.col("user_id") == 0).select("h", F.col("v").alias("qv"))
+    d = (
+        dense.filter(F.col("user_id") != 0)
+        .join(F.broadcast(q), "h")
+        .groupBy("user_id")
+        .agg(F.sum((F.col("v") - F.col("qv")) * (F.col("v") - F.col("qv"))).alias("dist2"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("dist2", "user_id")
+    return (
+        d.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _PROFILE_TOP)
+        .select("user_id", F.col("dist2").cast("bigint").alias("dist2"), "rnk")
+        .orderBy("rnk")
+    )
