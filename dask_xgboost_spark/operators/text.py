@@ -284,7 +284,6 @@ def l_pipe_02(spark, sf):
     counts, id checksum, and token totals computed from the ORIGINAL
     table proves content fidelity through the JSON encode/decode."""
     import shutil
-    import tempfile
 
     out_dir = scratch_dir("jsonl_shard")
     docs = load(spark, sf, "documents").filter(F.col("lang").isin("en", "de", "es"))

@@ -289,7 +289,6 @@ def s_sink_02(spark, sf):
     ≡ the batch per-user aggregate (oracle)."""
     import os
     import shutil
-    import tempfile
 
     base = scratch_dir("stream_fb")
     state = {"last": 0}
@@ -365,7 +364,6 @@ def s_gen_01(spark, sf):
     This is the streaming twin of G-GEN-01 (synthetic sources): derived
     key + grouped count/sum over generated rows."""
     import shutil
-    import tempfile
     import uuid
 
     src = (
@@ -412,7 +410,6 @@ def s_gen_02(spark, sf):
     with ``processAllAvailable`` (the cap makes the stream idle), final
     grouped state ≡ the batch oracle over range(1000)."""
     import shutil
-    import tempfile
     import uuid
 
     from dask_xgboost_spark.sources.pydatasource import register_python_sources
@@ -736,7 +733,6 @@ def s_sink_04(spark, sf):
     line, so a fixed parser replays the DLQ directory through the same
     pipeline."""
     import os
-    import tempfile
 
     base = scratch_dir("stream_dlq")
     raw_dir, good_dir, dlq_dir = (os.path.join(base, d) for d in ("raw", "good", "dlq"))
