@@ -315,3 +315,111 @@ def l_mm_05(spark, sf):
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .orderBy("d1", "d2")
     )
+
+
+_SHARD_BUDGET = 20000.0
+
+
+@register(
+    "L-MM-06",
+    # every selected payload must round-trip through the byte-range
+    # read: ok is COMPUTED by re-reading (shard, offset, length) and
+    # comparing md5 — a seek/offset bug yields ok=false and the hash
+    # check fails against the oracle's constructed TRUE
+    sql="SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+    "md5(text) AS content_md5, TRUE AS ok "
+    "FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id",
+)
+def l_mm_06(spark, sf):
+    """Shard-blob packing with a byte-range manifest — the WebDataset /
+    tar-index shape multimodal training loaders actually consume:
+    payloads concatenate into ~20 KB shard blobs (L-MM-03's byte-budget
+    assignment) while a MANIFEST table records (doc_id, shard, offset,
+    length, md5); any payload is then retrievable by ONE ranged read,
+    no scan, no per-payload files. The check is the real thing: a
+    sampled set of manifest rows is re-read by seek(offset)+read(length)
+    inside an Arrow-batched task and md5-verified against the source
+    table — the oracle's constructed TRUE column fails the hash if any
+    byte range is wrong.
+
+    Scale shape: shard/offset assignment is running-window arithmetic
+    (per date-partition at 100 TB, as L-MM-03 documents); blob writing
+    is one task per shard appending sequentially; retrieval cost is
+    O(selected payloads) ranged reads against shared storage (S3 range
+    GETs in production — local files here, the addressing math is
+    identical)."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from dask_xgboost_spark.scratch import scratch_dir
+    from pyspark.sql import Window
+
+    blob_dir = scratch_dir("mm_shard_blobs")
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nbytes = F.octet_length("payload").cast("bigint")
+    assigned = docs.withColumn("n_bytes", nbytes).withColumn(
+        "shard",
+        F.floor((F.sum("n_bytes").over(w) - F.col("n_bytes")) / F.lit(_SHARD_BUDGET))
+        .cast("bigint"),
+    )
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard"].iloc[0])
+        path = os.path.join(blob_dir, f"shard-{shard:05d}.bin")
+        rows = []
+        off = 0
+        with open(path, "wb") as fh:
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                fh.write(payload)
+                rows.append(
+                    (
+                        int(r["doc_id"]),
+                        shard,
+                        off,
+                        len(payload),
+                        hashlib.md5(payload).hexdigest(),
+                    )
+                )
+                off += len(payload)
+        return pd.DataFrame(
+            rows, columns=["doc_id", "shard", "offset", "length", "content_md5"]
+        )
+
+    manifest = assigned.groupBy("shard").applyInPandas(
+        write_shard,
+        "doc_id bigint, shard bigint, offset bigint, length bigint, content_md5 string",
+    )
+    # materialize the manifest (and the blob side-effect) before readers
+    manifest = manifest.localCheckpoint()
+
+    sampled = manifest.filter(F.col("doc_id") % 97 == 0)
+
+    def ranged_read(iterator):
+        for pdf in iterator:
+            oks, lens = [], []
+            for _, r in pdf.iterrows():
+                path = os.path.join(blob_dir, f"shard-{int(r['shard']):05d}.bin")
+                with open(path, "rb") as fh:
+                    fh.seek(int(r["offset"]))
+                    payload = fh.read(int(r["length"]))
+                oks.append(hashlib.md5(payload).hexdigest() == r["content_md5"])
+                lens.append(len(payload))
+            out = pdf[["doc_id", "content_md5"]].copy()
+            out["n_bytes"] = lens
+            out["ok"] = oks
+            yield out[["doc_id", "n_bytes", "content_md5", "ok"]]
+
+    return (
+        sampled.mapInPandas(
+            ranged_read, "doc_id bigint, n_bytes bigint, content_md5 string, ok boolean"
+        )
+        .orderBy("doc_id")
+    )
