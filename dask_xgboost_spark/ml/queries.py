@@ -804,3 +804,90 @@ def m_eval_04(spark, sf):
         )
         .orderBy("decile")
     )
+
+
+_LEAK_THRESHOLD = 0.8
+_LEAK_FEATURES = (
+    # (name, engine-neutral integer expression) — 'leak' is the PLANTED
+    # target copy that must be flagged; hour/uid_mod are honest features
+    ("leak", "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"),
+    ("hour", "EXTRACT(hour FROM ts)"),
+    ("uid_mod", "user_id % 7"),
+)
+
+
+def _leak_sql():
+    parts = []
+    for name, expr in _LEAK_FEATURES:
+        parts.append(
+            "SELECT "
+            f"'{name}' AS feature, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST((COUNT(*) * CAST(SUM(x * y) AS BIGINT) "
+            f" - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT)) AS DOUBLE) / "
+            f"(SQRT(CAST(COUNT(*) * CAST(SUM(x * x) AS BIGINT) "
+            f"  - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT) AS DOUBLE)) * "
+            f" SQRT(CAST(COUNT(*) * CAST(SUM(y * y) AS BIGINT) "
+            f"  - CAST(SUM(y) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS DOUBLE))) AS corr "
+            f"FROM (SELECT CAST({expr} AS BIGINT) AS x, "
+            " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+            f" FROM {{events}} e) t"
+        )
+    union = " UNION ALL ".join(parts)
+    return (
+        f"SELECT feature, n, corr, ABS(corr) > {_LEAK_THRESHOLD} AS leaky "
+        f"FROM ({union}) u ORDER BY feature"
+    )
+
+
+@register("M-PREP-10", sql=_leak_sql().format(events="events"))
+def m_prep_10(spark, sf):
+    """Target-leakage detector — the pre-training gate that catches a
+    feature which IS the label in disguise (joined-in post-outcome
+    columns, target-derived aggregates): per feature, exact-moment
+    Pearson correlation against the label (Q-AGG-16's five int64 moment
+    sums — order-independent, map-side combinable, closed form
+    evaluated once on exact values), flagged when |corr| exceeds the
+    threshold. The planted 'leak' feature (a copy of the label) must
+    flag at corr = 1.0; honest features (hour, uid_mod) must not.
+
+    Scale shape: ONE pass over the facts computes all features' moment
+    sums (a handful of int64 cells per feature), so the gate costs one
+    map-combined aggregate regardless of fact size; the per-feature
+    report is O(features). Categorical features enter via their
+    integer codes (M-PREP-03/05); for high-cardinality keys use the
+    per-category target-rate variance instead (M-PREP-08's machinery)."""
+    ev = load(spark, sf, "events")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0).cast("bigint")
+    feats = {
+        "leak": F.when(F.col("event_type") == "purchase", 1).otherwise(0).cast("bigint"),
+        "hour": F.hour("ts").cast("bigint"),
+        "uid_mod": F.pmod(F.col("user_id"), F.lit(7)).cast("bigint"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(y).alias("sy"), F.sum(y * y).alias("syy")]
+    for name, x in feats.items():
+        aggs += [
+            F.sum(x).alias(f"sx_{name}"),
+            F.sum(x * y).alias(f"sxy_{name}"),
+            F.sum(x * x).alias(f"sxx_{name}"),
+        ]
+    m = ev.agg(*aggs)
+
+    def corr_row(name):
+        n, sy, syy = F.col("n"), F.col("sy"), F.col("syy")
+        sx, sxy, sxx = (F.col(f"{c}_{name}") for c in ("sx", "sxy", "sxx"))
+        corr = (n * sxy - sx * sy).cast("double") / (
+            F.sqrt((n * sxx - sx * sx).cast("double"))
+            * F.sqrt((n * syy - sy * sy).cast("double"))
+        )
+        return F.struct(
+            F.lit(name).alias("feature"),
+            n.cast("bigint").alias("n"),
+            corr.alias("corr"),
+        )
+
+    return (
+        m.select(F.explode(F.array(*[corr_row(f) for f in feats])).alias("r"))
+        .select("r.*")
+        .withColumn("leaky", F.abs(F.col("corr")) > _LEAK_THRESHOLD)
+        .orderBy("feature")
+    )
