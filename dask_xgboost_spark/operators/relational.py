@@ -1969,3 +1969,69 @@ def q_join_14(spark, sf):
         )
         .orderBy("d")
     )
+
+
+@register(
+    "Q-AGG-25",
+    # weighted median, lower-median convention: smallest value whose
+    # cumulative weight reaches half the total — integer weights and
+    # cents values make the pick exact; ties on value are pre-merged by
+    # the (group, value) rollup so ordering is total
+    sql="WITH g AS (SELECT l_returnflag AS grp, "
+    " CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v, "
+    " CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w "
+    " FROM lineitem GROUP BY grp, v), "
+    "c AS (SELECT grp, v, w, "
+    " CAST(SUM(w) OVER (PARTITION BY grp ORDER BY v "
+    "   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw, "
+    " CAST(SUM(w) OVER (PARTITION BY grp) AS BIGINT) AS tw FROM g) "
+    "SELECT grp, CAST(MIN(v) AS BIGINT) AS wmedian_c, "
+    " CAST(MAX(tw) AS BIGINT) AS total_w "
+    "FROM c WHERE 2 * cw >= tw GROUP BY grp ORDER BY grp",
+)
+def q_agg_25(spark, sf):
+    """Exact grouped WEIGHTED median (quantity-weighted price): the
+    smallest value whose cumulative weight reaches half the group's
+    total — the robust central-price statistic unweighted median
+    (Q-AGG-18) can't express when rows carry multiplicities. No engine
+    has a built-in weighted median; the relational form is
+    engine-neutral and exact with integer weights + cents values.
+
+    Scale shape: the fact table collapses FIRST to (group, value)
+    weight sums — one map-combined shuffle, cardinality = distinct
+    prices per group, not rows; the cumulative window and the pick run
+    on that collapsed table. For truly high-cardinality value domains
+    the production path is bucketed pre-aggregation to fixed-point
+    bins (Q-AGG-12's approx-quantile shape) — stated trade, same as
+    the exact-median operator documents."""
+    from pyspark.sql import Window
+
+    g = (
+        load(spark, sf, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("grp"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"))
+    )
+    wcum = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy("grp")
+    c = g.select(
+        "grp",
+        "v",
+        F.sum("w").over(wcum).cast("bigint").alias("cw"),
+        F.sum("w").over(wtot).cast("bigint").alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("grp")
+        .agg(
+            F.min("v").cast("bigint").alias("wmedian_c"),
+            F.max("tw").cast("bigint").alias("total_w"),
+        )
+        .orderBy("grp")
+    )

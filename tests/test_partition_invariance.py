@@ -33,7 +33,7 @@ SAMPLE = [
     "Q-JOIN-13", "M-EVAL-03", "L-DEDUP-12", "G-MASK-01", "Q-QUAL-03",
     "M-PREP-09", "G-DELETE-02", "L-SIM-10", "M-EVAL-04", "Q-GEO-05",
     "Q-AGG-24", "Q-WIN-15", "Q-DATE-08", "G-SNAP-02", "Q-JOIN-14",
-    "Q-GEO-06", "Q-TS-05", "L-MM-06", "M-PREP-10",
+    "Q-GEO-06", "Q-TS-05", "L-MM-06", "M-PREP-10", "Q-AGG-25",
 ]
 
 
