@@ -876,3 +876,43 @@ def s_qual_01(spark, sf):
         )
         .orderBy("rule")
     )
+
+
+@register(
+    "S-WIN-05",
+    sql="WITH b AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type, "
+    f" COUNT(*) AS n FROM {EVENTS_US} e GROUP BY h, event_type), "
+    "r AS (SELECT h, event_type, n, "
+    " ROW_NUMBER() OVER (PARTITION BY h ORDER BY n DESC, event_type) AS rnk FROM b) "
+    "SELECT h, event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk "
+    "FROM r WHERE rnk <= 2 ORDER BY h, event_type",
+    mode="stream",
+)
+def s_win_05(spark, sf):
+    """Streaming trending top-k: per hourly window, the two most
+    frequent event types — the live "what's trending" board. The
+    STREAM maintains only the additive (window, type, count) state
+    (mergeable, watermark-evictable); the RANKING runs as a serving
+    query over that continuously-maintained state table, because
+    ranking is not an associative aggregate and does not belong in
+    stream state — the same state/serving split S-SINK-02's upsert
+    sink institutionalizes. Final board ≡ the batch oracle's
+    bucket + row_number.
+
+    Scale shape: stream state is O(windows × types); the serving rank
+    partitions by window over that bounded table. Tie-break on type
+    name keeps the board deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    ev = events_stream(spark, sf)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = run_to_memory(agg, "complete")
+    w = Window.partitionBy("h").orderBy(F.col("n").desc(), "event_type")
+    return (
+        out.select(F.col("window.start").alias("h"), "event_type", F.col("n").cast("bigint"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 2)
+        .orderBy("h", "event_type")
+    )
