@@ -395,3 +395,42 @@ def q_subq_06(spark, sf):
     for t in ("nation", "customer"):
         load(spark, sf, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_SQL)
+
+
+_SUBQ7_SQL = (
+    # u < 3 keys + one NULL planted into the subquery's output: NOT IN
+    # must return ZERO rows (any NULL in the list makes x NOT IN (...)
+    # never-true), while NOT EXISTS ignores the NULL row entirely
+    "WITH sub AS (SELECT CASE WHEN user_id < 3 THEN user_id END AS k "
+    f" FROM events), "
+    "t AS (SELECT DISTINCT o_custkey AS c FROM orders WHERE o_custkey < 20) "
+    "SELECT "
+    " CAST((SELECT COUNT(*) FROM t WHERE c NOT IN (SELECT k FROM sub)) AS BIGINT) "
+    "   AS not_in_n, "
+    " CAST((SELECT COUNT(*) FROM t WHERE NOT EXISTS "
+    "   (SELECT 1 FROM sub WHERE sub.k = t.c)) AS BIGINT) AS not_exists_n, "
+    " CAST((SELECT COUNT(*) FROM t WHERE c NOT IN "
+    "   (SELECT k FROM sub WHERE k IS NOT NULL)) AS BIGINT) AS not_in_filtered_n"
+)
+
+
+@register("Q-SUBQ-07", sql=_SUBQ7_SQL)
+def q_subq_07(spark, sf):
+    """NOT IN vs NOT EXISTS null semantics — the classic SQL trap,
+    pinned as an executable contract: with one NULL in the subquery's
+    output, ``NOT IN`` returns ZERO rows (three-valued logic: x NOT IN
+    a list containing NULL is never true), ``NOT EXISTS`` ignores the
+    NULL row, and ``NOT IN`` over the null-filtered subquery equals
+    NOT EXISTS. All three counts are emitted side by side so a
+    migration between the forms can never silently change results.
+
+    Scale shape: Catalyst compiles NOT IN with a nullable subquery to
+    a null-aware anti join (a broadcast-only plan — the null check
+    needs the whole right side on every task) and NOT EXISTS to an
+    ordinary shuffled/broadcast LEFT ANTI. At fact scale, prefer NOT
+    EXISTS / IS NOT NULL-filtered NOT IN: the null-aware form cannot
+    shuffle-partition, which is exactly why this pin matters in code
+    review."""
+    load(spark, sf, "events").createOrReplaceTempView("events")
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SUBQ7_SQL)

@@ -457,3 +457,20 @@ def test_q_join_14_prunes_partitions(spark, sf_dir):
     assert part_lines, "expected a partitioned fact scan"
     pruned = [l for l in part_lines if re.search(r"\bd\S* IN \(", l)]
     assert pruned, f"partition IN-list missing from scan: {part_lines}"
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """Q-SUBQ-07's plan contract: NOT IN with a nullable subquery must
+    compile to the null-aware anti join (the trailing boolean on
+    BroadcastHashJoin ... LeftAnti, BuildRight, TRUE), while NOT EXISTS
+    compiles to an ordinary LeftAnti (flag false). The null-aware form
+    is broadcast-only — the scale reason the op tells reviewers to
+    prefer NOT EXISTS on fact tables."""
+    import re
+
+    df = SPECS["Q-SUBQ-07"].fn(spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    flags = re.findall(r"LeftAnti, BuildRight, (true|false)", p)
+    assert "true" in flags, p[:1500]
+    assert "false" in flags, p[:1500]
