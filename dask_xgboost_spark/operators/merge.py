@@ -855,3 +855,61 @@ def g_snap_02(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("current_n"),
         F.sum("val").cast("bigint").alias("current_val_sum"),
     )
+
+
+@register(
+    "G-CLONE-01",
+    sql="SELECT CAST(COUNT(*) AS BIGINT) AS src_n, "
+    " CAST(SUM(o_orderkey) AS BIGINT) AS src_key_sum, "
+    " CAST(COUNT(*) + (SELECT COUNT(*) FROM orders WHERE o_orderkey < 100) AS BIGINT) "
+    "   AS clone_n, "
+    " CAST(SUM(o_orderkey) + (SELECT SUM(o_orderkey + 20000000) FROM orders "
+    "   WHERE o_orderkey < 100) AS BIGINT) AS clone_key_sum "
+    "FROM orders",
+)
+def g_clone_01(spark, sf):
+    """Zero-copy SHALLOW CLONE + independent evolution — the
+    dev/test-against-production-data workflow table formats serve with
+    metadata-only clones: the clone directory is built from HARD LINKS
+    to the source's data files (O(files) metadata work, zero bytes
+    copied), then the clone evolves independently (an appended
+    correction batch) while the source must remain byte-identical. The
+    report carries both tables' counts and key checksums; the oracle
+    recomputes the expected state of each side from the base table, so
+    a clone that mutated its source (or an append that leaked back)
+    hash-fails.
+
+    Scale shape: clone cost is directory metadata (file count), not
+    data size — the reason shallow clones are instant on 100 TB
+    tables; with a table format the hard links become manifest entries
+    referencing the same files (Delta SHALLOW CLONE, Iceberg snapshot
+    ref). Copy-on-write applies on either side's next rewrite."""
+    import glob
+    import os
+
+    src_dir = scratch_dir("clone_src")
+    clone_dir = scratch_dir("clone_dst")
+
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    orders.write.mode("overwrite").parquet(src_dir)
+
+    for f in glob.glob(src_dir + "/*.parquet"):
+        os.link(f, os.path.join(clone_dir, "linked-" + os.path.basename(f)))
+
+    delta = (
+        orders.filter(F.col("o_orderkey") < 100)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 20000000)
+    )
+    delta.write.mode("append").parquet(clone_dir)
+
+    src_back = spark.read.parquet(src_dir)
+    clone_back = spark.read.parquet(clone_dir)
+    s = src_back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("src_n"),
+        F.sum("o_orderkey").cast("bigint").alias("src_key_sum"),
+    )
+    c = clone_back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("clone_n"),
+        F.sum("o_orderkey").cast("bigint").alias("clone_key_sum"),
+    )
+    return s.crossJoin(c).select("src_n", "src_key_sum", "clone_n", "clone_key_sum")
