@@ -66,7 +66,7 @@ _DRIVER_PRIORITY = [
     # checks deeper: round-5 additions first (never-checked, newest),
     # then remaining never-checked hash-mode entries, then goldens.
     "Q-JOIN-13", "M-EVAL-03", "L-DEDUP-12", "G-MASK-01", "Q-QUAL-03",
-    "M-PREP-09", "G-DELETE-02", "S-QUAL-01", "L-SIM-10", "M-EVAL-04", "Q-GEO-05", "Q-AGG-24", "Q-WIN-15", "Q-DATE-08", "G-SNAP-02", "Q-JOIN-14", "Q-GEO-06", "Q-TS-05", "L-MM-06", "M-PREP-10", "Q-AGG-25", "S-WIN-05", "Q-SUBQ-07", "G-CLONE-01",
+    "M-PREP-09", "G-DELETE-02", "S-QUAL-01", "L-SIM-10", "M-EVAL-04", "Q-GEO-05", "Q-AGG-24", "Q-WIN-15", "Q-DATE-08", "G-SNAP-02", "Q-JOIN-14", "Q-GEO-06", "Q-TS-05", "L-MM-06", "M-PREP-10", "Q-AGG-25", "S-WIN-05", "Q-SUBQ-07", "G-CLONE-01", "S-SINK-05",
     "G-BACKFILL-01", "L-MM-04", "G-OBS-01", "Q-SCAN-12",
     "U-GAPPLY-03", "G-SNAP-01", "Q-WIN-13", "L-TEXT-17", "L-TEXT-18",
     "Q-SCAN-13", "U-TABLE-02", "L-SIM-08", "L-SIM-09",

