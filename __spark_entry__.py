@@ -44,39 +44,47 @@ from dask_xgboost_spark.registry import load_all  # noqa: E402
 # Everything here is green in the local sweep (tests/test_oracle_parity.py
 # at the same sf0.01 the driver uses).
 _DRIVER_PRIORITY = [
-    # repaired oracles — prove the fix (4)
+    # round-5 additions — all hash-green locally, never driver-checked (25)
+    "Q-JOIN-13", "M-EVAL-03", "L-DEDUP-12", "G-MASK-01", "Q-QUAL-03",
+    "M-PREP-09", "G-DELETE-02", "S-QUAL-01", "L-SIM-10", "M-EVAL-04",
+    "Q-GEO-05", "Q-AGG-24", "Q-WIN-15", "Q-DATE-08", "G-SNAP-02",
+    "Q-JOIN-14", "Q-GEO-06", "Q-TS-05", "L-MM-06", "M-PREP-10",
+    "Q-AGG-25", "S-WIN-05", "Q-SUBQ-07", "G-CLONE-01", "S-SINK-05",
+    # newly hash-converted watermark entries — clear the only standing
+    # driver FAILs (r4 S-WM-02 no_oracle row) with real oracle rows (2)
+    "S-WM-01", "S-WM-02",
+    # re-verify after the r6 join-order fix (late dim pruning) (2)
+    "Q-TPCH-05", "Q-TPCH-08",
+    # never-driver-checked hash-mode entries (21)
+    "G-BACKFILL-01", "L-MM-04", "G-OBS-01", "Q-SCAN-12",
+    "U-GAPPLY-03", "G-SNAP-01", "Q-WIN-13", "L-TEXT-17", "L-TEXT-18",
+    "Q-SCAN-13", "U-TABLE-02", "L-SIM-08", "L-SIM-09",
+    "S-JOIN-04", "S-SINK-03",
+    "L-DEDUP-09", "L-DEDUP-10", "L-SIM-06", "L-MIX-02", "L-MIX-03",
+    "L-TEXT-12",
+    # ---- 50-window boundary ----
+    # past-the-window spillover, in value order, in case the driver
+    # checks deeper: round-6 additions land here as they are built,
+    # then remaining never-checked hash-mode entries, then goldens.
+    "L-TEXT-13", "L-TEXT-14", "L-TEXT-15", "L-TEXT-16",
+    "L-PIPE-03", "L-PIPE-04",
+    "M-PREP-04", "M-PREP-05", "M-PREP-06", "M-PREP-07",
+    "Q-AGG-17", "Q-AGG-19", "U-GAPPLY-02", "L-SIM-05", "L-SIM-07",
+    "L-TEXT-04", "L-MM-02", "G-COMPACT-01",
+    # r5-window re-check pool (all green r5)
     "Q-WIN-08", "Q-SCAN-08", "Q-SCAN-09", "Q-SQL-01",
-    # round-4 spillover promotions, hash-mode (22)
     "Q-GEO-01", "Q-GEO-02", "Q-GEO-03", "Q-GEO-04",
     "Q-SCD-02", "L-TEXT-19", "Q-PIVOT-03", "Q-TS-03", "Q-TS-04",
     "M-PREP-08", "L-MM-05", "Q-WIN-14", "L-DEDUP-11",
     "G-DELETE-01", "G-CDF-01", "L-MIX-04", "Q-JSON-04",
     "M-EVAL-01", "M-EVAL-02", "Q-SCAN-14", "Q-SUBQ-06", "Q-AGG-23",
-    # never-driver-checked hash-mode batch (21)
     "Q-QUAL-02", "Q-DIFF-01", "Q-AGG-22", "Q-JOIN-12",
     "Q-TPCH-16", "Q-TPCH-17", "Q-TPCH-18", "Q-TPCH-19", "Q-TPCH-20",
     "Q-TPCH-22",
     "Q-STR-06", "Q-STR-07", "Q-STR-08", "Q-DATE-07", "Q-ARR-07",
     "Q-MATH-02", "Q-SAMPLE-02", "Q-SUBQ-05", "Q-MERGE-02",
     "U-WIN-01", "U-MAP-02",
-    # streaming tail (3)
     "S-WIN-04", "S-SINK-04", "S-GEN-02",
-    # ---- 50-window boundary ----
-    # past-the-window spillover, in value order, in case the driver
-    # checks deeper: round-5 additions first (never-checked, newest),
-    # then remaining never-checked hash-mode entries, then goldens.
-    "Q-JOIN-13", "M-EVAL-03", "L-DEDUP-12", "G-MASK-01", "Q-QUAL-03",
-    "M-PREP-09", "G-DELETE-02", "S-QUAL-01", "L-SIM-10", "M-EVAL-04", "Q-GEO-05", "Q-AGG-24", "Q-WIN-15", "Q-DATE-08", "G-SNAP-02", "Q-JOIN-14", "Q-GEO-06", "Q-TS-05", "L-MM-06", "M-PREP-10", "Q-AGG-25", "S-WIN-05", "Q-SUBQ-07", "G-CLONE-01", "S-SINK-05",
-    "G-BACKFILL-01", "L-MM-04", "G-OBS-01", "Q-SCAN-12",
-    "U-GAPPLY-03", "G-SNAP-01", "Q-WIN-13", "L-TEXT-17", "L-TEXT-18",
-    "Q-SCAN-13", "U-TABLE-02", "L-SIM-08", "L-SIM-09",
-    "S-JOIN-04", "S-SINK-03",
-    "L-DEDUP-09", "L-DEDUP-10", "L-SIM-06", "L-MIX-02", "L-MIX-03",
-    "L-TEXT-12", "L-TEXT-13", "L-TEXT-14", "L-TEXT-15", "L-TEXT-16",
-    "L-PIPE-03", "L-PIPE-04",
-    "M-PREP-04", "M-PREP-05", "M-PREP-06", "M-PREP-07",
-    "Q-AGG-17", "Q-AGG-19", "U-GAPPLY-02", "L-SIM-05", "L-SIM-07",
-    "L-TEXT-04", "L-MM-02", "G-COMPACT-01",
     # previously driver-green re-check pool (r1-r4 rows), cheapest first
     "Q-WIN-12", "Q-SORT-03", "S-STATE-03",
     "Q-SCAN-05", "Q-JOIN-11", "Q-DATE-05", "Q-DATE-06", "Q-JSON-02",
@@ -90,7 +98,7 @@ _DRIVER_PRIORITY = [
     "Q-TS-01", "Q-TS-02", "Q-GRAPH-02", "G-MV-01",
     "Q-SCAN-11", "Q-JSON-03", "M-PRED-04", "M-PREP-03",
     "S-WIN-02", "S-WIN-03", "S-STATE-02", "S-JOIN-01", "S-JOIN-02",
-    "S-SINK-01", "S-GEN-01", "S-STATE-04", "S-JOIN-03", "S-WM-02",
+    "S-SINK-01", "S-GEN-01", "S-STATE-04", "S-JOIN-03",
     # goldens last (no oracle — driver records rows-only)
     "G-GEN-01", "M-PREP-01",
     "M-TRAIN-02", "M-TRAIN-03", "M-TRAIN-04", "M-TRAIN-05",

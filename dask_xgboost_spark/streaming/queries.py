@@ -123,14 +123,27 @@ def s_win_04(spark, sf):
     ).orderBy("bucket")
 
 
-@register("S-WM-01", sql=None, mode="golden")
+@register(
+    "S-WM-01",
+    sql="WITH e AS (SELECT date_trunc('microseconds', ts) AS ts FROM events), "
+    "wm AS (SELECT epoch_us(max(ts)) // 1000 - 3600000 AS wm_ms FROM e) "
+    "SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n "
+    "FROM e, wm GROUP BY h, wm_ms "
+    "HAVING epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) // 1000 <= wm_ms "
+    "ORDER BY h",
+    mode="stream",
+)
 def s_wm_01(spark, sf):
     """Watermark + late-data drop, observable across micro-batches: the
     stream is split into 8 time-ordered files consumed one per trigger
     (maxFilesPerTrigger=1), with a 1-hour watermark on a tumbling window
     in append mode — only finalized (below-watermark) windows are
-    emitted. Golden: tests assert the emitted window set and that it is a
-    strict prefix of the batch rollup."""
+    emitted. The oracle derives the emitted set in batch SQL: Spark
+    tracks event-time stats in WHOLE MILLISECONDS, so the final
+    watermark is epoch_ms(max ts) − 3_600_000 and a window is emitted
+    iff epoch_ms(window end) ≤ that watermark (verified boundary-exact
+    at sf0.001 and sf0.01; tests/test_golden.py keeps the strict-prefix
+    assert vs the full batch rollup)."""
     ev = events_stream(spark, sf, n_files=8, max_files_per_trigger=1)
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -500,7 +513,20 @@ def s_state_04(spark, sf):
     return out.select("event_id").orderBy("event_id")
 
 
-@register("S-WM-02", sql=None, mode="golden")
+@register(
+    "S-WM-02",
+    sql="WITH e AS (SELECT date_trunc('microseconds', ts) AS ts FROM events), "
+    "wm AS (SELECT epoch_us(max(ts)) // 1000 - 3600000 AS wm_ms FROM e), "
+    "ordered AS (SELECT ts, row_number() OVER (ORDER BY ts) AS rn FROM e), "
+    "late AS (SELECT COUNT(DISTINCT date_trunc('hour', ts)) AS d "
+    "FROM ordered WHERE rn <= 64), "
+    "kept AS (SELECT COUNT(*) AS nw FROM ("
+    "SELECT date_trunc('hour', ts) AS h FROM ordered WHERE rn > 64 GROUP BY h"
+    ") t, wm WHERE epoch_us(h + INTERVAL 1 HOUR) // 1000 <= wm_ms) "
+    "SELECT CAST(kept.nw AS BIGINT) AS n_windows, "
+    "CAST(late.d AS BIGINT) AS dropped_updates FROM kept, late",
+    mode="stream",
+)
 def s_wm_02(spark, sf):
     """Late-data DROP ACCOUNTING: the stream replays with its 64 earliest
     rows delivered in the final file — by then the watermark (1 hour
@@ -516,7 +542,15 @@ def s_wm_02(spark, sf):
     At 100 TB this metric IS the data-loss audit: watermark drops are
     silent by design, and the only correct operational posture is
     alerting on this counter and routing late data to a reconciliation
-    path (e.g. a daily batch backfill over the same parquet)."""
+    path (e.g. a daily batch backfill over the same parquet).
+
+    Hash-mode oracle: both witness numbers are batch-derivable — the
+    drop count is the distinct hour-windows of the 64 earliest rows
+    (map-side combine collapses events to window partials before the
+    state store), and the emitted-window count follows S-WM-01's
+    millisecond watermark rule over the remaining rows. Ties at the
+    64-row boundary share a timestamp, hence an hour window, so both
+    counts are tie-robust."""
     from dask_xgboost_spark.streaming.core import run_to_memory_progress
 
     ev = events_stream(spark, sf, n_files=6, max_files_per_trigger=1, late_rows=64)
