@@ -54,9 +54,14 @@ def _rev_col():
 def q_tpch_07(spark, sf):
     """Volume-shipping shape (TPC-H Q7): trade volume between two nations
     in both directions, by year. The disjunctive nation-pair predicate
-    sits ABOVE both nation joins, so Catalyst can only prune after the
-    (broadcast) dim joins — the classic shape where broadcasting both
-    nation copies keeps the two fact-side joins shuffle-free on dims."""
+    only survives as a whole above both nation joins, but it IMPLIES
+    each side's nation is one of the two — so both dim joins are pruned
+    to the 2-nation keyset and pushed BELOW the fact joins (the r5
+    verdict's early-dim-prune discipline, same as Q-TPCH-05): supplier
+    and customer shrink to ~2/N of their rows before lineitem/orders
+    ever shuffle, and only the cross-pair disjunction remains above.
+    Catalyst cannot derive this itself — it won't split a disjunction
+    across two join branches."""
     supp = load(spark, sf, "supplier")
     li = load(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
@@ -64,19 +69,22 @@ def q_tpch_07(spark, sf):
     )
     orders = load(spark, sf, "orders")
     cust = load(spark, sf, "customer")
-    n1 = F.broadcast(load(spark, sf, "nation").select(
+    pair_nations = load(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    n1 = F.broadcast(pair_nations.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
-    n2 = F.broadcast(load(spark, sf, "nation").select(
+    n2 = F.broadcast(pair_nations.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    supp_p = supp.join(n1, F.col("s_nationkey") == F.col("n1_key"))
+    cust_p = cust.join(n2, F.col("c_nationkey") == F.col("n2_key"))
     pair = (
         (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (
-        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        supp_p.join(li, F.col("s_suppkey") == li.l_suppkey)
         .join(orders, orders.o_orderkey == li.l_orderkey)
-        .join(cust, cust.c_custkey == orders.o_custkey)
-        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
-        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .join(cust_p, F.col("c_custkey") == orders.o_custkey)
         .filter(pair)
         .select(
             "supp_nation",
