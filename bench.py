@@ -561,6 +561,9 @@ def main() -> None:
 
     total = round(sum(results.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Full detail blob FIRST; the compact headline line LAST — the driver
+    # keeps only the stdout tail and parses the final line, and the full
+    # blob alone was truncated away two rounds running (r5 verdict item 4).
     print(
         json.dumps(
             {
@@ -589,6 +592,28 @@ def main() -> None:
                 "python_boundary_net_price_sum": python_boundary,
                 "scale_growth_q1": scale_growth,
                 "streaming_ingest": streaming,
+            }
+        )
+    )
+    duck_total = round(sum(duck.values()), 4)
+    tpch_total = round(sum(tpch_spark.values()), 4)
+    tpch_duck_total = round(sum(tpch_duck.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "sum of median full-re-execution wall-clock of headline queries",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf),
+                "duckdb_total": duck_total,
+                "ratio_vs_duckdb": round(total / duck_total, 3) if duck_total else None,
+                "tpch_suite_total": tpch_total,
+                "tpch_suite_duckdb_total": tpch_duck_total,
+                "tpch_ratio": round(tpch_total / tpch_duck_total, 3)
+                if tpch_duck_total
+                else None,
+                "detail": "full blob printed on the preceding line",
             }
         )
     )

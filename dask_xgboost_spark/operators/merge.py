@@ -635,14 +635,15 @@ def g_cdf_01(spark, sf):
                CAST(datepart('day', ts) AS BIGINT) AS day_bucket
         FROM events
     ),
-    sized AS (
-        SELECT *, COUNT(*) OVER (PARTITION BY event_type, day_bucket) AS grp_n
-        FROM m
+    g AS (
+        SELECT event_type, day_bucket,
+               COUNT(DISTINCT uid_pseud) AS grp_subj
+        FROM m GROUP BY event_type, day_bucket
     ),
     anon AS (
-        SELECT uid_pseud, event_type,
-               CASE WHEN grp_n >= 5 THEN day_bucket END AS day_bucket
-        FROM sized
+        SELECT m.uid_pseud, m.event_type,
+               CASE WHEN g.grp_subj >= 5 THEN m.day_bucket END AS day_bucket
+        FROM m JOIN g USING (event_type, day_bucket)
     )
     SELECT event_type, day_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -657,19 +658,20 @@ def g_mask_01(spark, sf):
     (1) direct identifiers are replaced by a KEYED hash (pepper ‖ id →
     sha256; same subject → same pseudonym, so joins/aggregations still
     work, but re-identification needs the pepper — never store it with
-    the data); (2) quasi-identifier combinations appearing fewer than
-    k=5 times are generalized (bucket → NULL) so no released group
-    isolates fewer than k subjects — the classic k-anonymity treatment,
-    with suppressed groups folding into a residual per event_type.
+    the data); (2) quasi-identifier groups holding fewer than k=5
+    DISTINCT SUBJECTS are generalized (bucket → NULL) so no released
+    group isolates fewer than k subjects — sizing on rows would be
+    weaker than the claim, because the keyed pseudonym preserves
+    linkability and a ≥5-row bucket can still be one person's five
+    events (advisor finding, r5).
 
     Scale shape: the pseudonym is a map-only expression; group sizing
-    is one count per quasi-identifier combination (window over the
-    grouped key — same shuffle the release rollup needs anyway, and
-    the QI space is bounded: |event_type| × 31 buckets, so the sizing
-    aggregate is dimension-sized). Nothing driver-side; the pepper
-    would come from a secret store in production (a literal here)."""
+    is one distinct-count per quasi-identifier combination (the QI
+    space is bounded: |event_type| × 31 buckets, so the sizing
+    aggregate is dimension-sized and broadcast back). Nothing
+    driver-side; the pepper would come from a secret store in
+    production (a literal here)."""
     ev = load(spark, sf, "events")
-    from pyspark.sql import Window
 
     m = ev.select(
         F.sha2(F.concat(F.lit("pepper-2026|"), F.col("user_id").cast("string")), 256)
@@ -677,13 +679,14 @@ def g_mask_01(spark, sf):
         "event_type",
         F.dayofmonth("ts").cast("bigint").alias("day_bucket"),
     )
-    sized = m.withColumn(
-        "grp_n", F.count(F.lit(1)).over(Window.partitionBy("event_type", "day_bucket"))
+    grp = m.groupBy("event_type", "day_bucket").agg(
+        F.count_distinct("uid_pseud").alias("grp_subj")
     )
+    sized = m.join(F.broadcast(grp), ["event_type", "day_bucket"])
     anon = sized.select(
         "uid_pseud",
         "event_type",
-        F.when(F.col("grp_n") >= 5, F.col("day_bucket")).alias("day_bucket"),
+        F.when(F.col("grp_subj") >= 5, F.col("day_bucket")).alias("day_bucket"),
     )
     return (
         anon.groupBy("event_type", "day_bucket")
@@ -755,23 +758,36 @@ def g_delete_02(spark, sf):
         os.link(f, os.path.join(out, "linked-" + os.path.basename(f)))
 
     survived = spark.read.parquet(out)
+    # materialized: the report re-reads the per-tag scratch dir, which a
+    # second invocation wipes before this frame would be collected
     return (
         survived.groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
         .withColumn("n_erased", F.lit(n_erased).cast("bigint"))
         .orderBy("event_type")
+        .localCheckpoint()
     )
 
 
-def expire_snapshots(base: str, keep_last: int) -> tuple[list[int], list[int]]:
+def expire_snapshots(
+    base: str, keep_last: int, grace_seconds: float = 0.0
+) -> tuple[list[int], list[int]]:
     """Retention sweep (the VACUUM / expire_snapshots shape): drop every
     snapshot directory except the newest ``keep_last``, manifest updated
-    FIRST so a concurrent reader resolving through it can never reach a
-    directory mid-delete (the inverse of write_snapshot's data-first
-    commit order). Returns (expired, retained) version lists."""
+    FIRST (the inverse of write_snapshot's data-first commit order).
+
+    The manifest-first order only protects readers that resolve AFTER
+    the swap — a reader that loaded the old manifest before os.replace
+    can still be scanning an expired version when the delete runs.
+    That is why every real expire_snapshots/VACUUM pairs the manifest
+    update with a retention grace window sized to the longest plausible
+    reader: ``grace_seconds`` delays the physical deletes after the
+    logical expiry (0 in tests, where there are no concurrent readers;
+    hours in production). Returns (expired, retained) version lists."""
     import json
     import os
     import shutil
+    import time
 
     path = f"{base}/_manifest.json"
     with open(path) as fh:
@@ -785,6 +801,8 @@ def expire_snapshots(base: str, keep_last: int) -> tuple[list[int], list[int]]:
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     os.replace(tmp, path)
+    if grace_seconds:
+        time.sleep(grace_seconds)
     for v in expired:
         shutil.rmtree(f"{base}/v={v}", ignore_errors=True)
     return expired, retained
@@ -849,12 +867,13 @@ def g_snap_02(spark, sf):
     cur = read_snapshot(spark, base)
     after = cur.agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s")).first()
     assert (before["n"], before["s"]) == (after["n"], after["s"])
+    # materialized: survives the scratch tag being wiped by a later call
     return cur.agg(
         F.lit(len(expired)).cast("bigint").alias("n_expired"),
         F.lit(len(retained)).cast("bigint").alias("n_retained"),
         F.count(F.lit(1)).cast("bigint").alias("current_n"),
         F.sum("val").cast("bigint").alias("current_val_sum"),
-    )
+    ).localCheckpoint()
 
 
 @register(
@@ -912,4 +931,9 @@ def g_clone_01(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("clone_n"),
         F.sum("o_orderkey").cast("bigint").alias("clone_key_sum"),
     )
-    return s.crossJoin(c).select("src_n", "src_key_sum", "clone_n", "clone_key_sum")
+    # materialized: survives the scratch tag being wiped by a later call
+    return (
+        s.crossJoin(c)
+        .select("src_n", "src_key_sum", "clone_n", "clone_key_sum")
+        .localCheckpoint()
+    )

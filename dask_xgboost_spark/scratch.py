@@ -43,7 +43,15 @@ def scratch_dir(tag: str) -> str:
     returned DataFrame: the PREVIOUS run's copy is deleted the moment
     the operator runs again, bounding disk use to one live copy per
     tag. Not for two directories alive concurrently under one tag —
-    give each a distinct tag (see g_compact_01's src/dst)."""
+    give each a distinct tag (see g_compact_01's src/dst).
+
+    Cross-invocation hazard: a LAZY DataFrame returned by an operator
+    re-reads these files at collect time, so calling the same operator
+    again before collecting the first result would serve wiped or
+    rewritten data. Operators whose return value re-reads scratch
+    output must materialize before returning (``.localCheckpoint()``
+    — g_delete_02, g_clone_01, g_snap_02, s_qual_01, s_sink_05 all
+    do)."""
     d = os.path.join(_ensure_root(), tag)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)

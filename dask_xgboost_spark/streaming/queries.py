@@ -901,6 +901,9 @@ def s_qual_01(spark, sf):
 
     run_foreach_batch(stream, gate, output_mode="append")
 
+    # materialize before returning: the frame re-reads the per-tag
+    # scratch dir lazily, and a second invocation of this operator
+    # wipes that dir before a caller collects the first result
     return (
         spark.read.parquet(metrics_dir)
         .groupBy("rule")
@@ -909,6 +912,7 @@ def s_qual_01(spark, sf):
             F.sum("n_failed").cast("bigint").alias("n_failed"),
         )
         .orderBy("rule")
+        .localCheckpoint()
     )
 
 
@@ -984,9 +988,10 @@ def s_sink_05(spark, sf):
     base = scratch_dir("stream_xonce")
     data_dir = os.path.join(base, "data")
     ledger_dir = os.path.join(base, "ledger")
+    replay_dir = os.path.join(base, "last_batch")
     os.makedirs(ledger_dir, exist_ok=True)
 
-    last = {"batch_id": None, "df": None}
+    last = {"batch_id": None}
 
     def committed(batch_id) -> str:
         return os.path.join(ledger_dir, f"batch-{batch_id}.committed")
@@ -994,7 +999,14 @@ def s_sink_05(spark, sf):
     def upsert(batch_df, batch_id):
         if os.path.exists(committed(batch_id)):
             return  # retry of an already-committed batch: no-op
-        batch_df.select("event_id", "user_id").write.mode("append").parquet(data_dir)
+        rows = batch_df.select("event_id", "user_id")
+        rows.write.mode("append").parquet(data_dir)
+        # stash THIS batch's rows (overwrite per batch) so the simulated
+        # retry below re-delivers the actual final batch, not the whole
+        # table — if the marker guard ever regressed, the sink would
+        # inflate by exactly one batch and the count check still fires
+        # (r5 advisor finding)
+        rows.write.mode("overwrite").parquet(replay_dir)
         with open(committed(batch_id), "w"):
             pass  # marker LAST: crash before this line replays the batch
         last["batch_id"] = batch_id
@@ -1004,14 +1016,15 @@ def s_sink_05(spark, sf):
 
     # simulated retry: re-deliver the final batch under its committed id
     # (at-least-once semantics) — the idempotence guard must no-op
-    from dask_xgboost_spark.sources import load as _ld
-
-    replay = _ld(spark, sf, "events").select("event_id", "user_id")
+    assert last["batch_id"] is not None, "stream produced no micro-batches"
+    replay = spark.read.parquet(replay_dir).select("event_id", "user_id")
     upsert(replay, last["batch_id"])
 
     sink = spark.read.parquet(data_dir)
+    # materialized: the report must survive the scratch tag being wiped
+    # by a later invocation before the caller collects
     return sink.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("user_id").cast("bigint").alias("user_sum"),
         F.count_distinct("event_id").cast("bigint").alias("n_distinct"),
-    )
+    ).localCheckpoint()

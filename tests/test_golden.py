@@ -629,8 +629,10 @@ def test_streaming_observe_metrics_accumulate_across_batches(spark, sf_dir):
 def test_g_mask_01_no_released_group_below_k(spark, sf_dir):
     """The k-anonymity contract itself: after suppression, every
     RELEASED quasi-identifier group (day_bucket not folded to NULL)
-    must still hold ≥ k rows, and the suppressed residual per
-    event_type absorbs the rest — nothing is dropped."""
+    must still hold ≥ k DISTINCT SUBJECTS — rows would be a weaker
+    gate, since the keyed pseudonym keeps one subject's events
+    linkable (r5 advisor finding) — and the suppressed residual per
+    event_type absorbs the rest: nothing is dropped."""
     from pyspark.sql import functions as F
 
     from dask_xgboost_spark.registry import load_all
@@ -640,6 +642,6 @@ def test_g_mask_01_no_released_group_below_k(spark, sf_dir):
     rows = out.collect()
     released = [r for r in rows if r["day_bucket"] is not None]
     assert released, "expected released groups"
-    assert all(r["n_rows"] >= 5 for r in released)
+    assert all(r["n_subjects"] >= 5 for r in released)
     total = sum(r["n_rows"] for r in rows)
     assert total == load(spark, sf_dir, "events").count()
