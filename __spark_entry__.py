@@ -28,19 +28,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dask_xgboost_spark.registry import load_all  # noqa: E402
 
-# Window rotation, round 5, per VERDICT.md r4 §next-round items 1+4:
-# (1) re-verify the four repaired HUGEINT oracles (Q-WIN-08 was the only
-#     r4 FAIL; Q-SCAN-08/09 and Q-SQL-01 carried the same latent uncast-SUM
-#     trap and would have failed on rotation — all four now CAST to BIGINT,
-#     and Q-WIN-08 additionally compares session gaps in exact epoch-µs),
-# (2) promote the round-4 spillover (GEO family, SCD2 PIT, OHLC, vocab
-#     encoding, pHash dedup, GDPR rewrite, CDF, temperature sampling,
-#     PR curve, LATERAL, bitmap distinct, …) and the remaining
-#     never-driver-checked hash entries (TPC-H 16/17/18/19/20/22, STR/DATE/
-#     ARR/MATH stragglers, U-WIN/U-MAP surfaces).
+# Window rotation, round 6, per VERDICT.md r5 §next-round items 1+3:
+# (1) promote the 25 round-5 operators (all hash-green locally, never
+#     driver-witnessed — the r5 window went to the repaired oracles and
+#     the r4 spillover),
+# (2) present the newly hash-converted S-WM-01/02 (the late-data
+#     watermark accounting is batch-derivable in ms-truncated epoch
+#     arithmetic; clears the only standing driver FAILs),
+# (3) re-prove Q-TPCH-05 (join order rewritten: ASIA keyset broadcast-
+#     pruned below the fact joins) and Q-TPCH-08,
+# (4) fill with never-driver-checked hash entries, including the
+#     L-MM-02 real-PGM-codec upgrade (hash mode as of r6).
 # Golden-mode (no-oracle) entries stay OUT of the 50-window — each one
-# burns a hash-verifiable slot (S-WM-02 cost one in r4). Streaming
-# (slow: real micro-batch runs) anchors the tail of the window.
+# burns a hash-verifiable slot (S-WM-02 cost one in r4).
 # Everything here is green in the local sweep (tests/test_oracle_parity.py
 # at the same sf0.01 the driver uses).
 _DRIVER_PRIORITY = [
@@ -61,16 +61,16 @@ _DRIVER_PRIORITY = [
     "Q-SCAN-13", "U-TABLE-02", "L-SIM-08", "L-SIM-09",
     "S-JOIN-04", "S-SINK-03",
     "L-DEDUP-09", "L-DEDUP-10", "L-SIM-06", "L-MIX-02", "L-MIX-03",
-    "L-TEXT-12",
+    "L-MM-02",
     # ---- 50-window boundary ----
     # past-the-window spillover, in value order, in case the driver
     # checks deeper: round-6 additions land here as they are built,
     # then remaining never-checked hash-mode entries, then goldens.
-    "L-TEXT-13", "L-TEXT-14", "L-TEXT-15", "L-TEXT-16",
+    "L-TEXT-12", "L-TEXT-13", "L-TEXT-14", "L-TEXT-15", "L-TEXT-16",
     "L-PIPE-03", "L-PIPE-04",
     "M-PREP-04", "M-PREP-05", "M-PREP-06", "M-PREP-07",
     "Q-AGG-17", "Q-AGG-19", "U-GAPPLY-02", "L-SIM-05", "L-SIM-07",
-    "L-TEXT-04", "L-MM-02", "G-COMPACT-01",
+    "L-TEXT-04", "G-COMPACT-01",
     # r5-window re-check pool (all green r5)
     "Q-WIN-08", "Q-SCAN-08", "Q-SCAN-09", "Q-SQL-01",
     "Q-GEO-01", "Q-GEO-02", "Q-GEO-03", "Q-GEO-04",

@@ -3,9 +3,11 @@
 Design for image/audio/video at 100 TB: media are opaque ``binary``
 columns with typed metadata columns beside them; decode/feature-extract
 runs as Arrow-batched ``mapInPandas`` so bytes never round-trip through
-Python row objects. The decode step itself is STUBBED (no media libs in
-this container) behind a deterministic fake — the Spark-side plumbing
-(schema, batch shape, partition flow) is real and tested.
+Python row objects. The decode path runs a REAL pure-Python PGM (netpbm
+P5) codec end-to-end — encode, header parse, raster extraction —
+oracle-verified by digest; formats needing native codecs (JPEG/audio)
+raise NotImplementedError, since no media libraries exist in this
+container.
 """
 
 from __future__ import annotations
@@ -36,70 +38,140 @@ def l_mm_01(spark, sf):
     )
 
 
-# --- decode / feature-extraction plumbing (stubbed decode) ---------------
+# --- decode / feature-extraction plumbing (real pure-Python PGM codec) ----
 
 FEATURE_DIM = 8
 
 
-def decode_media(payload: bytes) -> bytes:
-    """Decode an image/audio payload. STUB: media codecs are not available
-    in this environment; raise so callers must opt into the fake path."""
+def encode_pgm(raster: bytes, width: int, height: int, maxval: int = 255) -> bytes:
+    """Encode a raw grayscale raster as binary PGM (netpbm ``P5``) — a
+    real, standard image container writable without media libraries.
+    Includes a comment line so decoders must handle the full grammar."""
+    if width * height != len(raster):
+        raise ValueError(f"raster is {len(raster)} bytes, not {width}x{height}")
+    if not 0 < maxval < 256:
+        raise ValueError("single-byte PGM needs 0 < maxval < 256")
+    header = f"P5\n# dxs synthetic frame\n{width} {height}\n{maxval}\n"
+    return header.encode("ascii") + raster
+
+
+def decode_pgm(blob: bytes) -> dict:
+    """Decode binary PGM: magic, whitespace/comment-tolerant header
+    tokenizer (the actual netpbm grammar — ``#`` comments run to end of
+    line and may appear between any tokens), exactly one whitespace byte
+    after maxval, then the raster. Returns width/height/maxval/raster."""
+    if blob[:2] != b"P5":
+        raise ValueError("not a binary PGM (P5) payload")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PGM header")
+        tokens.append(int(blob[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    width, height, maxval = tokens
+    raster = blob[pos : pos + width * height]
+    if len(raster) != width * height:
+        raise ValueError("truncated PGM raster")
+    return {"width": width, "height": height, "maxval": maxval, "raster": raster}
+
+
+def decode_media(payload: bytes) -> dict:
+    """Decode a media payload by magic number. PGM decodes for real
+    (pure Python); other formats (JPEG/PNG/audio) have no codec in this
+    environment and raise — callers route those to a decode-capable
+    cluster or use the PGM path."""
+    if payload[:2] == b"P5":
+        return decode_pgm(payload)
     raise NotImplementedError(
-        "media codecs unavailable in this environment; use fake_features=True"
+        "no codec for this magic in this environment (PGM/P5 is supported)"
     )
 
 
-def _fake_feature_batch(pdf, dim: int):
-    """Deterministic fake 'embedding': byte-histogram moments of the
-    payload. Stands in for a real decoder; same signature/batch shape."""
-    import numpy as np
-
-    out = []
-    for payload in pdf["payload"]:
-        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-        chunks = np.array_split(arr, dim)
-        out.append([float(c.mean()) if len(c) else 0.0 for c in chunks])
-    return out
-
-
-def extract_features(df: DataFrame, fake_features: bool = True) -> DataFrame:
-    """mapInPandas feature extraction over a binary ``payload`` column.
-
-    Arrow-batched: each batch is a pandas DataFrame whose payload column
-    holds raw bytes; output schema is (doc_id, features array<double>).
-    Real decoders drop into ``_fake_feature_batch``'s slot unchanged.
-    """
-    if not fake_features:
-        decode_media(b"")  # raises NotImplementedError
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over a binary media ``payload``
+    column: decode (real PGM codec), then chunked pixel means as the
+    stand-in embedding. Arrow-batched — bytes never round-trip through
+    Python row objects; output is (doc_id, features array<double>)."""
 
     def run(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "features": _fake_feature_batch(pdf, FEATURE_DIM),
-                }
-            )
+            feats = []
+            for payload in pdf["payload"]:
+                raster = decode_media(bytes(payload))["raster"]
+                arr = np.frombuffer(raster, dtype=np.uint8).astype(np.float64)
+                chunks = np.array_split(arr, FEATURE_DIM)
+                feats.append([float(c.mean()) if len(c) else 0.0 for c in chunks])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return df.mapInPandas(run, "doc_id bigint, features array<double>")
 
 
-@register("L-MM-02", sql=None, mode="golden")
+@register(
+    "L-MM-02",
+    sql="SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS width, "
+    "CAST(1 AS BIGINT) AS height, CAST(255 AS BIGINT) AS maxval, "
+    "md5(text) AS raster_md5 FROM documents ORDER BY doc_id",
+)
 def l_mm_02(spark, sf):
-    """Multimodal feature-extraction plumbing end-to-end: text→binary
-    payload → mapInPandas (stub decoder) → typed feature array. Golden:
-    deterministic output, schema asserted in tests."""
-    docs = (
-        load(spark, sf, "documents")
-        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    """Multimodal decode pipeline end-to-end with a REAL codec (r5
+    verdict item 6): text bytes become a binary PGM image column
+    (encode_pgm, height 1 so the raster is exactly the UTF-8 bytes —
+    padding-free, which is what lets an independent engine verify the
+    round trip), then a second Arrow-batched pass parses the PGM header
+    and extracts the raster (decode_pgm). The oracle recomputes the
+    expected dimensions and the raster digest from the source text —
+    so a codec bug on either side (header arithmetic, comment
+    handling, off-by-one at the raster boundary) hash-fails.
+
+    Scale shape: both passes are mapInPandas over Arrow batches — no
+    shuffle, no Python row objects; media stays opaque binary between
+    the two passes exactly as a stored parquet media column would."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    feat = extract_features(docs, fake_features=True)
-    return feat.select(
-        "doc_id",
-        F.size("features").alias("dim"),
-        F.round(F.element_at("features", 1), 6).alias("f1"),
+
+    def encode_batch(batches):
+        for pdf in batches:
+            media = [
+                encode_pgm(b := bytes(p), width=len(b), height=1)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    stored = docs.mapInPandas(encode_batch, "doc_id bigint, media binary")
+
+    def decode_batch(batches):
+        for pdf in batches:
+            rows = {"doc_id": pdf["doc_id"], "width": [], "height": [],
+                    "maxval": [], "raster_md5": []}
+            for blob in pdf["media"]:
+                img = decode_media(bytes(blob))
+                rows["width"].append(img["width"])
+                rows["height"].append(img["height"])
+                rows["maxval"].append(img["maxval"])
+                rows["raster_md5"].append(hashlib.md5(img["raster"]).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return stored.mapInPandas(
+        decode_batch,
+        "doc_id bigint, width bigint, height bigint, maxval bigint, raster_md5 string",
     ).orderBy("doc_id")
 
 

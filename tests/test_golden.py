@@ -91,19 +91,45 @@ def test_tfidf_deterministic(spark, sf_dir):
 
 def test_multimodal_plumbing(spark, sf_dir):
     out = SPECS["L-MM-02"].fn(spark, sf_dir)
-    assert dict(out.dtypes) == {"doc_id": "bigint", "dim": "int", "f1": "double"}
+    assert dict(out.dtypes) == {
+        "doc_id": "bigint", "width": "bigint", "height": "bigint",
+        "maxval": "bigint", "raster_md5": "string",
+    }
     pdf = out.toPandas()
-    assert (pdf["dim"] == 8).all()
-    assert pdf["f1"].notna().all()
+    assert (pdf["height"] == 1).all() and (pdf["maxval"] == 255).all()
+    assert pdf["raster_md5"].str.len().eq(32).all()
 
 
-def test_multimodal_decode_stub_raises(spark):
+def test_pgm_codec_round_trip():
+    """The codec itself: arbitrary bytes (including 0x00/0xff and bytes
+    that look like header whitespace) survive encode→decode, comments
+    and multi-whitespace headers parse, corrupt payloads raise."""
     import pytest
 
-    from dask_xgboost_spark.operators.multimodal import decode_media
+    from dask_xgboost_spark.operators.multimodal import (
+        decode_media,
+        decode_pgm,
+        encode_pgm,
+    )
 
+    raster = bytes(range(256)) * 2
+    blob = encode_pgm(raster, width=64, height=8)
+    img = decode_pgm(blob)
+    assert (img["width"], img["height"], img["maxval"]) == (64, 8, 255)
+    assert img["raster"] == raster
+
+    # hand-written header: comments between tokens, CRLF-ish whitespace
+    manual = b"P5\n#c1\n 3 #c2\n 2\n255\n" + bytes(6)
+    img2 = decode_pgm(manual)
+    assert (img2["width"], img2["height"]) == (3, 2)
+    assert img2["raster"] == bytes(6)
+
+    with pytest.raises(ValueError):
+        decode_pgm(b"P5\n3 2\n255\n\x00\x00")  # truncated raster
+    with pytest.raises(ValueError):
+        encode_pgm(b"abc", width=2, height=2)  # size mismatch
     with pytest.raises(NotImplementedError):
-        decode_media(b"xx")
+        decode_media(b"xx")  # no codec for unknown magic
 
 
 def test_early_stopping_builds_fewer_trees(spark, sf_dir):
