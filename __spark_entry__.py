@@ -64,8 +64,11 @@ _DRIVER_PRIORITY = [
     "L-MM-02",
     # ---- 50-window boundary ----
     # past-the-window spillover, in value order, in case the driver
-    # checks deeper: round-6 additions land here as they are built,
+    # checks deeper: round-6 additions first (never-checked, newest),
     # then remaining never-checked hash-mode entries, then goldens.
+    "Q-WIN-16", "Q-GRAPH-03", "Q-TS-06", "M-EVAL-05", "M-PREP-11",
+    "G-AUDIT-01", "G-BACKFILL-02", "Q-JOIN-15", "L-TEXT-20", "L-MIX-05",
+    "U-TABLE-03", "S-SINK-06",
     "L-TEXT-12", "L-TEXT-13", "L-TEXT-14", "L-TEXT-15", "L-TEXT-16",
     "L-PIPE-03", "L-PIPE-04",
     "M-PREP-04", "M-PREP-05", "M-PREP-06", "M-PREP-07",

@@ -891,3 +891,156 @@ def m_prep_10(spark, sf):
         .withColumn("leaky", F.abs(F.col("corr")) > _LEAK_THRESHOLD)
         .orderBy("feature")
     )
+
+
+_EVAL5_SQL = """
+WITH dtok AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+qt AS (SELECT doc_id AS q_id, t FROM dtok WHERE doc_id % 50 = 0),
+ov AS (
+    SELECT qt.q_id, c.doc_id AS c_id, COUNT(*) AS ov
+    FROM qt JOIN dtok c ON qt.t = c.t AND c.doc_id <> qt.q_id
+    GROUP BY qt.q_id, c_id
+),
+rk AS (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ov DESC, c_id) AS rnk
+    FROM ov
+),
+rel AS (
+    SELECT r.q_id, r.rnk
+    FROM rk r
+    JOIN documents qd ON qd.doc_id = r.q_id
+    JOIN documents cd ON cd.doc_id = r.c_id
+    WHERE r.rnk <= 10 AND qd.source = cd.source
+)
+SELECT qd.doc_id AS q_doc_id,
+       CAST(MIN(rel.rnk) AS BIGINT) AS first_rel_rank,
+       CAST(COALESCE(SUM(CASE WHEN rel.rnk <= 5 THEN 1 END), 0) AS BIGINT) AS hit5,
+       CAST(COUNT(rel.rnk) AS BIGINT) AS hit10
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) qd
+LEFT JOIN rel ON rel.q_id = qd.doc_id
+GROUP BY qd.doc_id ORDER BY q_doc_id
+"""
+
+
+@register("M-EVAL-05", sql=_EVAL5_SQL)
+def m_eval_05(spark, sf):
+    """Retrieval ranking evaluation — the offline-eval leg of the
+    search/RAG stack (L-SIM-08/09/10 build retrievers; this grades
+    one): per query, the rank of the first relevant result plus hit@5 /
+    hit@10 — the per-query integer witnesses behind MRR and recall@k.
+    The harness deliberately emits RANKS, not the averaged float
+    metric: ranks are exact ints (hash-checkable), and the aggregation
+    to MRR is one trivial driver-side mean the caller applies.
+
+    Fixture ground truth: every 50th document is a query; a candidate
+    is relevant iff it shares the query's source. The ranking is
+    shared-distinct-token overlap (integer) with doc_id tiebreak —
+    deterministic cross-engine.
+
+    Scale shape: query→candidate scoring is a posting-list join on
+    token (bounded per-token by document frequency — same inverted-
+    index shape as L-DEDUP-03, with the query side filtered down
+    ~50×); ranking is a per-query window over each query's candidate
+    list. No all-pairs scan, nothing driver-side."""
+    docs = load(spark, sf, "documents")
+    dtok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    qt = dtok.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("q_id"), "t"
+    )
+    ov = (
+        qt.join(dtok.withColumnRenamed("doc_id", "c_id"), "t")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("ov"), "c_id")
+    rk = ov.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+    src = docs.select("doc_id", "source")
+    rel = (
+        rk.join(
+            src.select(F.col("doc_id").alias("q_id"), F.col("source").alias("qs")),
+            "q_id",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("c_id"), F.col("source").alias("cs")),
+            "c_id",
+        )
+        .filter(F.col("qs") == F.col("cs"))
+        .select("q_id", "rnk")
+    )
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("q_doc_id")
+    )
+    return (
+        queries.join(rel, queries.q_doc_id == rel.q_id, "left")
+        .groupBy("q_doc_id")
+        .agg(
+            F.min("rnk").cast("bigint").alias("first_rel_rank"),
+            F.coalesce(
+                F.sum(F.when(F.col("rnk") <= 5, 1)), F.lit(0)
+            ).cast("bigint").alias("hit5"),
+            F.count("rnk").cast("bigint").alias("hit10"),
+        )
+        .orderBy("q_doc_id")
+    )
+
+
+_HASH_DIM = 64
+
+_PREP11_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+h AS (
+    SELECT doc_id,
+           (ascii(substring(md5(t), 1, 1)) * 31
+            + ascii(substring(md5(t), 2, 1))) % {_HASH_DIM} AS bucket,
+           CASE WHEN ascii(substring(md5(t), 3, 1)) % 2 = 0
+                THEN 1 ELSE -1 END AS s
+    FROM tok
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, CAST(SUM(s) AS BIGINT) AS w
+FROM h GROUP BY doc_id, bucket HAVING SUM(s) <> 0
+ORDER BY doc_id, bucket
+"""
+
+
+@register("M-PREP-11", sql=_PREP11_SQL)
+def m_prep_11(spark, sf):
+    """Feature hashing (the hashing trick): tokens are hashed into a
+    fixed 64-bucket signed count vector with no vocabulary pass at all
+    — the one-shot featurizer for unbounded/streaming vocabularies
+    (Weinberger et al. 2009), complementing L-TEXT-19's two-pass
+    vocabulary encoding and M-PREP-06's one-hot. The sign bit makes
+    collisions cancel in expectation instead of biasing counts upward.
+    Emitted in sparse long form (doc_id, bucket, weight) — exact ints.
+
+    The bucket/sign functions are derived from md5 hex characters so
+    both engines compute them identically; a production Spark pipeline
+    would use the JVM-side xxhash64/murmur3 for speed — same plan
+    shape, cheaper per token.
+
+    Scale shape: map-only explode + one (doc_id, bucket)-key rollup
+    with map-side combine; output is bounded by min(tokens, 64) rows
+    per document. No vocabulary build, no broadcast, no second pass —
+    which is the entire point of the trick at 100 TB."""
+    tok = load(spark, sf, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    h = F.md5("t")
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
+    ) % _HASH_DIM
+    sign = F.when(F.ascii(F.substring(h, 3, 1)) % 2 == 0, 1).otherwise(-1)
+    return (
+        tok.select("doc_id", bucket.cast("bigint").alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").cast("bigint").alias("w"))
+        .filter(F.col("w") != 0)
+        .orderBy("doc_id", "bucket")
+    )

@@ -831,3 +831,74 @@ def q_qual_03(spark, sf):
         )
     )
     return oagg.unionByName(liagg).unionByName(ref).orderBy("rule")
+
+
+_BFS_SQL = """
+WITH RECURSIVE
+nn AS (SELECT COUNT(*) AS n FROM customer),
+edges AS (
+    SELECT c_custkey AS src, (c_custkey * 7 + 1) % n AS dst FROM customer, nn
+    UNION ALL
+    SELECT c_custkey AS src, (c_custkey * 13 + 2) % n AS dst FROM customer, nn
+),
+bfs(k, d) AS (
+    SELECT c_custkey, 0 FROM customer WHERE c_custkey < 5
+    UNION ALL
+    SELECT e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.k WHERE b.d < 3
+)
+SELECT d AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(k) AS BIGINT) AS sum_nodes
+FROM (SELECT k, MIN(d) AS d FROM bfs GROUP BY k) m
+GROUP BY dist ORDER BY dist
+"""
+
+
+@register("Q-GRAPH-03", sql=_BFS_SQL)
+def q_graph_03(spark, sf):
+    """k-hop BFS reachability (3 hops from a 5-node seed set) — the
+    third graph primitive beside Q-GRAPH-01's PageRank and Q-GRAPH-02's
+    triangles, and the shape of every "blast radius" / n-degree-of-
+    separation query. Same synthetic bijective graph as PageRank
+    (k → (7k+1) mod N and (13k+2) mod N). Distances are exact ints;
+    per-distance node counts and id-sums are the hash carrier. The
+    oracle is a bounded recursive CTE.
+
+    Scale shape: frontier expansion — per hop, one join of the CURRENT
+    frontier (not the whole visited set) against the static edge list,
+    then a min-distance groupBy to drop re-reached nodes. Work per hop
+    is O(frontier × degree); the visited set only ever participates in
+    the cheap min-aggregate. This is the BFS plan that survives
+    power-law graphs, where re-walking the visited set each round
+    (the naive recursive-CTE translation) does not. 3 unrolled hops
+    keep the lineage shallow (no checkpoint needed); open-ended
+    traversals use connected_components' localCheckpoint-per-round
+    discipline (dedup.py)."""
+    cust = load(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    n_total = cust.count()
+    e1 = cust.select(
+        F.col("k").alias("src"), ((F.col("k") * 7 + 1) % n_total).alias("dst")
+    )
+    e2 = cust.select(
+        F.col("k").alias("src"), ((F.col("k") * 13 + 2) % n_total).alias("dst")
+    )
+    edges = e1.union(e2).persist()
+    dist = cust.filter(F.col("k") < 5).select(
+        "k", F.lit(0).cast("long").alias("d")
+    )
+    frontier = dist
+    for hop in (1, 2, 3):
+        reached = (
+            edges.join(frontier, edges.src == frontier.k)
+            .select(F.col("dst").alias("k"), F.lit(hop).cast("long").alias("d"))
+            .distinct()
+        )
+        dist = dist.union(reached).groupBy("k").agg(F.min("d").alias("d"))
+        frontier = dist.filter(F.col("d") == hop)
+    return (
+        dist.groupBy(F.col("d").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("k").cast("bigint").alias("sum_nodes"),
+        )
+        .orderBy("dist")
+    )

@@ -937,3 +937,179 @@ def g_clone_01(spark, sf):
         .select("src_n", "src_key_sum", "clone_n", "clone_key_sum")
         .localCheckpoint()
     )
+
+
+_AUDIT_SQL = """
+WITH rollup_good AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_c
+    FROM orders GROUP BY day
+),
+bad AS (
+    SELECT CASE WHEN dayofmonth(day) % 7 = 0 THEN NULL ELSE day END AS day
+    FROM rollup_good
+),
+stats AS (
+    SELECT (SELECT COUNT(*) FROM rollup_good) AS n_good,
+           (SELECT COUNT(*) FROM bad WHERE day IS NULL) AS bad_nulls
+)
+SELECT * FROM (
+    SELECT 1 AS attempt, CAST(n_good AS BIGINT) AS n_rows,
+           CAST(bad_nulls AS BIGINT) AS n_violations,
+           CAST(0 AS BIGINT) AS published,
+           CAST(0 AS BIGINT) AS published_rows_after
+    FROM stats
+    UNION ALL
+    SELECT 2, CAST(n_good AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+           CAST(n_good AS BIGINT)
+    FROM stats
+) t ORDER BY attempt
+"""
+
+
+@register("G-AUDIT-01", sql=_AUDIT_SQL)
+def g_audit_01(spark, sf):
+    """Write-Audit-Publish (WAP) — the staging gate every governed
+    table write passes: the rollup lands in a STAGING location, the
+    audit suite runs against the staged files (never the live table),
+    and only a passing audit atomically publishes (directory rename)
+    — a failing one leaves the live table untouched. Two attempts are
+    exercised: a corrupted build (NULL keys planted on day%7==0 rows)
+    that must be rejected, then a clean build that must publish. The
+    witness log carries per-attempt row/violation counts and the rows
+    visible in the PUBLISHED location after each attempt — proving
+    readers never saw the bad build.
+
+    Scale shape: staging is an ordinary distributed write; the audit
+    is one aggregate over the staged files; publish is an O(1)
+    metadata swap (rename here; a manifest pointer flip in G-SNAP-01's
+    versioned layout — same discipline Iceberg's WAP branch feature
+    institutionalizes). Audit cost tracks the staged increment, not
+    the table."""
+    import os
+
+    base = scratch_dir("wap")
+    staging = os.path.join(base, "staging")
+    published = os.path.join(base, "published")
+
+    rollup = (
+        load(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("rev_c"),
+        )
+    )
+    bad = rollup.withColumn(
+        "day", F.when(F.dayofmonth("day") % 7 == 0, None).otherwise(F.col("day"))
+    )
+
+    def stage_audit_publish(df, attempt):
+        df.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        n_rows = staged.count()
+        n_violations = staged.filter(F.col("day").isNull()).count()
+        ok = n_violations == 0 and n_rows > 0
+        if ok:
+            import shutil
+
+            shutil.rmtree(published, ignore_errors=True)
+            os.replace(staging, published)  # atomic metadata swap
+        after = (
+            spark.read.parquet(published).count()
+            if os.path.exists(published)
+            else 0
+        )
+        return (attempt, n_rows, n_violations, int(ok), after)
+
+    log = [stage_audit_publish(bad, 1), stage_audit_publish(rollup, 2)]
+    return spark.createDataFrame(
+        log,
+        "attempt bigint, n_rows bigint, n_violations bigint, "
+        "published bigint, published_rows_after bigint",
+    ).orderBy("attempt")
+
+
+_BACKFILL2_SQL = """
+WITH e AS (
+    SELECT date_trunc('microseconds', ts) AS ts, event_id FROM events
+),
+ordered AS (
+    SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rn FROM e
+),
+serving AS (
+    SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+    FROM ordered WHERE rn > 64 GROUP BY h
+),
+truth AS (
+    SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n FROM ordered GROUP BY h
+),
+late_hours AS (
+    SELECT DISTINCT date_trunc('hour', ts) AS h FROM ordered WHERE rn <= 64
+)
+SELECT t.h AS h,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS old_n,
+       CAST(t.n AS BIGINT) AS new_n,
+       CAST(t.n - COALESCE(s.n, 0) AS BIGINT) AS delta
+FROM late_hours lh
+JOIN truth t ON t.h = lh.h
+LEFT JOIN serving s ON s.h = lh.h
+ORDER BY h
+"""
+
+
+@register("G-BACKFILL-02", sql=_BACKFILL2_SQL)
+def g_backfill_02(spark, sf):
+    """Late-data reconciliation — the batch half of the contract
+    S-WM-02's drop accounting promises: watermark-dropped rows are not
+    lost, they are ROUTED to a daily backfill that recomputes exactly
+    the affected windows from the full store and merges corrections
+    into the serving rollup. The fixture mirrors S-WM-02: the serving
+    table is the rollup WITHOUT the 64 earliest rows (what streaming
+    kept), the late set is those 64 rows, and the output is the
+    correction log (window, old, new, delta) for the touched hours
+    only.
+
+    Scale shape: the late set drives everything — affected windows are
+    its distinct hours (a semi-join key list, broadcast-small by
+    definition of "late trickle"), the recompute scans only those
+    windows (partition-prunable on a date-partitioned store, the
+    G-DELETE-02 pruning discipline), and the merge touches only those
+    serving rows. Reconciliation cost tracks the lateness volume, not
+    the table."""
+    ev = load(spark, sf, "events").select("ts", "event_id")
+    w = Window.orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    late = ranked.filter(F.col("rn") <= 64)
+    kept = ranked.filter(F.col("rn") > 64)
+
+    serving = kept.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    late_hours = late.select(
+        F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    truth = (
+        load(spark, sf, "events")
+        .join(F.broadcast(late_hours), F.date_trunc("hour", "ts") == late_hours.h)
+        .groupBy(F.date_trunc("hour", "ts").alias("h2"))
+        .agg(F.count(F.lit(1)).alias("new_n"))
+    )
+    return (
+        late_hours.join(truth, late_hours.h == truth.h2)
+        .join(serving.withColumnRenamed("n", "old_raw").withColumnRenamed("h", "h3"),
+              late_hours.h == F.col("h3"), "left")
+        .select(
+            "h",
+            F.coalesce("old_raw", F.lit(0)).cast("bigint").alias("old_n"),
+            F.col("new_n").cast("bigint").alias("new_n"),
+            (F.col("new_n") - F.coalesce("old_raw", F.lit(0)))
+            .cast("bigint")
+            .alias("delta"),
+        )
+        .orderBy("h")
+    )

@@ -237,3 +237,69 @@ def l_mix_04(spark, sf):
         )
         .orderBy("lang")
     )
+
+
+_MIX5_SQL = """
+WITH src AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+    FROM documents GROUP BY source
+),
+budget AS (
+    SELECT CAST(SUM(tokens) AS BIGINT) AS b_total,
+           CAST(COUNT(*) AS BIGINT) AS n_src
+    FROM src
+)
+SELECT source, n_docs, tokens,
+       CAST(b_total // n_src AS BIGINT) AS quota,
+       CAST(LEAST(4, (b_total // n_src) // tokens) AS BIGINT) AS full_epochs,
+       CAST(CASE WHEN (b_total // n_src) // tokens >= 4 THEN 0
+                 ELSE (b_total // n_src) % tokens END AS BIGINT)
+           AS partial_tokens
+FROM src, budget ORDER BY source
+"""
+
+
+@register("L-MIX-05", sql=_MIX5_SQL)
+def l_mix_05(spark, sf):
+    """Epoch-repetition schedule for data-constrained training
+    (the Muennighoff et al. 2023 regime): the total token budget is
+    split equally across sources, and each source fills its quota by
+    FULL repeats (capped at 4 epochs — repeated data stops helping
+    around there) plus a partial-epoch remainder — small curated
+    sources repeat, large crawl sources truncate. All integer
+    arithmetic (floor-division quotas), so the schedule is
+    byte-reproducible; the partial-epoch remainder would then drive
+    L-MIX-01's deterministic md5 sampling to pick WHICH tokens fill
+    it.
+
+    Scale shape: one pass for per-source token counts (map-side
+    combined), a scalar budget row carried by cross join — the
+    schedule itself is dimension-sized. The expensive part of mixture
+    building (the actual sampling) stays map-only downstream."""
+    docs = load(spark, sf, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
+    )
+    budget = src.agg(
+        F.sum("tokens").cast("bigint").alias("b_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    )
+    quota = F.expr("b_total DIV n_src")  # exact int64 floor division
+    epochs = F.expr("(b_total DIV n_src) DIV tokens")
+    full = F.least(F.lit(4).cast("bigint"), epochs)
+    partial = F.when(epochs >= 4, F.lit(0)).otherwise(
+        F.expr("(b_total DIV n_src) % tokens")
+    )
+    return (
+        src.crossJoin(F.broadcast(budget))
+        .select(
+            "source", "n_docs", "tokens",
+            quota.alias("quota"),
+            full.cast("bigint").alias("full_epochs"),
+            partial.cast("bigint").alias("partial_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -2035,3 +2035,59 @@ def q_agg_25(spark, sf):
         )
         .orderBy("grp")
     )
+
+
+_SALT_BUCKETS = 8
+
+
+@register(
+    "Q-JOIN-15",
+    sql="SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)"
+    " * length(e.event_type)) AS BIGINT) AS weighted_c "
+    f"FROM {EVENTS_US} e GROUP BY e.event_type ORDER BY e.event_type",
+)
+def q_join_15(spark, sf):
+    """Salted skew join — the manual remedy when a shuffle join's key
+    distribution is pathological (a handful of hot keys owning most
+    rows, here event_type over the whole fact table): the fact side
+    gets a deterministic salt (event_id mod 8), the dimension side is
+    replicated once per salt value (map-only explode, no join), and
+    the join key becomes (key, salt) — each hot key now spreads across
+    8 reducers instead of melting one. The oracle states the UNSALTED
+    semantics, so the hash check proves the salting transform is
+    output-invariant, which is the part people get wrong (forgetting
+    to replicate the dim to EVERY salt silently drops rows).
+
+    Honesty at this scale: a 5-row dim would broadcast and no salting
+    would be needed — the join is hinted shuffle_hash to make the
+    pattern load-bearing (same discipline as Q-JOIN-13's bloom lever).
+    Production triggers: AQE's skew-join split handles SORT-MERGE skew
+    automatically (proven in tests/test_plans.py); explicit salting is
+    for the cases AQE can't re-plan — aggregations keyed on the hot
+    column and non-splittable join types."""
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_c"),
+    )
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("long"))
+        .withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)])),
+        )
+    )
+    fact = ev.withColumn("salt", (F.col("event_id") % _SALT_BUCKETS).cast("int"))
+    return (
+        fact.hint("shuffle_hash")
+        .join(dim, ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("v_c") * F.col("weight")).cast("bigint").alias("weighted_c"),
+        )
+        .orderBy("event_type")
+    )

@@ -9,6 +9,7 @@ is golden-checked.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.registry import register
@@ -1038,4 +1039,92 @@ def l_text_19(spark, sf):
             F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).cast("bigint").alias("n_oov"),
         )
         .orderBy("doc_id")
+    )
+
+
+_PMI_SQL = """
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+total AS (SELECT COUNT(*) AS n FROM toks),
+bg AS (
+    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+    FROM (SELECT string_split(text, ' ') AS t FROM documents) x
+),
+big AS (
+    SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2,
+           COUNT(*) AS c12
+    FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 10
+),
+scored AS (
+    SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+           CAST(c12 * n AS BIGINT) AS lift_num,
+           CAST(u1.c * u2.c AS BIGINT) AS lift_den
+    FROM big JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2, total
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+       CAST(c2 AS BIGINT) AS c2, lift_num, lift_den,
+       CAST(lift_num AS DOUBLE) / lift_den AS lift,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(lift_num AS DOUBLE) / lift_den DESC, w1, w2
+       ) AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= 20 ORDER BY rnk
+"""
+
+
+@register("L-TEXT-20", sql=_PMI_SQL)
+def l_text_20(spark, sf):
+    """Collocation mining by pointwise mutual information (lift): the
+    corpus-statistics pass that surfaces multi-word expressions ("new
+    york", "machine learning") worth fusing into single tokens before
+    vocabulary build (L-TEXT-19) or dedup shingling. The lift ratio
+    c12·N / (c1·c2) is carried as an exact int64 numerator/denominator
+    pair; the derived double (and the ranking computed FROM it) is the
+    same IEEE division on both engines, with (w1, w2) tiebreaks, so
+    the top-20 board is hash-identical. Min support c12 ≥ 10 — PMI is
+    notoriously noisy on rare pairs.
+
+    Scale shape: two corpus passes (unigram and bigram counts), each a
+    map-only explode + map-side-combined rollup; the scoring join is
+    bigram-table ⋈ vocabulary (twice) on the word key, and the final
+    top-20 is TakeOrderedAndProject over the support-filtered bigram
+    table. N rides along as a broadcast scalar, not a driver constant."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    bigram_expr = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> struct(element_at(split(text, ' '), i) AS w1, "
+        "element_at(split(text, ' '), i + 1) AS w2))"
+    )
+    big = (
+        docs.select(F.explode(bigram_expr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 10)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("c2").cast("bigint").alias("c2"),
+            (F.col("c12") * F.col("n")).cast("bigint").alias("lift_num"),
+            (F.col("c1") * F.col("c2")).cast("bigint").alias("lift_den"),
+        )
+        .withColumn("lift", F.col("lift_num").cast("double") / F.col("lift_den"))
+    )
+    w = Window.orderBy(F.desc("lift"), "w1", "w2")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+        .orderBy("rnk")
     )

@@ -430,3 +430,80 @@ def q_ts_05(spark, sf):
         .select("user_id", F.col("dist2").cast("bigint").alias("dist2"), "rnk")
         .orderBy("rnk")
     )
+
+
+_TS06_LAGS = 8  # truncation horizon; weights 2^7 .. 2^0
+
+_TS06_NUM = " + ".join(
+    f"COALESCE(lag(x, {i}) OVER w, 0) * {2 ** (_TS06_LAGS - 1 - i)}"
+    for i in range(_TS06_LAGS)
+)
+_TS06_DEN = " + ".join(
+    f"CASE WHEN lag(x, {i}) OVER w IS NOT NULL THEN {2 ** (_TS06_LAGS - 1 - i)} ELSE 0 END"
+    for i in range(_TS06_LAGS)
+)
+
+_TS06_SQL = (
+    "WITH hourly AS ("
+    "  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h, "
+    "  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x "
+    f"  FROM {EVENTS_US} e GROUP BY event_type, h) "
+    "SELECT event_type, h, x, "
+    f"CAST({_TS06_NUM} AS BIGINT) AS ewma_num, "
+    f"CAST({_TS06_DEN} AS BIGINT) AS ewma_den, "
+    f"CAST({_TS06_NUM} AS DOUBLE) / ({_TS06_DEN}) AS ewma "
+    "FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h) "
+    "ORDER BY event_type, h"
+)
+
+
+@register("Q-TS-06", sql=_TS06_SQL)
+def q_ts_06(spark, sf):
+    """Exponentially-weighted moving average in EXACT integer
+    arithmetic: α = 1/2 truncated at 8 lags, so the weights are the
+    powers 2^7..2^0 and the smoothed value is an int64 numerator over
+    an int64 denominator (adjusted for series starts) — bit-identical
+    across engines and aggregation orders, which float EWMA recursion
+    (r_t = αx + (1-α)r_{t-1}) never is. Truncation error is bounded by
+    2^-8 of the signal, below any monitoring threshold; the derived
+    double is the same division on both engines.
+
+    Scale shape: one shuffle to the (event_type, hour) rollup, then a
+    single per-key window sort that all 8 LAG reads share (one Window
+    operator, one frame). The recursive float form would serialize the
+    whole series through state; the truncated form is a fixed-width
+    frame read — the difference between a streamable plan and a scan
+    dependency chain."""
+    hourly = (
+        load(spark, sf, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    num = sum(
+        F.coalesce(F.lag("x", i).over(w), F.lit(0))
+        * F.lit(2 ** (_TS06_LAGS - 1 - i))
+        for i in range(_TS06_LAGS)
+    )
+    den = sum(
+        F.when(F.lag("x", i).over(w).isNotNull(), 2 ** (_TS06_LAGS - 1 - i))
+        .otherwise(0)
+        for i in range(_TS06_LAGS)
+    )
+    return (
+        hourly.select(
+            "event_type",
+            "h",
+            "x",
+            num.cast("bigint").alias("ewma_num"),
+            den.cast("bigint").alias("ewma_den"),
+            (num.cast("double") / den).alias("ewma"),
+        )
+        .orderBy("event_type", "h")
+    )

@@ -378,3 +378,66 @@ def u_table_02(spark, sf):
         "SELECT * FROM dxs_unpivot_t(TABLE(SELECT * FROM nation_u2)) "
         "ORDER BY key, col"
     )
+
+
+_UT3_SQL = (
+    "WITH r AS (SELECT event_type, event_id, value, "
+    "row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn "
+    f"FROM {EVENTS_US} e) "
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v_sum_c, "
+    "CAST(MIN(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS first_event "
+    "FROM r GROUP BY event_type ORDER BY event_type"
+)
+
+
+@register("U-TABLE-03", sql=_UT3_SQL)
+def u_table_03(spark, sf):
+    """UDTF over a PARTITIONED + ORDERED table argument (Spark 4):
+    ``f(TABLE(t) PARTITION BY k ORDER BY ts)`` hands the function one
+    key's rows at a time, in order, with ``terminate()`` closing each
+    partition — the SQL-standard polymorphic-table-function shape for
+    per-key sequential algorithms (sessionizers, matchers, custom
+    aggregates) that U-TABLE-01/02's row-at-a-time forms can't express.
+    The summarizer here witnesses all three contract points: grouping
+    (one output row per key), ordering (first_event is the FIRST row
+    seen), and accumulation across eval calls.
+
+    Scale shape: Spark shuffles on the PARTITION BY key and sorts each
+    partition before feeding the UDTF — same exchange a groupBy would
+    plan — so the Python boundary is the only overhead. Use it when
+    the per-key logic is genuinely sequential; an associative rollup
+    like this one belongs in a plain groupBy (the oracle's form)."""
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type string, n bigint, v_sum_c bigint, first_event bigint")
+    class PartitionSummary:
+        def __init__(self):
+            self.key = None
+            self.n = 0
+            self.s = 0
+            self.first = None
+
+        def eval(self, row):
+            self.key = row["event_type"]
+            self.n += 1
+            self.s += int(math.floor(row["value"] * 100 + 0.5))
+            if self.first is None:
+                self.first = row["event_id"]
+
+        def terminate(self):
+            if self.n:
+                yield self.key, self.n, self.s, self.first
+
+    spark.udtf.register("dxs_part_summary", PartitionSummary)
+    load(spark, sf, "events").select(
+        "event_type", "event_id", "ts", "value"
+    ).createOrReplaceTempView("events_u3")
+    return spark.sql(
+        "SELECT * FROM dxs_part_summary("
+        "TABLE(SELECT * FROM events_u3) "
+        "PARTITION BY event_type ORDER BY (ts, event_id)"
+        ") ORDER BY event_type"
+    )

@@ -510,3 +510,56 @@ def q_win_15(spark, sf):
         .filter(F.col("n_hits") > 0)
         .orderBy("user_id")
     )
+
+
+@register(
+    "Q-WIN-16",
+    sql="WITH daily AS ("
+    "  SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS daily_users "
+    "  FROM events GROUP BY day), "
+    "news AS ("
+    "  SELECT d0 AS day, COUNT(*) AS new_users FROM ("
+    "    SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id"
+    "  ) f GROUP BY d0) "
+    "SELECT daily.day AS day, CAST(daily_users AS BIGINT) AS daily_users, "
+    "CAST(COALESCE(new_users, 0) AS BIGINT) AS new_users, "
+    "CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY daily.day) AS BIGINT) "
+    "  AS cum_users "
+    "FROM daily LEFT JOIN news ON daily.day = news.day ORDER BY day",
+)
+def q_win_16(spark, sf):
+    """Running DISTINCT count (cumulative uniques): per day, the active
+    users, the first-time users, and the distinct users seen TO DATE —
+    the growth-dashboard staple. The trick that makes it scale: a naive
+    COUNT(DISTINCT) over an expanding window re-deduplicates the whole
+    history per day (O(days × users)); instead each user contributes
+    once at their MIN(day) and the cumulative distinct count is a plain
+    running SUM of those first-appearance counts — one groupBy on the
+    high-cardinality key, then day-level arithmetic.
+
+    Scale shape: one shuffle on user_id (pre-aggregated map-side), one
+    on day; the running sum's unpartitioned window runs over day-level
+    rows (≤ calendar size, dimension-scale by construction)."""
+    ev = load(spark, sf, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("daily_users")
+    )
+    news = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(news, "day", "left")
+        .select(
+            "day",
+            "daily_users",
+            F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w).cast("bigint"))
+        .orderBy("day")
+    )

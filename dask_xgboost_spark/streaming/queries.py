@@ -1028,3 +1028,53 @@ def s_sink_05(spark, sf):
         F.sum("user_id").cast("bigint").alias("user_sum"),
         F.count_distinct("event_id").cast("bigint").alias("n_distinct"),
     ).localCheckpoint()
+
+
+@register(
+    "S-SINK-06",
+    sql="SELECT event_id, CAST(ts AS DATE) AS day, event_type "
+    f"FROM {EVENTS_US} e ORDER BY event_id",
+    mode="stream",
+)
+def s_sink_06(spark, sf):
+    """PARTITIONED streaming file sink: writeStream.partitionBy(day) —
+    the layout decision that makes a continuously-ingested table
+    servable: each micro-batch appends only into the day directories
+    it touches, and downstream readers prune by partition exactly as
+    on a batch-written table (Q-SCAN-05's discipline, maintained
+    continuously). The sink holds the full projection; the partition
+    column round-trips through the directory encoding (day=... paths)
+    and comes back typed DATE.
+
+    Scale shape: partition dirs bound both the ingest blast radius
+    (a batch writes |touched days| directories) and the serving scan
+    (date filters prune at the listing level). Watch small-files: one
+    file per (batch × day) — G-COMPACT-01 is the companion job."""
+    import os
+
+    from dask_xgboost_spark.streaming.core import events_stream
+
+    ev = events_stream(spark, sf, n_files=4, max_files_per_trigger=2).select(
+        "event_id", F.to_date("ts").alias("day"), "event_type"
+    )
+    out_dir = scratch_mkdtemp("dxs_psink_")
+    ckpt = scratch_mkdtemp("dxs_ckpt_")
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("day")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert any(d.startswith("day=") for d in os.listdir(out_dir)), (
+        "expected hive-partitioned day= directories"
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .select("event_id", "day", "event_type")
+        .orderBy("event_id")
+        .localCheckpoint()
+    )

@@ -34,6 +34,11 @@ SAMPLE = [
     "M-PREP-09", "G-DELETE-02", "L-SIM-10", "M-EVAL-04", "Q-GEO-05",
     "Q-AGG-24", "Q-WIN-15", "Q-DATE-08", "G-SNAP-02", "Q-JOIN-14",
     "Q-GEO-06", "Q-TS-05", "L-MM-06", "M-PREP-10", "Q-AGG-25",
+    # round-6 additions: running distinct, BFS, EWMA, ranking eval,
+    # feature hashing, late-data reconciliation, salted join, PMI
+    # collocations, epoch schedule, partitioned UDTF
+    "Q-WIN-16", "Q-GRAPH-03", "Q-TS-06", "M-EVAL-05", "M-PREP-11",
+    "G-BACKFILL-02", "Q-JOIN-15", "L-TEXT-20", "L-MIX-05", "U-TABLE-03",
 ]
 
 
