@@ -1044,3 +1044,60 @@ def m_prep_11(spark, sf):
         .filter(F.col("w") != 0)
         .orderBy("doc_id", "bucket")
     )
+
+
+_PREP12_SQL = """
+WITH b AS (
+    SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events
+),
+bounds AS (SELECT MIN(ts) AS t0 FROM b),
+tagged AS (
+    SELECT event_id, user_id,
+           CASE WHEN ts <  t0 + INTERVAL 21 DAY THEN 'train'
+                WHEN ts <  t0 + INTERVAL 23 DAY THEN 'embargo'
+                ELSE 'valid' END AS split
+    FROM b, bounds
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tagged GROUP BY split ORDER BY split
+"""
+
+
+@register("M-PREP-12", sql=_PREP12_SQL)
+def m_prep_12(spark, sf):
+    """Purged time-series train/validation split (the de Prado
+    protocol): train strictly BEFORE the cut, an embargo gap (2 days
+    here) PURGED entirely, validation strictly after — the split that
+    keeps label horizons and autocorrelated features from leaking
+    across the boundary, which M-PREP-07's entity-hash split cannot
+    guarantee for temporal data (the same user's adjacent events land
+    on both sides). The witness is per-split counts, id checksums, and
+    user overlap-relevant distinct counts.
+
+    Scale shape: one scalar min (map-combined) broadcast back, then a
+    map-only CASE tag and one rollup — the split column then drives
+    partitioned writes so train/valid never co-scan. Nothing
+    driver-side."""
+    ev = load(spark, sf, "events").select("event_id", "user_id", "ts")
+    bounds = ev.agg(F.min("ts").alias("t0"))
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("ts") < F.col("t0") + F.expr("INTERVAL 21 DAY"), "train"
+        )
+        .when(F.col("ts") < F.col("t0") + F.expr("INTERVAL 23 DAY"), "embargo")
+        .otherwise("valid")
+        .alias("split"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("split")
+    )

@@ -248,9 +248,12 @@ def q_subq_04(spark, sf):
     "FROM h ORDER BY node",
 )
 def q_cte_02(spark, sf):
-    """Recursive CTE (hierarchy walk) — Spark has no WITH RECURSIVE, so
-    the engine runs the standard distributed equivalent: level-synchronous
-    frontier BFS. The hierarchy is synthesized in-query from customer keys
+    """Recursive CTE (hierarchy walk) as the explicit distributed
+    equivalent: level-synchronous frontier BFS. (Spark 4 grew native
+    WITH RECURSIVE — Q-CTE-03 runs that form on this build; this entry
+    keeps the iterative translation, which is what you write on engines
+    or Spark versions without it, and what the native operator executes
+    underneath anyway.) The hierarchy is synthesized in-query from customer keys
     (parent(k) = k // 2, a binary tree rooted at key 0, contiguous TPC-H
     keys guarantee every parent exists); the oracle is DuckDB's native
     WITH RECURSIVE over the same tree.
@@ -434,3 +437,38 @@ def q_subq_07(spark, sf):
     load(spark, sf, "events").createOrReplaceTempView("events")
     load(spark, sf, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SUBQ7_SQL)
+
+
+_CTE3_SQL = (
+    "WITH RECURSIVE tree(k, depth) AS ("
+    "  SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth "
+    "  UNION ALL "
+    "  SELECT c.c_custkey, t.depth + 1 FROM tree t JOIN customer c "
+    "  ON c.c_custkey IN (t.k * 3, t.k * 3 + 1, t.k * 3 + 2) "
+    "  AND c.c_custkey <> 0"
+    ") "
+    "SELECT depth, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(k) AS BIGINT) AS sum_k "
+    "FROM tree GROUP BY depth ORDER BY depth"
+)
+
+
+@register("Q-CTE-03", sql=_CTE3_SQL)
+def q_cte_03(spark, sf):
+    """NATIVE ``WITH RECURSIVE`` (landed in Spark 4): the ternary-tree
+    hierarchy walk (children of k are 3k, 3k+1, 3k+2 within the
+    customer key space) executed by Catalyst's own recursion operator
+    — the SAME SQL text runs on both engines, the strongest possible
+    oracle form. Complements Q-CTE-02, which keeps the pre-4.x
+    iterative-DataFrame translation of the same pattern for engines
+    (and Spark versions) without native recursion.
+
+    Scale shape: Catalyst executes recursive CTEs as an iterated
+    union — per level, one join of the previous level against the
+    base table, exactly the loop Q-CTE-02 hand-writes. Depth is
+    log₃(N) here (~9 levels at sf0.01); for unbounded-depth graphs
+    prefer the frontier discipline of Q-GRAPH-03 (and add an explicit
+    depth bound — recursion without one is a correctness review item,
+    not a style choice)."""
+    load(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_CTE3_SQL)

@@ -2091,3 +2091,61 @@ def q_join_15(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+_CODECS = ("none", "snappy", "gzip", "zstd")
+
+_SCAN15_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS codec, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum, "
+    "CAST(SUM(l_orderkey) AS BIGINT) AS key_sum FROM lineitem"
+    for c in _CODECS
+) + " ORDER BY codec"
+
+
+@register("Q-SCAN-15", sql=_SCAN15_SQL)
+def q_scan_15(spark, sf):
+    """Parquet compression-codec matrix: the same projection written
+    under none/snappy/gzip/zstd and read back — every codec must
+    round-trip byte-exactly (the oracle recomputes each codec row from
+    the source table). The file suffixes prove the codec actually
+    applied (asserted here, not just configured).
+
+    Scale shape / codec doctrine at 100 TB: snappy (the default) for
+    hot data — cheapest CPU per byte; zstd for warm/cold — ~30-50%
+    smaller at moderate CPU, and the usual right answer when the
+    bottleneck is object-store bandwidth or capacity cost; gzip only
+    for legacy readers (zstd dominates it on both axes); uncompressed
+    only when the medium compresses below (rare). Codec is per-column-
+    chunk metadata, so readers mix freely — changing the table default
+    never requires a rewrite."""
+    import glob as _glob
+    import os
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    out = []
+    for codec in _CODECS:
+        d = scratch_dir(f"codec_{codec}")
+        li.write.mode("overwrite").option("compression", codec).parquet(d)
+        files = _glob.glob(os.path.join(d, "*.parquet"))
+        suffix = {"none": ".parquet", "snappy": ".snappy.parquet",
+                  "gzip": ".gz.parquet", "zstd": ".zstd.parquet"}[codec]
+        assert files and all(f.endswith(suffix) for f in files), (
+            codec, files[:2]
+        )
+        back = spark.read.parquet(d)
+        out.append(
+            back.agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("l_quantity").cast("bigint"))
+                .cast("bigint")
+                .alias("qty_sum"),
+                F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    # materialized: each codec dir is per-tag scratch a later call wipes
+    return res.orderBy("codec").localCheckpoint()

@@ -1030,3 +1030,63 @@ def q_date_08(spark, sf):
         )
         .orderBy("o_orderkey")
     )
+
+
+_ARR8_SQL = """
+WITH base AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), x -> CAST(length(x) AS BIGINT))
+               AS lens
+    FROM documents
+),
+paired AS (
+    SELECT doc_id, lens, list_reverse(lens) AS rev, len(lens) AS m FROM base
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(1, m + 1), i -> lens[i] * rev[i]))
+            AS BIGINT) AS dot_rev,
+       CAST(len(list_filter(lens, x -> x > 4)) AS BIGINT) AS n_long,
+       CAST(CASE WHEN list_max(lens) >= 8 THEN 1 ELSE 0 END AS BIGINT) AS any8,
+       CAST(CASE WHEN len(list_filter(lens, x -> x <= 0)) = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS all_pos
+FROM paired ORDER BY doc_id
+"""
+
+
+@register("Q-ARR-08", sql=_ARR8_SQL)
+def q_arr_08(spark, sf):
+    """Higher-order-function suite over arrays — ``zip_with`` +
+    ``aggregate`` (the fold), ``filter``, ``exists``, ``forall`` — the
+    expressions that keep per-row vector math INSIDE whole-stage
+    codegen instead of exploding to rows or dropping to Python (the
+    same zip_with/aggregate pair the similarity family uses for dot
+    products, exercised here on exact integer token-length vectors so
+    every engine pair hash-matches). dot_rev is a fold over
+    zip_with(lens, reverse(lens), *): a self-convolution that needs
+    BOTH lanes of the zip.
+
+    Scale shape: map-only — no explode, no shuffle, no UDF; array
+    length bounds per-row cost. The explode-then-rejoin alternative
+    (Q-ARR-02's shape) shuffles |tokens| rows to compute the same
+    numbers."""
+    lens = F.expr(
+        "transform(split(text, ' '), x -> CAST(length(x) AS BIGINT))"
+    )
+    base = load(spark, sf, "documents").select("doc_id", lens.alias("lens"))
+    return (
+        base.select(
+            "doc_id",
+            F.expr(
+                "aggregate(zip_with(lens, reverse(lens), (a, b) -> a * b), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot_rev"),
+            F.expr("CAST(size(filter(lens, x -> x > 4)) AS BIGINT)").alias("n_long"),
+            F.expr(
+                "CAST(CASE WHEN exists(lens, x -> x >= 8) THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("any8"),
+            F.expr(
+                "CAST(CASE WHEN forall(lens, x -> x > 0) THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("all_pos"),
+        )
+        .orderBy("doc_id")
+    )

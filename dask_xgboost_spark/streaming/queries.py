@@ -1078,3 +1078,53 @@ def s_sink_06(spark, sf):
         .orderBy("event_id")
         .localCheckpoint()
     )
+
+
+@register(
+    "S-JOIN-05",
+    sql="SELECT c.event_id AS click_id "
+    f"FROM {EVENTS_US} c WHERE c.event_type = 'click' AND EXISTS ("
+    f"SELECT 1 FROM {EVENTS_US} p WHERE p.event_type = 'purchase' "
+    "AND p.user_id = c.user_id AND p.ts > c.ts "
+    "AND p.ts <= c.ts + INTERVAL 30 MINUTE) "
+    "ORDER BY click_id",
+    mode="stream",
+)
+def s_join_05(spark, sf):
+    """LEFT SEMI stream-stream join — completing the streaming join
+    matrix (inner S-JOIN-01, left outer S-JOIN-03, full outer
+    S-JOIN-04): emit each click AT MOST ONCE as soon as one in-window
+    purchase arrives, never duplicated by additional matches — the
+    streaming EXISTS. Unmatched clicks simply age out of state at the
+    watermark; like the outer joins, the replay's far-future sentinels
+    push the final watermark past every real row so availableNow
+    terminates with no undecided state.
+
+    Scale shape: state is the same two-sided watermark-bounded buffer
+    as the inner join, but the left row can be dropped from state the
+    moment it matches (no need to remember it for further matches) —
+    semi is the cheapest stateful join mode per matched row."""
+    clicks = (
+        events_stream(spark, sf, future_sentinels=["click", "purchase"])
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf, future_sentinels=["click", "purchase"])
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+        "left_semi",
+    )
+    out = run_to_memory(joined.select("click_id"), "append")
+    return out.filter(F.col("click_id") >= 0).orderBy("click_id")
