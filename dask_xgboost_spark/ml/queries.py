@@ -1101,3 +1101,71 @@ def m_prep_12(spark, sf):
         )
         .orderBy("split")
     )
+
+
+_EVAL6_SQL = """
+WITH s AS (
+    SELECT event_type, ts, event_id,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y_c
+    FROM events
+),
+p AS (
+    SELECT event_type, y_c,
+           lag(y_c) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+               AS yhat_c
+    FROM s
+),
+d AS (SELECT event_type, y_c, yhat_c FROM p WHERE yhat_c IS NOT NULL)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(ABS(y_c - yhat_c)) AS BIGINT) AS abs_err_c,
+       CAST(SUM((y_c - yhat_c) * (y_c - yhat_c)) AS BIGINT) AS sq_err_c2,
+       CAST(SUM(y_c) AS BIGINT) AS y_sum_c,
+       CAST(SUM(y_c * y_c) AS BIGINT) AS y_sq_c2,
+       CAST(SUM(ABS(y_c - yhat_c)) AS DOUBLE) / COUNT(*) / 100 AS mae
+FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("M-EVAL-06", sql=_EVAL6_SQL)
+def m_eval_06(spark, sf):
+    """Distributed regression / forecasting evaluation in exact integer
+    moments — the missing leg beside the classification (M-EVAL-01/02/
+    03/04) and ranking (M-EVAL-05) evals: per series, MAE and the
+    sufficient statistics for RMSE and R² (Σ|e|, Σe², Σy, Σy², n — all
+    int64 at cents scale), against the PERSISTENCE baseline ŷ_t =
+    y_{t-1}, the forecast every model must beat before it ships. MAE's
+    absolute error stays exact because both y and ŷ are integer cents;
+    the derived double is one int÷int division.
+
+    Scale shape: one per-series window (LAG) on the (type, time) key —
+    the same single shuffle the feature pipeline already does — then a
+    map-combined five-moment rollup to one row per series. Swapping in
+    a real model's predictions changes the LAG column to a join
+    against the scored table; the moment algebra is unchanged."""
+    s = load(spark, sf, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y_c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = (
+        s.withColumn("yhat_c", F.lag("y_c").over(w))
+        .filter(F.col("yhat_c").isNotNull())
+        .withColumn("e", F.col("y_c") - F.col("yhat_c"))
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.abs("e")).cast("bigint").alias("abs_err_c"),
+            F.sum(F.col("e") * F.col("e")).cast("bigint").alias("sq_err_c2"),
+            F.sum("y_c").cast("bigint").alias("y_sum_c"),
+            F.sum(F.col("y_c") * F.col("y_c")).cast("bigint").alias("y_sq_c2"),
+        )
+        .withColumn(
+            "mae", F.col("abs_err_c").cast("double") / F.col("n") / 100
+        )
+        .orderBy("event_type")
+    )
