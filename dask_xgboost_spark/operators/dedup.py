@@ -756,3 +756,111 @@ def l_dedup_12(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_admitted"),
         F.sum("doc_id").cast("bigint").alias("admitted_id_sum"),
     )
+
+
+_DEDUP13_SQL = """
+WITH base AS (
+    SELECT vec_id,
+           list_prepend(CAST(embedding[1] AS DOUBLE),
+                        list_transform(embedding[2:64],
+                                       x -> CAST(x AS DOUBLE))) AS e
+    FROM embeddings
+),
+pert AS (
+    SELECT vec_id + 100000 AS vec_id,
+           list_prepend(e[1] + 0.0009765625, e[2:64]) AS e
+    FROM base WHERE vec_id % 25 = 0
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+q AS (
+    SELECT vec_id,
+           list_transform(e, x -> CAST(FLOOR(x * 1024) AS BIGINT)) AS qv
+    FROM allv
+),
+b AS (
+    SELECT vec_id, qv,
+           CAST(list_sum(list_transform(range(1, 17),
+               i -> CASE WHEN qv[i] >= 0 THEN 1 << (i - 1) ELSE 0 END))
+               AS BIGINT) AS bucket
+    FROM q
+),
+pairs AS (
+    SELECT a.vec_id AS a, bb.vec_id AS b,
+           CAST(list_sum(list_transform(range(1, 65),
+               i -> (a.qv[i] - bb.qv[i]) * (a.qv[i] - bb.qv[i])))
+               AS BIGINT) AS dist2
+    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+)
+SELECT a, b, dist2 FROM pairs WHERE dist2 <= 100 ORDER BY a, b
+"""
+
+
+@register("L-DEDUP-13", sql=_DEDUP13_SQL)
+def l_dedup_13(spark, sf):
+    """Embedding near-duplicate detection via SIGN-BUCKET blocking
+    (SemDeDup-lite): the 16 leading sign bits of the ×1024-quantized
+    vector form a deterministic 2¹⁶-bucket SimHash; candidate pairs
+    are generated ONLY within a bucket (equi-join, never all-pairs)
+    and verified by EXACT integer squared distance ≤ τ. This is
+    L-DEDUP-05's scale path with a deterministic blocker instead of
+    that entry's brute-force scan — and the embedding-space sibling of
+    L-DEDUP-04's text SimHash. Near-dups are planted in-query (every
+    25th vector re-appears +100000 with its first coordinate nudged
+    +2⁻¹⁰), mirrored exactly by the oracle; the nudge is below one
+    quantization step of the other 63 dims, so each plant lands one
+    dist² unit from its source — inside τ=100, while organic random
+    64-dim pairs sit orders of magnitude outside.
+
+    Known recall edge (documented, inherent to sign blocking): a true
+    near-dup pair straddling a sign boundary in one of the 16 leading
+    dims lands in different buckets — production stacks R independent
+    rotations/bands (L-DEDUP-02's LSH banding) to drive miss
+    probability down exponentially; one band keeps this entry's
+    semantics deterministic and oracle-exact.
+
+    Scale shape: quantize+bucket are map-only; the self-join key is
+    the bucket (expected occupancy n/2¹⁶ — candidate volume near-
+    linear); exact verification touches candidates only."""
+    to_d = F.expr(
+        "concat(array(CAST(element_at(embedding, 1) AS DOUBLE)), "
+        "transform(slice(embedding, 2, 63), x -> CAST(x AS DOUBLE)))"
+    )
+    base = load(spark, sf, "embeddings").select("vec_id", to_d.alias("e"))
+    pert = base.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "concat(array(e[0] + 0.0009765625d), slice(e, 2, 63))"
+        ).alias("e"),
+    )
+    allv = base.unionByName(pert)
+    q = allv.select(
+        "vec_id",
+        F.expr("transform(e, x -> CAST(FLOOR(x * 1024) AS BIGINT))").alias("qv"),
+    )
+    b = q.withColumn(
+        "bucket",
+        F.expr(
+            "aggregate(transform(slice(qv, 1, 16), "
+            "(x, i) -> CASE WHEN x >= 0 THEN shiftleft(CAST(1 AS BIGINT), i) "
+            "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ),
+    )
+    a = b.select(
+        F.col("vec_id").alias("a"), F.col("qv").alias("qa"), "bucket"
+    )
+    bb = b.select(
+        F.col("vec_id").alias("b"), F.col("qv").alias("qb"), "bucket"
+    )
+    pairs = (
+        a.join(bb, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("dist2"),
+        )
+    )
+    return pairs.filter(F.col("dist2") <= 100).orderBy("a", "b")

@@ -668,3 +668,90 @@ def l_sim_10(spark, sf):
         .select("doc_id", "lex_rank", "cosine", "rerank")
         .orderBy("rerank")
     )
+
+
+_SIM11_SQL = """
+WITH q AS (
+    SELECT vec_id AS q_id,
+           list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+    FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS cv
+    FROM embeddings WHERE vec_id % 100 <> 0
+),
+scored AS (
+    SELECT q.q_id, c.vec_id,
+           CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))
+                AS BIGINT) AS score
+    FROM q, c
+),
+rk AS (
+    SELECT q_id, vec_id, score,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+               AS rnk
+    FROM scored
+)
+SELECT q_id, vec_id, score, CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= 3 ORDER BY q_id, rnk
+"""
+
+
+@register("L-SIM-11", sql=_SIM11_SQL)
+def l_sim_11(spark, sf):
+    """Vectorized brute-force scoring via an Arrow-batched numpy
+    matmul — the THIRD exact-scoring tier beside L-SIM-01's JVM HOF
+    dot products and the ANN family: each mapInPandas batch stacks its
+    candidate vectors into an (n × d) int64 matrix and multiplies
+    against the broadcast (k × d) query matrix in ONE numpy call —
+    the BLAS-shaped inner loop a GPU/SIMD scorer would use, with the
+    Python boundary amortized over the whole Arrow batch instead of
+    paid per row. Embeddings are quantized to ×2²⁰ int64 (exactly
+    representable floats → exact products, |q·c| ≤ 64·2³⁹ ≪ 2⁶³), so
+    numpy's integer matmul is bit-exact against the oracle's
+    sequential list sum — which a float64 BLAS matmul (arbitrary
+    summation order) never is: hash-exactness is precisely why the
+    quantized-int path exists (same carrier as L-SIM-06).
+
+    Scale shape: O(n·k) like every exact scorer — correct when k is
+    small (the collect pulls k=5 query vectors for broadcast, the
+    L-SIM-01 pattern); for large k or n, the IVF/LSH/PQ tiers prune
+    candidates first and THIS kernel re-scores the survivors."""
+    import numpy as np
+    import pandas as pd
+
+    quant = F.expr(
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"
+    )
+    emb = load(spark, sf, "embeddings").select("vec_id", quant.alias("qv"))
+    qrows = emb.filter(F.col("vec_id") % 100 == 0).collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.int64)  # (k, d)
+
+    cand = emb.filter(F.col("vec_id") % 100 != 0)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.array(list(pdf["qv"]), dtype=np.int64)  # (n, d)
+            s = cmat @ qmat.T  # exact int64 matmul
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, n),
+                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), len(q_ids)),
+                    "score": s.T.reshape(-1),
+                }
+            )
+
+    scored = cand.mapInPandas(score, "q_id bigint, vec_id bigint, score bigint")
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    )
