@@ -350,9 +350,10 @@ def test_lint_sweep_headline_families(spark, sf_dir):
         if s.sql is not None
         and getattr(s, "mode", "hash") not in ("stream", "golden")
         and n.startswith(("Q-AGG", "Q-JOIN", "Q-TPCH", "Q-WIN", "Q-FIL",
-                          "Q-SORT", "Q-SET", "Q-SUBQ", "Q-CTE-01",
+                          "Q-SORT", "Q-SET", "Q-SUBQ", "Q-CTE-01", "Q-CTE-03",
                           "Q-TS", "Q-DIFF", "Q-GRAPH", "Q-GEO", "Q-SCD",
                           "Q-PIVOT", "Q-QUAL", "G-MV", "G-MASK", "M-EVAL",
+                          "G-BACKFILL-02", "Q-ARR-08",
                           "L-TEXT", "L-DEDUP-0", "L-DEDUP-1",
                           "L-MIX", "L-PIPE-01"))
     ]
