@@ -1113,3 +1113,64 @@ def g_backfill_02(spark, sf):
         )
         .orderBy("h")
     )
+
+
+_STATS1_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(user_id) AS BIGINT) AS min_user,
+       CAST(MAX(user_id) AS BIGINT) AS max_user
+FROM events GROUP BY day ORDER BY day
+"""
+
+
+@register("G-STATS-01", sql=_STATS1_SQL)
+def g_stats_01(spark, sf):
+    """File-statistics metadata table — the ``files``/manifest view
+    every table format exposes (Delta's add-file stats, Iceberg's
+    manifest entries): per partition file, row count and column
+    min/max read from PARQUET FOOTERS ONLY, no data scan. The oracle
+    recomputes the same numbers from the data, so the hash check
+    proves the statistics the pruning layer trusts (G-DELETE-02,
+    Q-JOIN-14, prune_files_by_stats) actually bound the data — a
+    writer that breaks stats breaks pruning CORRECTNESS, and this is
+    the gate that catches it.
+
+    Scale shape: the footer loop is O(files) driver/metadata-plane
+    work — exactly where table formats put it (the manifest IS this
+    loop, materialized at write time). The day-partitioned write
+    routes each day to one file (repartition by the partition column),
+    so file stats and partition stats coincide. Footer num_rows counts
+    every row (nulls included) while column min/max ignore nulls —
+    the same convention SQL COUNT(*)/MIN/MAX has, so the oracle needs
+    no null filtering."""
+    import glob as _glob
+    import os
+    from datetime import date
+
+    import pyarrow.parquet as pq
+
+    d = scratch_dir("stats_table")
+    ev = load(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    ev.repartition("day").write.mode("overwrite").partitionBy("day").parquet(d)
+
+    rows = []
+    for part_dir in sorted(_glob.glob(os.path.join(d, "day=*"))):
+        day = date.fromisoformat(os.path.basename(part_dir).split("=", 1)[1])
+        n = mn = mx = None
+        for f in _glob.glob(os.path.join(part_dir, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "user_id"
+            )
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                n = (n or 0) + md.row_group(g).num_rows
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        rows.append((day, n, mn, mx))
+    return spark.createDataFrame(
+        rows, "day date, n_rows bigint, min_user bigint, max_user bigint"
+    ).orderBy("day")

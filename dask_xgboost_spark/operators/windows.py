@@ -563,3 +563,55 @@ def q_win_16(spark, sf):
         .withColumn("cum_users", F.sum("new_users").over(w).cast("bigint"))
         .orderBy("day")
     )
+
+
+@register(
+    "Q-WIN-17",
+    sql="WITH ud AS ("
+    "  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), "
+    "days AS (SELECT DISTINCT day FROM ud), "
+    "win AS ("
+    "  SELECT d.day AS report_day, ud.user_id FROM days d "
+    "  JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day) "
+    "SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_7d "
+    "FROM win GROUP BY report_day ORDER BY report_day",
+)
+def q_win_17(spark, sf):
+    """Rolling 7-day distinct users (the WAU board) — EXACT sliding
+    distinct, which no window frame computes directly: each distinct
+    (user, active-day) pair is exploded into the ≤7 report days it can
+    influence, deduplicated per (user, report day), and counted. Work
+    is 7 × |user-day pairs| — bounded fan-out, shuffle keys are
+    (user, day) — where the naive per-day range scan re-deduplicates a
+    full week per report day and the oracle's range join (fine at
+    oracle scale) is a per-day rescan. Complements Q-WIN-16
+    (cumulative distinct: expanding window); this is the bounded
+    sliding form.
+
+    Scale shape: one dedup shuffle to user-day pairs (map-side
+    combined), one map-only 7× explode, one count-distinct rollup per
+    report day. For windows of W days the fan-out is W — for large W
+    switch to the sketch path (Q-AGG-17's mergeable HLL per day,
+    union over the window)."""
+    ud = (
+        load(spark, sf, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("report_day"),
+    )
+    return (
+        expanded.join(
+            F.broadcast(days),
+            expanded.report_day == days.day,
+            "left_semi",
+        )
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_7d"))
+        .orderBy("report_day")
+    )
