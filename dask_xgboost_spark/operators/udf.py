@@ -16,6 +16,8 @@ identical inputs, so results are hash-identical.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Window
@@ -440,4 +442,44 @@ def u_table_03(spark, sf):
         "TABLE(SELECT * FROM events_u3) "
         "PARTITION BY event_type ORDER BY (ts, event_id)"
         ") ORDER BY event_type"
+    )
+
+
+@register(
+    "U-SCALAR-03",
+    sql="SELECT o_orderkey, "
+    "CAST((o_orderkey % 97) * 31 + LENGTH(o_orderpriority) AS BIGINT) AS scored "
+    "FROM orders ORDER BY o_orderkey",
+)
+def u_scalar_03(spark, sf):
+    """Iterator-form pandas UDF (``Iterator[Series] → Iterator[Series]``)
+    — the API whose whole reason to exist is EXPENSIVE ONE-TIME INIT:
+    the generator body runs once per executor task, so a model load /
+    tokenizer build / dictionary mmap happens once and amortizes over
+    every Arrow batch that task processes, where the plain series UDF
+    (U-SCALAR-01) gives init no home and per-batch loading dominates.
+    The "model" here is a deterministic 97-entry lookup table built
+    before the loop; the work is exact integer math so the oracle
+    hash-matches.
+
+    Scale shape: identical execution profile to the series form
+    (Arrow batches, vectorized pandas ops) + O(1) inits per task
+    instead of O(batches). This is the pattern M-PRED-04 uses at the
+    mapInPandas tier; this entry pins the scalar-expression tier."""
+    @pandas_udf("long")
+    def scored(
+        batches: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        # one-time per-task init: the stand-in for loading a model
+        table = pd.Series([k * 31 for k in range(97)])
+        for key, prio in batches:
+            yield table.take(key % 97).reset_index(drop=True) + prio.str.len()
+
+    return (
+        load(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            scored("o_orderkey", "o_orderpriority").alias("scored"),
+        )
+        .orderBy("o_orderkey")
     )
