@@ -35,8 +35,8 @@ from dask_xgboost_spark.registry import load_all  # noqa: E402
 # (2) present the newly hash-converted S-WM-01/02 (the late-data
 #     watermark accounting is batch-derivable in ms-truncated epoch
 #     arithmetic; clears the only standing driver FAILs),
-# (3) re-prove Q-TPCH-05 (join order rewritten: ASIA keyset broadcast-
-#     pruned below the fact joins) and Q-TPCH-08,
+# (3) re-prove Q-TPCH-05 and Q-TPCH-07 (join orders rewritten: selective
+#     dim keysets broadcast-pruned below the fact joins),
 # (4) fill with never-driver-checked hash entries, including the
 #     L-MM-02 real-PGM-codec upgrade (hash mode as of r6).
 # Golden-mode (no-oracle) entries stay OUT of the 50-window — each one
@@ -54,7 +54,7 @@ _DRIVER_PRIORITY = [
     # driver FAILs (r4 S-WM-02 no_oracle row) with real oracle rows (2)
     "S-WM-01", "S-WM-02",
     # re-verify after the r6 join-order fix (late dim pruning) (2)
-    "Q-TPCH-05", "Q-TPCH-08",
+    "Q-TPCH-05", "Q-TPCH-07",
     # never-driver-checked hash-mode entries (21)
     "G-BACKFILL-01", "L-MM-04", "G-OBS-01", "Q-SCAN-12",
     "U-GAPPLY-03", "G-SNAP-01", "Q-WIN-13", "L-TEXT-17", "L-TEXT-18",
@@ -95,7 +95,7 @@ _DRIVER_PRIORITY = [
     "Q-SCAN-05", "Q-JOIN-11", "Q-DATE-05", "Q-DATE-06", "Q-JSON-02",
     "Q-WIN-09", "Q-SCAN-06", "Q-SCAN-07", "Q-SCAN-10",
     "Q-AGG-18", "Q-AGG-20", "Q-AGG-21",
-    "Q-TPCH-07", "Q-TPCH-09", "Q-TPCH-11", "Q-TPCH-15",
+    "Q-TPCH-08", "Q-TPCH-09", "Q-TPCH-11", "Q-TPCH-15",
     "Q-SCD-01", "Q-FUNNEL-01", "Q-COHORT-01", "Q-BASKET-01",
     "Q-PROF-01", "Q-QUAL-01", "Q-TREND-01", "Q-GRAPH-01",
     "Q-WIN-10", "Q-WIN-11", "Q-SUBQ-04", "Q-CTE-02",

@@ -477,9 +477,11 @@ def q_graph_01(spark, sf):
         F.col("k").alias("src"), ((F.col("k") * 13 + 2) % n_total).alias("dst")
     )
     # the edge list is consumed by every iteration's join — materialize
-    # it once instead of re-deriving union+projection per round (same
-    # multi-reference idiom as Q-TPCH-15; CacheManager dedupes by plan)
-    edges = e1.union(e2).persist()
+    # it once instead of re-deriving union+projection per round.
+    # localCheckpoint, not persist: same single-session reuse without
+    # leaving a never-unpersisted cache entry behind (a long-lived
+    # driver sweep would accumulate them)
+    edges = e1.union(e2).localCheckpoint()
     ranks = cust.select("k", F.lit(1000000).cast("long").alias("r"))
     for _ in range(3):
         ranks = (
@@ -881,7 +883,11 @@ def q_graph_03(spark, sf):
     e2 = cust.select(
         F.col("k").alias("src"), ((F.col("k") * 13 + 2) % n_total).alias("dst")
     )
-    edges = e1.union(e2).persist()
+    # localCheckpoint, not persist: materialized once for the three hop
+    # joins WITHOUT pinning a cache entry for the rest of the session
+    # (an unpersisted .persist() accumulates storage pressure across a
+    # long-lived driver sweep)
+    edges = e1.union(e2).localCheckpoint()
     dist = cust.filter(F.col("k") < 5).select(
         "k", F.lit(0).cast("long").alias("d")
     )

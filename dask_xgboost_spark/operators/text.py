@@ -52,10 +52,14 @@ def l_text_01(spark, sf):
 def l_text_02(spark, sf):
     """Word bigrams via HOFs (declarative twin of MLlib NGram(n=2))."""
     t = F.split(F.col("text"), " ")
+    # guard: sequence(1, 0) is DESCENDING in Spark — a 1-token doc would
+    # index out of bounds (DuckDB's range(1, 1) is empty and safe)
     bgs = F.expr(
+        "case when size(split(text, ' ')) >= 2 then "
         "transform(sequence(1, size(split(text, ' ')) - 1), "
         "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-        "element_at(split(text, ' '), i + 1)))"
+        "element_at(split(text, ' '), i + 1))) "
+        "else array() end"
     )
     return (
         load(spark, sf, "documents")
@@ -1094,10 +1098,14 @@ def l_text_20(spark, sf):
     toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = toks.agg(F.count(F.lit(1)).alias("n"))
+    # guard: sequence(1, 0) is DESCENDING in Spark — a 1-token doc would
+    # index out of bounds (DuckDB's range(1, 1) is empty and safe)
     bigram_expr = F.expr(
+        "case when size(split(text, ' ')) >= 2 then "
         "transform(sequence(1, size(split(text, ' ')) - 1), "
         "i -> struct(element_at(split(text, ' '), i) AS w1, "
-        "element_at(split(text, ' '), i + 1) AS w2))"
+        "element_at(split(text, ' '), i + 1) AS w2)) "
+        "else array() end"
     )
     big = (
         docs.select(F.explode(bigram_expr).alias("p"))

@@ -100,6 +100,56 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert pdf["raster_md5"].str.len().eq(32).all()
 
 
+def test_bigram_exprs_survive_single_token_docs(spark):
+    """Regression (r6 review): Spark's sequence(1, 0) is DESCENDING, so
+    the unguarded bigram transform indexed out of bounds on any 1-token
+    document — a latent crash the ≥10-token fixtures never hit, while
+    DuckDB's end-exclusive range() sailed through. Both bigram ops must
+    now return zero bigrams for degenerate docs, not abort the job."""
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two tokens")], "doc_id bigint, text string"
+    )
+    df.createOrReplaceTempView("documents_tiny")
+
+    from dask_xgboost_spark.operators.text import l_text_02, l_text_20
+
+    import dask_xgboost_spark.operators.text as textmod
+    from unittest import mock
+
+    with mock.patch.object(textmod, "load", lambda spark, sf, t: df):
+        rows = {r["doc_id"]: r["n_bigrams"] for r in l_text_02(spark, "x").collect()}
+        assert rows == {1: 0, 2: 0, 3: 1}
+        # PMI miner: degenerate docs contribute no bigrams, no crash
+        assert l_text_20(spark, "x").count() == 0  # no pair reaches support
+
+
+def test_extract_features_over_pgm(spark, sf_dir):
+    """The generic decode→featurize API (extract_features) runs the
+    REAL codec path: PGM payloads decode inside mapInPandas and the
+    chunked-pixel-mean features come out typed and deterministic."""
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.operators.multimodal import (
+        FEATURE_DIM,
+        encode_pgm,
+        extract_features,
+    )
+
+    rows = [
+        (1, encode_pgm(b"hello world!", width=12, height=1)),
+        (2, encode_pgm(bytes(range(64)), width=8, height=8)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r["doc_id"]: r["features"] for r in extract_features(df).collect()}
+    assert len(out[1]) == len(out[2]) == FEATURE_DIM
+    # chunked means of known rasters are exactly predictable
+    import numpy as np
+
+    arr = np.frombuffer(b"hello world!", dtype=np.uint8).astype(float)
+    want = [float(c.mean()) for c in np.array_split(arr, FEATURE_DIM)]
+    assert out[1] == want
+
+
 def test_pgm_codec_round_trip():
     """The codec itself: arbitrary bytes (including 0x00/0xff and bytes
     that look like header whitespace) survive encode→decode, comments

@@ -51,9 +51,10 @@ def _rows(df):
 
 @pytest.mark.parametrize("name", SAMPLE)
 def test_partition_invariance(name, spark, sf_dir):
-    # NB: ops that persist() an intermediate (Q-GRAPH-01) share that
-    # cache between both runs — their DOWNSTREAM stages still execute
-    # under both layouts, which is what this asserts.
+    # NB: ops that materialize an intermediate (Q-TPCH-15 persist;
+    # Q-GRAPH-01/03 localCheckpoint) compute it under the first layout —
+    # their DOWNSTREAM stages still execute under both layouts, which is
+    # what this asserts.
     spec = SPECS[name]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
