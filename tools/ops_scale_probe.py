@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Scale probe for extension operators: replicate the documents and
+events fixtures N× (id-shifted so key cardinalities grow with the data,
+not just row multiplicity) and time registry operators at 1× and N×.
+
+Complements tools/suite_scale.py (TPC-H joins): this answers "do the
+LLM-pipeline and window/eval additions scale linearly in rows?" for ops
+whose inputs are documents/events rather than the TPC-H facts.
+
+Run: python tools/ops_scale_probe.py [sf_dir] [rep] [op ...]
+Defaults: sf0.1, rep=10, a representative round-6 op set.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from bench import _timed_full
+from dask_xgboost_spark.registry import load_all
+from dask_xgboost_spark.session import get_spark
+from dask_xgboost_spark.sources import load
+
+DEFAULT_OPS = [
+    "M-PREP-11",   # feature hashing (documents)
+    "L-TEXT-20",   # PMI collocations (documents)
+    "M-EVAL-05",   # ranking eval (documents)
+    "Q-WIN-16",    # running distinct (events)
+    "Q-WIN-17",    # rolling 7-day distinct (events)
+    "Q-TS-06",     # exact EWMA (events)
+    "M-EVAL-06",   # forecast eval (events)
+]
+
+ID_SHIFT = 10_000_000
+
+
+def build_scaled(spark, sf_dir: str, rep: int) -> str:
+    out = tempfile.mkdtemp(prefix=f"dxs_ops_{rep}x_")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings"):
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(src):
+            os.symlink(src, f"{out}/{t}.parquet")
+    reps = spark.range(rep).select(F.col("id").alias("r"))
+    # documents: doc_id shifted per replica (distinct docs, same text
+    # distribution — vocabulary stays fixed, the realistic corpus shape)
+    (
+        load(spark, sf_dir, "documents")
+        .crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("r") * ID_SHIFT)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
+    # events: event_id AND user_id shifted (distinct users per replica,
+    # so distinct-count work grows with the data)
+    (
+        load(spark, sf_dir, "events")
+        .crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") + F.col("r") * ID_SHIFT)
+        .withColumn("user_id", F.col("user_id") + F.col("r") * ID_SHIFT)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
+    return out
+
+
+def main(sf_dir: str = "/root/testdata/sf0.1", rep: str = "10", *ops: str) -> None:
+    rep_n = int(rep)
+    op_list = list(ops) or DEFAULT_OPS
+    spark = get_spark(app_name="ops-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+    scaled = build_scaled(spark, sf_dir, rep_n)
+    try:
+        for name in op_list:
+            fn = specs[name].fn
+            t1 = tN = None
+            for label, d in (("1x", sf_dir), (f"{rep_n}x", scaled)):
+                df = fn(spark, d)
+                df.toPandas()  # warm: plan, codegen, listing
+                t = round(_timed_full(df, runs=2), 3)
+                if label == "1x":
+                    t1 = t
+                else:
+                    tN = t
+                spark.catalog.clearCache()
+            print(
+                f"{name}: 1x={t1}s {rep_n}x={tN}s "
+                f"growth={tN / t1:.2f}x (linear would be ~{rep_n}x)"
+            )
+    finally:
+        shutil.rmtree(scaled, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
