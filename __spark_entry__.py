@@ -10,7 +10,7 @@ representative of EVERY operator family (relational scan→window→subquery,
 UDF surface, dedup/similarity/text pipeline ops, streaming, ML prep)
 rather than the registry's module order, which front-loaded ~50
 relational entries and left the other families unwitnessed. The full
-registry (270+ entries) follows after the window; repo-local tests
+registry (320+ entries) follows after the window; repo-local tests
 sweep all of it regardless (tests/test_oracle_parity.py for hash-mode,
 tests/test_golden_smoke.py rows-only for the rest, and
 tests/test_driver_window.py pins this file's window invariants).
