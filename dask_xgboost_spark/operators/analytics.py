@@ -908,3 +908,93 @@ def q_graph_03(spark, sf):
         )
         .orderBy("dist")
     )
+
+
+_QUAL4_SQL = """
+WITH hourly AS (
+    SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM (SELECT event_type, date_trunc('microseconds', ts) AS ts FROM events) e
+    GROUP BY event_type, h
+),
+st AS (
+    SELECT event_type, h, x,
+           COUNT(*)  OVER w AS np,
+           SUM(x)    OVER w AS s,
+           SUM(x * x) OVER w AS q
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+    SELECT event_type, h, x, np, s, q,
+           (np * x - s) * (np * x - s) AS dev2,
+           9 * (np * q - s * s) AS lim2
+    FROM st WHERE np = 24
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(CASE WHEN dev2 > lim2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+       CAST(MIN(CASE WHEN dev2 > lim2 THEN epoch_us(h) END) AS BIGINT)
+           AS first_flag_us
+FROM scored GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("Q-QUAL-04", sql=_QUAL4_SQL)
+def q_qual_04(spark, sf):
+    """Rolling volume-anomaly gate — the metric-monitoring shape that
+    pages someone when an ingest pipeline breaks: per series, each
+    hour's event count is scored against the TRAILING 24 fully-observed
+    hours (current excluded), flagged when it deviates more than 3σ.
+    The σ test runs in EXACT integer arithmetic by cross-multiplying
+    the z² inequality — (n·x − S)² > 9·(n·Q − S²) with S, Q the frame's
+    sum and sum-of-squares — so there is no float epsilon to disagree
+    across engines, the same discipline as Q-AGG-16's exact-moment
+    correlation. Partial frames (first 24 hours of a series) are not
+    scored: an alert off 3 observations is noise, and the np = 24
+    predicate states that policy explicitly.
+
+    Scale shape: one rollup shuffle to O(series × hours) rows, then a
+    fixed 24-row window frame (three shared frame aggregates on one
+    sort) and a per-series summary. The hourly table is what a metrics
+    store keeps anyway; the gate adds one window pass over it."""
+    hourly = (
+        load(spark, sf, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    st = hourly.select(
+        "event_type",
+        "h",
+        "x",
+        F.count(F.lit(1)).over(w).alias("np"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("q"),
+    ).filter(F.col("np") == 24)
+    dev2 = (F.col("np") * F.col("x") - F.col("s")) * (
+        F.col("np") * F.col("x") - F.col("s")
+    )
+    lim2 = F.lit(9) * (F.col("np") * F.col("q") - F.col("s") * F.col("s"))
+    scored = st.withColumn("flag", dev2 > lim2)
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum(F.when(F.col("flag"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            # h is hour-truncated (sub-second = 0) and the session is
+            # UTC, so epoch µs is exactly unix_timestamp · 1e6
+            F.min(F.when(F.col("flag"), F.unix_timestamp("h") * 1000000))
+            .cast("bigint")
+            .alias("first_flag_us"),
+        )
+        .orderBy("event_type")
+    )

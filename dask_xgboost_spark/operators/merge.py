@@ -1174,3 +1174,89 @@ def g_stats_01(spark, sf):
     return spark.createDataFrame(
         rows, "day date, n_rows bigint, min_user bigint, max_user bigint"
     ).orderBy("day")
+
+
+_ROLLBACK_SQL = """
+WITH v1 AS (SELECT o_orderkey AS k FROM orders),
+v2 AS (SELECT CASE WHEN k % 5 = 0 THEN k + 1000000 ELSE k END AS k FROM v1),
+v3 AS (SELECT k FROM v2 WHERE k % 3 <> 0),
+s AS (
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_sum FROM v1
+    UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT) FROM v2
+    UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT) FROM v3
+    UNION ALL SELECT 4, CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT) FROM v1
+)
+SELECT * FROM s ORDER BY version
+"""
+
+
+@register("G-ROLLBACK-01", sql=_ROLLBACK_SQL)
+def g_rollback_01(spark, sf):
+    """Snapshot ROLLBACK (Delta's RESTORE TABLE ... VERSION AS OF): two
+    bad commits land on top of a good table (a corrupting backfill,
+    then a bad delete) and the restore publishes the good version's
+    CONTENT as a NEW version — history moves forward, never rewrites:
+    v4 = v1's data, hard-linked file by file (zero bytes copied), and
+    the manifest advances to v4. Rolling the pointer BACK instead would
+    silently re-expose v2/v3 as "the future" to any consumer tracking
+    versions monotonically; restore-as-new-commit is why every table
+    format does it this way. The witness reads all four versions
+    through the manifest — v4 must equal v1 exactly, with v2/v3 still
+    intact for audit.
+
+    Scale shape: restore cost is O(files) metadata (hard links /
+    manifest refs), independent of data size; history stays immutable
+    so concurrent time-travel readers are unaffected (G-SNAP-02's
+    retention rules apply to the superseded bad versions)."""
+    import glob as _glob
+    import os
+
+    base = scratch_dir("rollback")
+    v1 = load(spark, sf, "orders").select(F.col("o_orderkey").alias("k"))
+    v2 = v1.withColumn(
+        "k", F.when(F.col("k") % 5 == 0, F.col("k") + 1000000).otherwise(F.col("k"))
+    )
+    v3 = v2.filter(F.col("k") % 3 != 0)
+    write_snapshot(v1, base, 1)
+    write_snapshot(v2, base, 2)
+    write_snapshot(v3, base, 3)
+
+    # RESTORE: new version directory hard-linking the target's files,
+    # then the ordinary data-first manifest advance
+    target, new_version = 1, 4
+    src_dir = f"{base}/v={target}"
+    dst_dir = f"{base}/v={new_version}"
+    os.makedirs(dst_dir)
+    for f in _glob.glob(os.path.join(src_dir, "*.parquet")):
+        os.link(f, os.path.join(dst_dir, os.path.basename(f)))
+    import json
+
+    path = f"{base}/_manifest.json"
+    with open(path) as fh:
+        manifest = json.load(fh)
+    manifest["versions"] = sorted(set(manifest["versions"]) | {new_version})
+    manifest["current"] = new_version
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, path)
+
+    cur = read_snapshot(spark, base)  # resolves manifest → must be v4
+    out = None
+    for v in (1, 2, 3):
+        s = read_snapshot(spark, base, v).agg(
+            F.lit(v).cast("bigint").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+        )
+        out = s if out is None else out.unionByName(s)
+    out = out.unionByName(
+        cur.agg(
+            F.lit(new_version).cast("bigint").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+        )
+    )
+    # materialized: re-reads per-tag scratch a later call wipes
+    return out.orderBy("version").localCheckpoint()
