@@ -998,3 +998,62 @@ def q_qual_04(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "Q-TREND-02",
+    sql="WITH daily AS ("
+    "  SELECT CAST(o_orderdate AS DATE) AS day, "
+    "  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "    AS rev_c "
+    "  FROM orders GROUP BY day) "
+    "SELECT day, rev_c, "
+    "CAST(SUM(rev_c) OVER (PARTITION BY date_trunc('month', day) "
+    "  ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mtd_c, "
+    "CAST(SUM(rev_c) OVER (PARTITION BY date_trunc('year', day) "
+    "  ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ytd_c "
+    "FROM daily ORDER BY day",
+)
+def q_trend_02(spark, sf):
+    """Month-to-date / year-to-date running revenue — the BI staple
+    where the running total RESETS on a calendar boundary: the reset is
+    just the window's partition key (month / year truncation), no
+    conditional logic — which is why it stays one window pass where a
+    hand-rolled reset would need a sessionization-style break scan.
+    Complements Q-TREND-01 (month-over-month deltas); exact int64
+    cents.
+
+    Scale shape: facts collapse to the daily rollup first (the only
+    fact-sized shuffle), then both running sums share one day-ordered
+    sort — Catalyst plans one Window operator for the two frames when
+    the partition key differs only in truncation granularity? No: two
+    Window operators, but both over the SAME day-level table (calendar-
+    bounded rows), so the second pass costs nothing at any scale."""
+    daily = (
+        load(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    w_m = (
+        Window.partitionBy(F.date_trunc("month", "day"))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_y = (
+        Window.partitionBy(F.date_trunc("year", "day"))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        daily.select(
+            "day",
+            "rev_c",
+            F.sum("rev_c").over(w_m).cast("bigint").alias("mtd_c"),
+            F.sum("rev_c").over(w_y).cast("bigint").alias("ytd_c"),
+        )
+        .orderBy("day")
+    )

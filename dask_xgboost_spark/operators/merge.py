@@ -1260,3 +1260,50 @@ def g_rollback_01(spark, sf):
     )
     # materialized: re-reads per-tag scratch a later call wipes
     return out.orderBy("version").localCheckpoint()
+
+
+@register(
+    "G-CRYPT-01",
+    sql="SELECT doc_id, CAST(28 AS BIGINT) AS enc_overhead, "
+    "md5(text) AS round_trip_md5 FROM documents ORDER BY doc_id",
+)
+def g_crypt_01(spark, sf):
+    """Column-level encryption round trip (``aes_encrypt`` /
+    ``aes_encrypt`` in GCM mode — Spark's built-in envelope for
+    protecting a sensitive column at rest while the rest of the table
+    stays queryable): encrypt the text column, decrypt it back, and
+    prove content survival by digest against the oracle's plaintext
+    hash. GCM ciphertext is NON-deterministic (random 12-byte IV per
+    row — the property that defeats frequency analysis), so the
+    ciphertext itself can never be hash-checked; the DETERMINISTIC
+    witnesses are the fixed envelope overhead (12 IV + 16 tag = 28
+    bytes) and the decrypted digest. The key is a literal here; in
+    production it arrives per-session from a KMS and never lands in
+    storage or logs.
+
+    Scale shape: both directions are JVM codegen expressions — map-only,
+    no UDF, no shuffle; encrypt-on-write / decrypt-on-read adds no plan
+    structure. Random-IV GCM also means encrypted columns cannot be
+    join keys or dedup keys — pair with G-MASK-01's deterministic keyed
+    hash when linkability must survive."""
+    # 16-byte AES-128 key as a demo literal ('0123456789abcdef')
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    enc = docs.select(
+        "doc_id",
+        "text",
+        F.expr(
+            "aes_encrypt(encode(text, 'utf-8'), '0123456789abcdef', 'GCM')"
+        ).alias("ct"),
+    )
+    return (
+        enc.select(
+            "doc_id",
+            (F.octet_length("ct") - F.octet_length(F.encode("text", "utf-8")))
+            .cast("bigint")
+            .alias("enc_overhead"),
+            F.md5(
+                F.expr("aes_decrypt(ct, '0123456789abcdef', 'GCM')")
+            ).alias("round_trip_md5"),
+        )
+        .orderBy("doc_id")
+    )

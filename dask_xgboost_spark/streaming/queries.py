@@ -1128,3 +1128,120 @@ def s_join_05(spark, sf):
     )
     out = run_to_memory(joined.select("click_id"), "append")
     return out.filter(F.col("click_id") >= 0).orderBy("click_id")
+
+
+@register(
+    "S-STATE-05",
+    sql="WITH l AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL "
+    "OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 "
+    "THEN 1 ELSE 0 END AS brk "
+    f"FROM {EVENTS_US} e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "s AS (SELECT user_id, ts, SUM(brk) OVER ("
+    "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM l) "
+    "SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM s "
+    "GROUP BY user_id, sid ORDER BY user_id, s_start",
+    mode="stream",
+)
+def s_state_05(spark, sf):
+    """Timeout-driven session emission — the canonical custom stateful
+    operator, exercising the one applyInPandasWithState path nothing
+    else in §2D touches: EVENT-TIME TIMEOUTS. Each user's open session
+    lives in state; arriving batches extend it or close it on a 30-min
+    gap (emitting the closed record), and a session with NO successor
+    event is closed by the STATE STORE itself when the watermark passes
+    its last-event + gap — ``state.hasTimedOut``, the mechanism that
+    turns "the user left" (an absence of data) into an emitted fact.
+    Far-future sentinel rows (ids < 0, filtered from output) push the
+    final watermark so availableNow terminates with every timeout
+    fired; output ≡ the batch gaps-and-islands oracle with session
+    start/end/count per record.
+
+    Scale shape: state is ONE open session per active user (the
+    minimum possible for sessionization), evicted by its own timeout —
+    state size tracks concurrent activity, not history. The native
+    session_window (S-WIN-03) is preferable when a plain aggregate per
+    session suffices; this operator is the template for session
+    payloads the aggregate form can't build (ordered event lists,
+    per-session models)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    GAP_US = 1800 * 1_000_000
+
+    ev = (
+        events_stream(
+            spark, sf, n_files=4, max_files_per_trigger=1,
+            future_sentinels=["click"],
+        )
+        .withWatermark("ts", "1 second")
+        .select("user_id", "ts")
+    )
+
+    out_schema = "user_id bigint, s_start_us bigint, s_end_us bigint, n bigint"
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def sessionize(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "s_start_us": [start],
+                 "s_end_us": [end], "n": [n]}
+            )
+            return
+        ts_us = []
+        for pdf in pdfs:
+            # exact epoch-µs, the Q-WIN-08 discipline
+            ts_us.extend(int(t.value) // 1000 for t in pdf["ts"])
+        ts_us.sort()
+        cur = state.get if state.exists else None
+        closed = []
+        for t in ts_us:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > GAP_US:
+                closed.append(cur)
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], t, cur[2] + 1)
+        state.update(cur)
+        # the store closes this session if no event lands before end+gap
+        state.setTimeoutTimestamp(cur[1] // 1000 + 1800 * 1000 + 1)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "s_start_us": [c[0] for c in closed],
+                    "s_end_us": [c[1] for c in closed],
+                    "n": [c[2] for c in closed],
+                }
+            )
+
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    out = run_to_memory(sessions, "append")
+    return (
+        out.filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("s_start_us")).alias("s_start"),
+            F.timestamp_micros(F.col("s_end_us")).alias("s_end"),
+            "n",
+        )
+        .orderBy("user_id", "s_start")
+    )

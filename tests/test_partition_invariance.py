@@ -40,7 +40,7 @@ SAMPLE = [
     "Q-WIN-16", "Q-GRAPH-03", "Q-TS-06", "M-EVAL-05", "M-PREP-11",
     "G-BACKFILL-02", "Q-JOIN-15", "L-TEXT-20", "L-MIX-05", "U-TABLE-03",
     "Q-CTE-03", "Q-ARR-08", "M-PREP-12", "M-EVAL-06", "L-SIM-11", "L-DEDUP-13",
-    "Q-WIN-17", "U-SCALAR-03", "Q-QUAL-04",
+    "Q-WIN-17", "U-SCALAR-03", "Q-QUAL-04", "Q-TREND-02", "G-CRYPT-01",
 ]
 
 
