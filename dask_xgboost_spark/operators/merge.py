@@ -98,11 +98,17 @@ def q_merge_01(spark, sf):
     return merge_into(orders, updates, ["o_orderkey"]).orderBy("o_orderkey")
 
 
-@register("G-COMPACT-01", sql=None, mode="golden")
+@register(
+    "G-COMPACT-01",
+    sql="SELECT CAST(32 AS INT) AS files_before, CAST(4 AS INT) AS files_after, "
+    'CAST(COUNT(*) AS BIGINT) AS "rows" FROM events',
+)
 def g_compact_01(spark, sf):
     """Small-file compaction: a 32-file copy of events is rewritten into 4
-    sorted files; returns (files_before, files_after, rows) for the golden
-    check."""
+    sorted files; returns (files_before, files_after, rows). Hash-mode as
+    of r6: the file counts are fixed by construction (repartition(32) on
+    write, target_files=4 on compact) and the row count must survive the
+    rewrite — the data-carrying column the oracle checks."""
     import os
     import tempfile
 
