@@ -1057,3 +1057,238 @@ def q_trend_02(spark, sf):
         )
         .orderBy("day")
     )
+
+
+_PATH1_SQL = """
+WITH nx AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events),
+t AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM nx WHERE dst IS NOT NULL GROUP BY src, dst)
+SELECT src, dst, n,
+       CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS n_src
+FROM t ORDER BY src, dst
+"""
+
+
+@register("Q-PATH-01", sql=_PATH1_SQL)
+def q_path_01(spark, sf):
+    """Clickstream transition matrix (first-order Markov chain): for
+    every user's event stream in (ts, event_id) order, count src→dst
+    event-type transitions and attach each source's outgoing total —
+    the path-analysis primitive behind journey Sankeys, next-action
+    prediction features, and drop-off diagnosis. The transition
+    probability is the exact rational n / n_src; both terms ship as
+    int64 so no float leaves the engine.
+
+    Scale shape: ONE window pass partitioned by user (the same
+    per-user ordering every sessionization query already pays), then a
+    groupBy on the bounded (src, dst) key space — the output is
+    |event_types|² rows regardless of input scale, and the per-source
+    totals come from a window over that tiny aggregate, not the facts.
+    No self-join: lead() makes the bigram without shuffling events
+    against themselves."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nx = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    t = (
+        nx.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    ws = Window.partitionBy("src")
+    return (
+        t.select(
+            "src",
+            "dst",
+            "n",
+            F.sum("n").over(ws).cast("bigint").alias("n_src"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+_ATTR1_SQL = """
+WITH conv AS (
+  SELECT user_id, MIN(ts) AS conv_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+t AS (
+  SELECT e.user_id, e.event_type AS channel, e.ts, e.event_id
+  FROM events e JOIN conv c ON e.user_id = c.user_id
+  WHERE e.ts < c.conv_ts
+    AND e.event_type IN ('click', 'view', 'signup')),
+s AS (
+  SELECT channel,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_t,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM t)
+SELECT channel,
+       CAST(SUM(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS first_touch,
+       CAST(SUM(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch,
+       CAST(SUM(1000000 // n_t) AS BIGINT) AS linear_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_touches
+FROM s GROUP BY channel ORDER BY channel
+"""
+
+
+@register("Q-ATTR-01", sql=_ATTR1_SQL)
+def q_attr_01(spark, sf):
+    """Multi-touch marketing attribution over the event stream: each
+    converting user's FIRST purchase is the conversion; every
+    click/view/signup strictly before it is a touch. Three standard
+    models ship side by side per channel — first-touch, last-touch,
+    and linear (equal split across the user's touches). Linear credit
+    is quantized to integer micro-credits, 1_000_000 div n_touches per
+    touch, so the cross-engine comparison is exact (both engines floor
+    the positive integer division; the ≤(n−1) µcredit per-user
+    remainder is documented quantization, not float drift).
+
+    Scale shape: conversions are a user-keyed aggregate (user
+    cardinality, broadcastable); the touch scan joins facts to that
+    small side and the per-user window rides the SAME user_id
+    partitioning the join just produced. Output is |channels| rows.
+    At 100 TB: one fact-sized shuffle on user_id — the minimum any
+    per-user attribution model can pay."""
+    ev = load(spark, sf, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view", "signup"))
+        .join(F.broadcast(conv), "user_id")
+        .filter(F.col("ts") < F.col("conv_ts"))
+        .select("user_id", F.col("event_type").alias("channel"), "ts", "event_id")
+    )
+    wt = Window.partitionBy("user_id")
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    s = touches.select(
+        "channel",
+        F.count(F.lit(1)).over(wt).alias("n_t"),
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return (
+        s.groupBy("channel")
+        .agg(
+            F.sum(F.when(F.col("ra") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("first_touch"),
+            F.sum(F.when(F.col("rd") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("last_touch"),
+            F.sum(F.expr("1000000 div n_t")).cast("bigint").alias("linear_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        )
+        .orderBy("channel")
+    )
+
+
+_RFM1_SQL = f"""
+WITH cust AS (
+  SELECT o_custkey,
+         datediff('day',
+                  CAST(MAX(o_orderdate) AS DATE),
+                  (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+           AS rec_days,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS mon_c
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey, mon_c,
+         NTILE(5) OVER (ORDER BY rec_days DESC, o_custkey) AS r,
+         NTILE(5) OVER (ORDER BY freq ASC, o_custkey) AS f,
+         NTILE(5) OVER (ORDER BY mon_c ASC, o_custkey) AS m
+  FROM cust),
+seg AS (
+  SELECT mon_c,
+         CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+              WHEN r >= 4 AND f >= 4 THEN 'loyal'
+              WHEN m = 5 THEN 'big_spender'
+              WHEN r <= 2 AND f >= 4 THEN 'at_risk'
+              WHEN r <= 2 THEN 'hibernating'
+              ELSE 'regular' END AS segment
+  FROM scored)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(mon_c) AS BIGINT) AS sum_mon_c
+FROM seg GROUP BY segment ORDER BY segment
+"""
+
+
+@register("Q-RFM-01", sql=_RFM1_SQL)
+def q_rfm_01(spark, sf):
+    """RFM customer segmentation — the CRM staple: per customer
+    Recency (days from their last order to the corpus's last order),
+    Frequency (order count), Monetary (lifetime cents); each dimension
+    quintiled with NTILE(5) under a custkey tie-break (higher score =
+    better on every axis), then a fixed CASE ladder names the segments
+    and the output rolls up to per-segment headcount + revenue.
+
+    Scale shape: orders collapse to one row per customer first (the
+    only fact-sized shuffle), so the three NTILEs sort the CUSTOMER
+    table, not the facts. The un-partitioned NTILE is a global sort of
+    a dimension-sized input — same documented trade-off as Q-WIN-11;
+    at true 100 TB-dimension scale swap in percent_rank bucketing over
+    range-partitioned sorts. The anchor date is a 1-row broadcast."""
+    orders = load(spark, sf, "orders")
+    anchor = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("anchor_day")
+    )
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(cents("o_totalprice")).cast("bigint").alias("mon_c"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor_day", "last_day").alias("rec_days"),
+            "freq",
+            "mon_c",
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "mon_c",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("rec_days").desc(), "o_custkey"))
+        .alias("r"),
+        F.ntile(5).over(Window.orderBy(F.asc("freq"), "o_custkey")).alias("f"),
+        F.ntile(5).over(Window.orderBy(F.asc("mon_c"), "o_custkey")).alias("m"),
+    )
+    seg = scored.select(
+        "mon_c",
+        F.when((F.col("r") >= 4) & (F.col("f") >= 4) & (F.col("m") >= 4), "champion")
+        .when((F.col("r") >= 4) & (F.col("f") >= 4), "loyal")
+        .when(F.col("m") == 5, "big_spender")
+        .when((F.col("r") <= 2) & (F.col("f") >= 4), "at_risk")
+        .when(F.col("r") <= 2, "hibernating")
+        .otherwise("regular")
+        .alias("segment"),
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("mon_c").cast("bigint").alias("sum_mon_c"),
+        )
+        .orderBy("segment")
+    )

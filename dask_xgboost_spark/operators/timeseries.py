@@ -507,3 +507,103 @@ def q_ts_06(spark, sf):
         )
         .orderBy("event_type", "h")
     )
+
+
+_TS7_SQL = """
+WITH iv AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + 30 AS e
+  FROM orders),
+marked AS (
+  SELECT o_custkey, o_orderkey, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY o_custkey
+                                ORDER BY s, e, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) >= s
+              THEN 0 ELSE 1 END AS new_island
+  FROM iv),
+isl AS (
+  SELECT o_custkey,
+         SUM(new_island) OVER (PARTITION BY o_custkey
+                               ORDER BY s, e, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS island,
+         s, e
+  FROM marked),
+merged AS (
+  SELECT o_custkey, island, MIN(s) AS ms, MAX(e) AS me
+  FROM isl GROUP BY o_custkey, island)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(datediff('day', ms, me)) AS BIGINT) AS covered_days,
+       CAST(MAX(datediff('day', ms, me)) AS BIGINT) AS max_island_days
+FROM merged GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+@register("Q-TS-07", sql=_TS7_SQL)
+def q_ts_07(spark, sf):
+    """Overlapping-interval merge (gaps-and-islands over RANGES): each
+    order opens a 30-day validity window; per customer, overlapping or
+    touching windows coalesce into islands and the rollup reports how
+    many disjoint coverage stretches remain, total covered days, and
+    the longest stretch. This is the range twin of Q-WIN-08's
+    point-gap sessionization — contract/subscription coverage, SLA
+    uptime stitching, and entitlement-window dedup are all this shape,
+    and it is NOT expressible as a gap test on starts alone: an
+    earlier interval can outlast a later one, hence the running
+    MAX(end) over all preceding intervals.
+
+    Determinism: island boundaries depend only on the running max and
+    a total (s, e, orderkey) order, so ties in start dates cannot
+    reorder results. Touching intervals (prev_max_end == next start)
+    merge — coverage semantics, dates are [s, e).
+
+    Scale shape: one shuffle on the island key's partition column
+    (customer), one window pass in that same partitioning, then two
+    bounded aggregates. Per-customer interval counts are order
+    cardinality / customer cardinality — no blowup; 100 TB of orders
+    is still one window pass per customer shard."""
+    iv = load(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "o_custkey",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0)
+        .otherwise(1)
+        .alias("new_island"),
+        "o_orderkey",
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = marked.select(
+        "o_custkey",
+        F.sum("new_island").over(w_run).alias("island"),
+        "s",
+        "e",
+    )
+    merged = isl.groupBy("o_custkey", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        merged.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum(F.datediff("me", "ms")).cast("bigint").alias("covered_days"),
+            F.max(F.datediff("me", "ms")).cast("bigint").alias("max_island_days"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -41,6 +41,8 @@ SAMPLE = [
     "G-BACKFILL-02", "Q-JOIN-15", "L-TEXT-20", "L-MIX-05", "U-TABLE-03",
     "Q-CTE-03", "Q-ARR-08", "M-PREP-12", "M-EVAL-06", "L-SIM-11", "L-DEDUP-13",
     "Q-WIN-17", "U-SCALAR-03", "Q-QUAL-04", "Q-TREND-02", "G-CRYPT-01",
+    # round-6 continuation: path matrix, attribution, RFM, interval merge
+    "Q-PATH-01", "Q-ATTR-01", "Q-RFM-01", "Q-TS-07",
 ]
 
 
