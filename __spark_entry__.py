@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = [
     "M-EVAL-06", "L-SIM-11", "L-DEDUP-13", "Q-WIN-17", "G-STATS-01", "U-SCALAR-03", "Q-SCAN-16",
     "G-ROLLBACK-01", "Q-QUAL-04", "S-STATE-05", "Q-TREND-02", "G-CRYPT-01",
     "Q-PATH-01", "Q-ATTR-01", "Q-RFM-01", "Q-TS-07",
+    "Q-WIN-18", "Q-FUNNEL-02", "Q-SCAN-17", "G-SCHEMA-01",
     "L-TEXT-12", "L-TEXT-13", "L-TEXT-14", "L-TEXT-15", "L-TEXT-16",
     "L-PIPE-03", "L-PIPE-04",
     "M-PREP-04", "M-PREP-05", "M-PREP-06", "M-PREP-07",

@@ -1292,3 +1292,91 @@ def q_rfm_01(spark, sf):
         )
         .orderBy("segment")
     )
+
+
+_FUNNEL2_SQL = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+a AS (
+  SELECT s.user_id, s.s_ts,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s.s_ts
+                  THEN e.ts END) AS p_ts,
+         MIN(CASE WHEN e.event_type = 'error' AND e.ts > s.s_ts
+                  THEN e.ts END) AS e_ts
+  FROM s JOIN events e ON e.user_id = s.user_id
+  GROUP BY s.user_id, s.s_ts)
+SELECT CAST(date_trunc('week', s_ts) AS DATE) AS cohort_week,
+       CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST(SUM(CASE WHEN p_ts IS NOT NULL
+                      AND p_ts <= s_ts + INTERVAL 7 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_conv_7d,
+       CAST(SUM(CASE WHEN p_ts IS NOT NULL
+                      AND p_ts <= s_ts + INTERVAL 7 DAY
+                      AND (e_ts IS NULL OR e_ts >= p_ts)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_conv_clean
+FROM a GROUP BY cohort_week ORDER BY cohort_week
+"""
+
+
+@register("Q-FUNNEL-02", sql=_FUNNEL2_SQL)
+def q_funnel_02(spark, sf):
+    """Funnel with a deadline AND a temporal NEGATION: per signup-week
+    cohort, how many users purchased within 7 days of their first
+    signup — and how many of those converted CLEANLY, i.e. hit no
+    error event strictly between the signup and that first purchase.
+    Q-FUNNEL-01 counts ordered progress; real product analytics also
+    asks the "without X in between" question (friction analysis,
+    clean-path conversion), which is NOT a monotone-min funnel — it
+    needs the negated event's position relative to BOTH endpoints.
+
+    The trick that keeps it one aggregate: "no error in (s_ts, p_ts)"
+    ⟺ "the FIRST error after s_ts is ≥ p_ts (or absent)" — so one
+    conditional MIN per event class (purchase-after, error-after)
+    computed in the same per-user pass decides the predicate, and no
+    per-pair interval join ever forms.
+
+    Scale shape: signup firsts are a user-keyed aggregate
+    (broadcastable); facts shuffle ONCE on user_id for the conditional
+    mins; the cohort rollup is calendar-bounded. Same minimal shape as
+    Q-ATTR-01."""
+    ev = load(spark, sf, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    a = (
+        ev.join(F.broadcast(s), "user_id")
+        .groupBy("user_id", "s_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("s_ts")),
+                    F.col("ts"),
+                )
+            ).alias("p_ts"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "error")
+                    & (F.col("ts") > F.col("s_ts")),
+                    F.col("ts"),
+                )
+            ).alias("e_ts"),
+        )
+    )
+    deadline = F.expr("s_ts + INTERVAL 7 DAY")
+    conv = F.col("p_ts").isNotNull() & (F.col("p_ts") <= deadline)
+    clean = conv & (F.col("e_ts").isNull() | (F.col("e_ts") >= F.col("p_ts")))
+    return (
+        a.groupBy(F.date_trunc("week", "s_ts").cast("date").alias("cohort_week"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_signups"),
+            F.sum(F.when(conv, 1).otherwise(0)).cast("bigint").alias("n_conv_7d"),
+            F.sum(F.when(clean, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_conv_clean"),
+        )
+        .orderBy("cohort_week")
+    )

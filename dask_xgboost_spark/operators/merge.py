@@ -1313,3 +1313,72 @@ def g_crypt_01(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+_SCHEMA1_SQL = """
+WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+SELECT v.col AS column_name, v.t1 AS v1_type, v.t2 AS v2_type,
+       v.chg AS change, c.n AS n_rows_v1, c.n AS n_rows_v2
+FROM (VALUES ('channel', CAST(NULL AS VARCHAR), 'string', 'added'),
+             ('event_id', 'bigint', 'bigint', 'unchanged'),
+             ('props', 'string', CAST(NULL AS VARCHAR), 'dropped'),
+             ('user_id', 'bigint', 'bigint', 'unchanged'),
+             ('value', 'double', 'bigint', 'retyped'))
+     AS v(col, t1, t2, chg), c
+ORDER BY column_name
+"""
+
+
+@register("G-SCHEMA-01", sql=_SCHEMA1_SQL)
+def g_schema_01(spark, sf):
+    """Schema-drift detection between two snapshot versions — the
+    table-health check that catches a producer silently dropping,
+    adding, or retyping a column before downstream jobs break: v2 of
+    the events extract drops ``props``, adds ``channel``, and retypes
+    ``value`` (double → bigint cents); the report full-outer-merges
+    the two PHYSICAL schemas (recovered from the written parquet
+    footers via Spark's read-schema, not from what the writer claims)
+    and classifies every column added / dropped / retyped / unchanged,
+    with each snapshot's row count alongside. The oracle pins the
+    exact expected report — the engine must recover it from real file
+    metadata round-tripped through write+read.
+
+    Scale shape: schemas are O(columns) driver-side metadata (the one
+    place driver-side work is the RIGHT design — footers, not data);
+    the only distributed work is the two row counts, which are
+    metadata-only parquet count(*) scans. At 100 TB the report costs
+    the same as at 100 MB."""
+    ev = load(spark, sf, "events")
+    v1 = ev.select("event_id", "user_id", "value", "props")
+    v2 = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("value"),
+        F.col("event_type").alias("channel"),
+    )
+    d1, d2 = scratch_dir("schema_v1"), scratch_dir("schema_v2")
+    v1.write.mode("overwrite").parquet(d1)
+    v2.write.mode("overwrite").parquet(d2)
+    r1, r2 = spark.read.parquet(d1), spark.read.parquet(d2)
+    s1 = {f.name: f.dataType.simpleString() for f in r1.schema.fields}
+    s2 = {f.name: f.dataType.simpleString() for f in r2.schema.fields}
+    rows = []
+    for col in sorted(set(s1) | set(s2)):
+        t1, t2 = s1.get(col), s2.get(col)
+        chg = (
+            "added"
+            if t1 is None
+            else "dropped"
+            if t2 is None
+            else "unchanged"
+            if t1 == t2
+            else "retyped"
+        )
+        rows.append((col, t1, t2, chg))
+    report = spark.createDataFrame(
+        rows, "column_name string, v1_type string, v2_type string, change string"
+    )
+    counts = r1.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_v1")).crossJoin(
+        r2.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_v2"))
+    )
+    return report.crossJoin(F.broadcast(counts)).orderBy("column_name")

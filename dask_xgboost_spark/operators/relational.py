@@ -2207,3 +2207,57 @@ def q_scan_16(spark, sf):
         .orderBy("event_type")
         .localCheckpoint()
     )
+
+
+@register(
+    "Q-SCAN-17",
+    sql="SELECT CAST(date_trunc('day', ts) AS DATE) AS d, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(1 AS BIGINT) AS n_files, "
+    "CAST(0 AS BIGINT) AS n_path_mismatch "
+    "FROM events GROUP BY d ORDER BY d",
+)
+def q_scan_17(spark, sf):
+    """Hidden ``_metadata`` file-provenance columns — per-row lineage
+    with NO schema cost: after a day-partitioned write, the read-back
+    attaches ``_metadata.file_path``, and the query (a) rolls up rows
+    and distinct files per day and (b) cross-checks that the partition
+    directory encoded in every row's file_path agrees with the row's
+    own partition value (n_path_mismatch must be 0 — the oracle pins
+    it). This is the debugging/lineage primitive behind "which file
+    did this bad row come from" and per-file quarantine; repartition
+    on the partition column before the write makes file counts
+    deterministic (one file per day, pinned by the oracle too).
+
+    Scale shape: _metadata is populated by the scan itself (constant
+    per row-group, no join against a listing); the rollup shuffles the
+    bounded (day) key space. Q-SCAN-05 proves partition PRUNING on
+    this layout; this proves row→file ATTRIBUTION."""
+    out = scratch_dir("scan17_meta")
+    ev = load(spark, sf, "events").withColumn(
+        "d", F.to_date(F.date_trunc("day", "ts"))
+    )
+    ev.repartition("d").write.partitionBy("d").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).select(
+        "d",
+        F.col("_metadata.file_path").alias("fp"),
+        F.regexp_extract(F.col("_metadata.file_path"), "d=([^/]+)/", 1).alias(
+            "dir_d"
+        ),
+    )
+    res = (
+        back.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_distinct("fp").cast("bigint").alias("n_files"),
+            F.sum(
+                F.when(
+                    F.col("dir_d") != F.date_format("d", "yyyy-MM-dd"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_path_mismatch"),
+        )
+        .orderBy("d")
+    )
+    return res.localCheckpoint()

@@ -615,3 +615,63 @@ def q_win_17(spark, sf):
         .agg(F.count_distinct("user_id").cast("bigint").alias("active_7d"))
         .orderBy("report_day")
     )
+
+
+_WIN18_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders GROUP BY day)
+SELECT day, rev_c,
+       CAST(2 * median(rev_c) OVER (ORDER BY day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS med7_x2_c,
+       CAST(count(*) OVER (ORDER BY day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS np
+FROM daily ORDER BY day
+"""
+
+
+@register("Q-WIN-18", sql=_WIN18_SQL)
+def q_win_18(spark, sf):
+    """Rolling 7-day EXACT median of daily revenue — the robust twin of
+    the rolling mean: a single fat-finger day drags a mean for a week
+    but leaves the median untouched, which is why monitoring baselines
+    and robust-smoothing features prefer it. Exactness across engines:
+    both Spark (percentile 0.5) and DuckDB (median = continuous 0.5
+    quantile) interpolate even-count frames as (a+b)/2, so DOUBLING the
+    median restores an exact int64 (a+b, or 2a for odd frames) — the
+    shipped column is med7_x2_c, no float ever compared. Frame width
+    travels alongside (np) so partial leading frames are explicit.
+
+    Scale shape: the facts collapse to the calendar-bounded daily
+    rollup first (the only fact-sized shuffle); the unpartitioned
+    ORDER BY day window then sorts ≤ a-few-thousand rows at ANY corpus
+    scale — same documented trade as Q-WIN-11/Q-TREND-02. A per-key
+    rolling median (unbounded key cardinality) would instead partition
+    by key exactly like Q-QUAL-04's frame. Exact medians over a
+    sliding frame re-sort each frame; at very large frames switch to
+    percentile_approx and declare the tolerance."""
+    daily = (
+        load(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            "rev_c",
+            (F.lit(2) * F.expr("percentile(rev_c, 0.5)").over(w))
+            .cast("bigint")
+            .alias("med7_x2_c"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("np"),
+        )
+        .orderBy("day")
+    )

@@ -43,6 +43,7 @@ SAMPLE = [
     "Q-WIN-17", "U-SCALAR-03", "Q-QUAL-04", "Q-TREND-02", "G-CRYPT-01",
     # round-6 continuation: path matrix, attribution, RFM, interval merge
     "Q-PATH-01", "Q-ATTR-01", "Q-RFM-01", "Q-TS-07",
+    "Q-WIN-18", "Q-FUNNEL-02", "Q-SCAN-17", "G-SCHEMA-01",
 ]
 
 
