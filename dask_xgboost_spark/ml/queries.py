@@ -1169,3 +1169,86 @@ def m_eval_06(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+_PREP13_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+         {sql_cents('o_totalprice')} AS price_c,
+         CASE WHEN CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+              THEN 'train' ELSE 'valid' END AS split
+  FROM orders),
+fit AS (
+  SELECT MIN(price_c) AS lo, MAX(price_c) AS hi
+  FROM o WHERE split = 'train'),
+scaled AS (
+  SELECT split,
+         CASE WHEN price_c <= lo THEN CAST(0 AS BIGINT)
+              WHEN price_c >= hi THEN CAST(1000 AS BIGINT)
+              ELSE CAST(((price_c - lo) * 1000) // (hi - lo) AS BIGINT)
+         END AS pm
+  FROM o, fit)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(pm) AS BIGINT) AS min_pm,
+       CAST(MAX(pm) AS BIGINT) AS max_pm,
+       CAST(SUM(pm) AS BIGINT) AS sum_pm,
+       CAST(SUM(CASE WHEN pm IN (0, 1000) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped
+FROM scaled GROUP BY split ORDER BY split
+"""
+
+
+@register("M-PREP-13", sql=_PREP13_SQL)
+def m_prep_13(spark, sf):
+    """Leakage-safe feature scaling: min-max statistics are FIT on the
+    train split only (orders before 1997) and APPLIED to both splits,
+    with out-of-range validation rows clipped to the edges — the
+    fit/transform discipline that keeps validation data out of the
+    scaler (fitting on the full table leaks the future's range into
+    the features; sklearn's fit-on-train-transform-both, distributed).
+    Exact carrier: per-mille integer scaling, (x − lo)·1000 div
+    (hi − lo), both engines flooring the positive division; the
+    clipped-count column makes the leakage-relevant behavior (valid
+    rows outside the train range) a first-class, hash-checked output.
+
+    Scale shape: the fit is a map-combined 2-scalar aggregate over the
+    train partition, broadcast back into a map-only transform — the
+    same one-broadcast shape as M-PREP-12's cut; no shuffle touches
+    the facts except the final per-split rollup."""
+    o = load(spark, sf, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        cents("o_totalprice").alias("price_c"),
+    ).withColumn(
+        "split",
+        F.when(F.col("od") < F.lit("1997-01-01").cast("date"), "train").otherwise(
+            "valid"
+        ),
+    )
+    fit = (
+        o.filter(F.col("split") == "train")
+        .agg(F.min("price_c").alias("lo"), F.max("price_c").alias("hi"))
+    )
+    scaled = o.crossJoin(F.broadcast(fit)).select(
+        "split",
+        F.when(F.col("price_c") <= F.col("lo"), F.lit(0).cast("bigint"))
+        .when(F.col("price_c") >= F.col("hi"), F.lit(1000).cast("bigint"))
+        .otherwise(
+            F.expr("((price_c - lo) * 1000) div (hi - lo)").cast("bigint")
+        )
+        .alias("pm"),
+    )
+    return (
+        scaled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("pm").cast("bigint").alias("min_pm"),
+            F.max("pm").cast("bigint").alias("max_pm"),
+            F.sum("pm").cast("bigint").alias("sum_pm"),
+            F.sum(F.when(F.col("pm").isin(0, 1000), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+        .orderBy("split")
+    )

@@ -7,6 +7,7 @@ join forms. The plan assert tests check the decorrelated shape.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.functions import sql_cents, sql_dec
@@ -472,3 +473,134 @@ def q_cte_03(spark, sf):
     not a style choice)."""
     load(spark, sf, "customer").createOrReplaceTempView("customer")
     return spark.sql(_CTE3_SQL)
+
+
+_SUBQ8_SQL = """
+SELECT n_name, c_name, bal_c
+FROM nation n, LATERAL (
+  SELECT c_name, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY bal_c DESC, c_custkey LIMIT 3) t
+ORDER BY n_name, bal_c DESC, c_name
+"""
+
+
+@register("Q-SUBQ-08", sql=_SUBQ8_SQL)
+def q_subq_08(spark, sf):
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — "for each
+    nation, its 3 richest customers" written the way SQL users write
+    it (a per-row dependent subquery in FROM), not the way engines
+    execute it. The SAME SQL text runs on both engines (Q-CTE-03's
+    strongest-parity discipline). Catalyst DECORRELATES the lateral
+    into a ranked join — the .explain shows a window/rank over the
+    customer side and a join, not a per-nation re-execution — which is
+    exactly the rewrite you'd hand-write with row_number (Q-WIN-03
+    family); this entry pins that the declarative form gets the same
+    scalable plan. Tie-break on c_custkey keeps the top-3 total-
+    ordered.
+
+    Scale shape: decorrelation means ONE shuffle of customers by
+    nationkey + a per-key rank truncation (top-k pushdown), never
+    |nations| separate scans. Fixed-point cents carrier for the
+    ordering key."""
+    load(spark, sf, "nation").createOrReplaceTempView("nation")
+    load(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_SUBQ8_SQL)
+
+
+_DATE9_SQL = """
+WITH bounds AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(o_orderdate) AS DATE) + 45 AS hi
+  FROM orders),
+spine AS (
+  SELECT CAST(d AS DATE) AS day FROM bounds,
+         UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS t(d)),
+cal AS (
+  SELECT day,
+         CASE WHEN isodow(day) <= 5
+               AND NOT (month(day) = 1  AND day(day) = 1)
+               AND NOT (month(day) = 7  AND day(day) = 4)
+               AND NOT (month(day) = 12 AND day(day) = 25)
+              THEN 1 ELSE 0 END AS is_bd
+  FROM spine),
+idx AS (
+  SELECT day, is_bd,
+         SUM(is_bd) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           AS bd_cum
+  FROM cal),
+o AS (
+  SELECT CAST(o_orderdate AS DATE) AS od FROM orders),
+deadline AS (
+  SELECT o.od, b2.day AS dl
+  FROM o
+  JOIN idx b1 ON b1.day = o.od
+  JOIN idx b2 ON b2.bd_cum = b1.bd_cum + 5 AND b2.is_bd = 1)
+SELECT CAST(date_trunc('month', od) AS DATE) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(datediff('day', od, dl)) AS BIGINT) AS cal_days_sum,
+       CAST(MAX(datediff('day', od, dl)) AS BIGINT) AS max_span
+FROM deadline GROUP BY m ORDER BY m
+"""
+
+
+@register("Q-DATE-09", sql=_DATE9_SQL)
+def q_date_09(spark, sf):
+    """Business-day arithmetic via a calendar-spine join: every order
+    gets a deadline 5 BUSINESS days out — weekends and a fixed holiday
+    rule (Jan 1, Jul 4, Dec 25) excluded — the SLA/settlement-date
+    computation (T+5) that no date_add can express once holidays
+    exist. The spine carries a running business-day index (bd_cum);
+    "+5 business days" is then index arithmetic: join the order's date
+    to its index, join index+5 back to the first business day holding
+    it. Weekend/holiday order dates naturally snap forward (their
+    bd_cum equals the previous business day's, so +5 lands 5 business
+    days after that — the standard T+n convention). Monthly rollup of
+    calendar-day spans proves the whole calendar: spans stretch over
+    every weekend/holiday crossing.
+
+    Scale shape: the spine is O(days) GENERATED rows (sequence +
+    explode, no shuffle to build), broadcast into both index joins —
+    facts never shuffle for the calendar; the only fact shuffle is the
+    monthly rollup. A 100 TB fact table pays two broadcast-hash
+    lookups per row, the same as any dimension attach."""
+    orders = load(spark, sf, "orders").select(
+        F.to_date("o_orderdate").alias("od")
+    )
+    b = orders.agg(
+        F.min("od").alias("lo"), F.date_add(F.max("od"), 45).alias("hi")
+    )
+    spine = b.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    is_bd = (
+        (F.weekday("day") <= 4)
+        & ~((F.month("day") == 1) & (F.dayofmonth("day") == 1))
+        & ~((F.month("day") == 7) & (F.dayofmonth("day") == 4))
+        & ~((F.month("day") == 12) & (F.dayofmonth("day") == 25))
+    ).cast("int")
+    cal = spine.select("day", is_bd.alias("is_bd"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    idx = cal.select(
+        "day", "is_bd", F.sum("is_bd").over(w).alias("bd_cum")
+    )
+    b1 = F.broadcast(idx.select(F.col("day").alias("od"), F.col("bd_cum").alias("c1")))
+    b2 = F.broadcast(
+        idx.filter(F.col("is_bd") == 1).select(
+            F.col("day").alias("dl"), F.col("bd_cum").alias("c2")
+        )
+    )
+    dl = (
+        orders.join(b1, "od")
+        .join(b2, F.col("c2") == F.col("c1") + 5)
+        .select("od", "dl")
+    )
+    return (
+        dl.groupBy(F.date_trunc("month", "od").cast("date").alias("m"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.datediff("dl", "od")).cast("bigint").alias("cal_days_sum"),
+            F.max(F.datediff("dl", "od")).cast("bigint").alias("max_span"),
+        )
+        .orderBy("m")
+    )

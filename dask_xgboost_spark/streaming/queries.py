@@ -1245,3 +1245,59 @@ def s_state_05(spark, sf):
         )
         .orderBy("user_id", "s_start")
     )
+
+
+@register(
+    "S-SINK-07",
+    sql="SELECT sink, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "  AS sum_value_c FROM ("
+    "SELECT CASE WHEN value < 2 OR event_type = 'error' "
+    "            THEN 'dlq' ELSE 'good' END AS sink, event_type, value "
+    f"FROM {EVENTS_US}) GROUP BY sink ORDER BY sink",
+    mode="stream",
+)
+def s_sink_07(spark, sf):
+    """Dead-letter-queue routing — the reliability pattern between
+    S-QUAL-01's gate (which only REPORTS violations) and a production
+    ingest: every micro-batch SPLITS on the validation rule (here:
+    value < 2 or event_type = 'error' → DLQ), good rows append to the
+    serving sink, bad rows append — with full payload — to the DLQ for
+    replay after the producer is fixed. Nothing is dropped: the oracle
+    checks good + dlq counts AND per-sink value checksums against the
+    batch-computed split of the same table, so a row lost between the
+    two writes would surface as a hash mismatch, not a silent gap.
+
+    Scale shape: the split is two map-only filters of the SAME batch
+    frame (one scan each, no shuffle); per-batch files append into two
+    independent directories, so DLQ bursts never block the good path.
+    At 100 TB/day the DLQ dir is small by construction — if it isn't,
+    the pipeline is the bug and the DLQ is the evidence."""
+    import os
+
+    good_dir = scratch_mkdtemp("dxs_dlq_good_")
+    dlq_dir = scratch_mkdtemp("dxs_dlq_bad_")
+    ev = events_stream(spark, sf, n_files=4, max_files_per_trigger=2)
+    bad = F.col("value") < 2
+    bad = bad | (F.col("event_type") == "error")
+
+    def route(batch_df, batch_id):
+        batch_df.filter(~bad).write.mode("append").parquet(good_dir)
+        batch_df.filter(bad).write.mode("append").parquet(dlq_dir)
+
+    run_foreach_batch(ev, route, output_mode="append")
+    assert os.listdir(dlq_dir), "expected dead-lettered rows in the fixture"
+    g = spark.read.parquet(good_dir).withColumn("sink", F.lit("good"))
+    d = spark.read.parquet(dlq_dir).withColumn("sink", F.lit("dlq"))
+    return (
+        g.unionByName(d)
+        .groupBy("sink")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_distinct("event_type").cast("bigint").alias("n_types"),
+            F.sum(_cents("value")).cast("bigint").alias("sum_value_c"),
+        )
+        .orderBy("sink")
+        .localCheckpoint()
+    )

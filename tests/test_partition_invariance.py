@@ -44,6 +44,7 @@ SAMPLE = [
     # round-6 continuation: path matrix, attribution, RFM, interval merge
     "Q-PATH-01", "Q-ATTR-01", "Q-RFM-01", "Q-TS-07",
     "Q-WIN-18", "Q-FUNNEL-02", "Q-SCAN-17", "G-SCHEMA-01",
+    "Q-SUBQ-08", "Q-DATE-09", "M-PREP-13",
 ]
 
 
