@@ -1252,3 +1252,93 @@ def m_prep_13(spark, sf):
         )
         .orderBy("split")
     )
+
+
+_EVAL7_SQL = f"""
+WITH o AS (
+  SELECT {sql_cents('o_totalprice')} AS price_c,
+         CASE WHEN CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+              THEN 1 ELSE 0 END AS is_train
+  FROM orders),
+b AS (
+  SELECT CAST(LEAST(9, price_c // 5000000) AS BIGINT) AS bucket,
+         CAST(SUM(is_train) AS BIGINT) AS n_t,
+         CAST(SUM(1 - is_train) AS BIGINT) AS n_s
+  FROM o GROUP BY bucket),
+tot AS (
+  SELECT SUM(n_t) AS big_nt, SUM(n_s) AS big_ns FROM b)
+SELECT bucket, n_t, n_s,
+       CASE WHEN n_t = 0 THEN n_s > 0
+            ELSE (CAST(n_s AS DOUBLE) * CAST(big_nt AS DOUBLE)
+                  - CAST(n_t AS DOUBLE) * CAST(big_ns AS DOUBLE))
+                 * (CAST(n_s AS DOUBLE) * CAST(big_nt AS DOUBLE)
+                    - CAST(n_t AS DOUBLE) * CAST(big_ns AS DOUBLE))
+                 > 9.0 * CAST(n_t AS DOUBLE) * CAST(big_ns AS DOUBLE)
+                       * CAST(big_nt AS DOUBLE)
+       END AS drifted
+FROM b, tot ORDER BY bucket
+"""
+
+
+@register("M-EVAL-07", sql=_EVAL7_SQL)
+def m_eval_07(spark, sf):
+    """Train/serve feature-drift gate — the MLOps check that catches a
+    feature distribution shifting under a deployed model: the price
+    feature is bucketed on FIXED $50k-wide edges (fixed edges, not
+    data-derived quantiles — drift detection needs a stable ruler),
+    counted per bucket in the train era vs the serve era, and each
+    bucket is flagged when the serve count deviates ≥3σ from its
+    train-proportional expectation. The test is the cross-multiplied
+    z² form (n_s·N_t − n_t·N_s)² > 9·n_t·N_s·N_t — Q-QUAL-04's exact
+    discipline, here evaluated in DOUBLES (products reach ~1e21 at
+    large SF, past int64): every factor is an exact integer cast to
+    double, both engines perform the identical correctly-rounded IEEE
+    multiplies, so the boolean is still engine-exact while never
+    overflowing. Empty-train buckets flag on any serve row.
+
+    Scale shape: one fact-sized rollup to ≤10 buckets; the totals are
+    a window/CROSS JOIN over those 10 rows. The drift report for a
+    100 TB serve log costs one map-combined aggregation."""
+    o = load(spark, sf, "orders").select(
+        cents("o_totalprice").alias("price_c"),
+        F.when(
+            F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"), 1
+        )
+        .otherwise(0)
+        .alias("is_train"),
+    )
+    b = (
+        o.groupBy(
+            F.least(F.lit(9), F.expr("price_c div 5000000"))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.sum("is_train").cast("bigint").alias("n_t"),
+            F.sum(F.lit(1) - F.col("is_train")).cast("bigint").alias("n_s"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n_t").alias("big_nt"), F.sum("n_s").alias("big_ns")
+    )
+    j = b.crossJoin(F.broadcast(tot))
+    dev = F.col("n_s").cast("double") * F.col("big_nt").cast("double") - F.col(
+        "n_t"
+    ).cast("double") * F.col("big_ns").cast("double")
+    lim = (
+        F.lit(9.0)
+        * F.col("n_t").cast("double")
+        * F.col("big_ns").cast("double")
+        * F.col("big_nt").cast("double")
+    )
+    return (
+        j.select(
+            "bucket",
+            "n_t",
+            "n_s",
+            F.when(F.col("n_t") == 0, F.col("n_s") > 0)
+            .otherwise(dev * dev > lim)
+            .alias("drifted"),
+        )
+        .orderBy("bucket")
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from dask_xgboost_spark.functions import EVENTS_US, cents, dec, sql_cents
 from dask_xgboost_spark.registry import register
+from dask_xgboost_spark.scratch import scratch_dir
 from dask_xgboost_spark.sources import load
 
 # --------------------------------------------------------------------------
@@ -1090,3 +1091,75 @@ def q_arr_08(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+_JSON5_SQL = f"""
+SELECT CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(CASE WHEN event_id % 7 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(SUM(CASE WHEN event_id % 7 != 0 THEN event_id END) AS BIGINT)
+         AS good_id_sum,
+       CAST(COUNT(DISTINCT CASE WHEN event_id % 7 != 0 THEN event_type END)
+            AS BIGINT) AS n_types
+FROM {EVENTS_US}
+"""
+
+
+@register("Q-JSON-05", sql=_JSON5_SQL)
+def q_json_05(spark, sf):
+    """Malformed-record RESCUE on JSON ingestion: the landing file has
+    a broken line every 7th record (unterminated string — synthesized
+    deterministically from event_id so the oracle knows exactly which
+    rows die); the PERMISSIVE reader parses what it can and routes
+    each unparseable line's RAW TEXT into ``_corrupt_record`` instead
+    of failing the job — the schema-on-read contract that keeps one
+    bad producer from taking down a 100 TB nightly load. The rollup
+    hash-checks the corrupt count, the surviving count, the surviving
+    id checksum (no good row lost, no corrupt row half-parsed), and
+    the surviving type cardinality.
+
+    Scale shape: PERMISSIVE parsing is per-line, map-only, no shuffle;
+    the corrupt branch costs nothing until a row is actually bad. Pair
+    with S-SINK-07's DLQ to persist the rescued raw lines for replay."""
+    out = scratch_dir("json5_rescue")
+    ev = load(spark, sf, "events").select("event_id", "event_type")
+    good_json = F.concat(
+        F.lit('{"event_id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "event_type": "'),
+        F.col("event_type"),
+        F.lit('"}'),
+    )
+    bad_json = F.concat(
+        F.lit('{"event_id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "event_type": "'),
+        F.col("event_type"),
+    )
+    ev.select(
+        F.when(F.col("event_id") % 7 == 0, bad_json)
+        .otherwise(good_json)
+        .alias("value")
+    ).write.mode("overwrite").text(out)
+    back = spark.read.schema(
+        "event_id bigint, event_type string, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").json(out)
+    return back.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("event_id"))
+        )
+        .cast("bigint")
+        .alias("good_id_sum"),
+        F.count_distinct(
+            F.when(F.col("_corrupt_record").isNull(), F.col("event_type"))
+        )
+        .cast("bigint")
+        .alias("n_types"),
+    ).localCheckpoint()

@@ -755,3 +755,168 @@ def l_sim_11(spark, sf):
         .filter(F.col("rnk") <= 3)
         .orderBy("q_id", "rnk")
     )
+
+
+def _duck_doti(a: str, b: str) -> str:
+    """Raw int64 fixed-point dot (the _DUCK_DOT12 anchor without the
+    /1e12 rescale): exact in both engines because every floored term
+    is an integer ≤ ~2e10 and 64 of them sum well under 2^53."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1), i -> "
+        f"CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e12) "
+        f"AS DOUBLE))) AS BIGINT)"
+    )
+
+
+def _mmr_step(prev_sel: str, step: str, sel: str) -> str:
+    return f"""
+{step} AS (
+  SELECT c.qid, c.cid, c.rel, 7 * c.rel - 3 * MAX(s.sim) AS score
+  FROM cand c
+  JOIN sims s ON s.qid = c.qid AND s.a = c.cid
+  JOIN {prev_sel} z ON z.qid = s.qid AND z.cid = s.b
+  LEFT JOIN {prev_sel} x ON x.qid = c.qid AND x.cid = c.cid
+  WHERE x.cid IS NULL
+  GROUP BY c.qid, c.cid, c.rel),
+{sel} AS (
+  SELECT qid, cid, rel FROM (
+    SELECT qid, cid, rel,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY score DESC, cid) AS rn
+    FROM {step}) WHERE rn = 1)"""
+
+
+_SIM12_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+qs AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id < 3),
+cand0 AS (
+  SELECT q.qid, c.vec_id AS cid,
+         {_duck_doti('c.embedding', 'q.qv')} AS rel
+  FROM e c, qs q WHERE c.vec_id >= 3),
+cand AS (
+  SELECT qid, cid, rel FROM (
+    SELECT qid, cid, rel,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, cid) AS rn
+    FROM cand0) WHERE rn <= 12),
+sims AS (
+  SELECT c1.qid, c1.cid AS a, c2.cid AS b,
+         {_duck_doti('ea.embedding', 'eb.embedding')} AS sim
+  FROM cand c1
+  JOIN cand c2 ON c1.qid = c2.qid AND c1.cid != c2.cid
+  JOIN e ea ON ea.vec_id = c1.cid
+  JOIN e eb ON eb.vec_id = c2.cid),
+sel1 AS (
+  SELECT qid, cid, rel FROM (
+    SELECT qid, cid, rel,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, cid) AS rn
+    FROM cand) WHERE rn = 1),
+{_mmr_step('sel1', 'step2', 'sel2')},
+selA AS (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2),
+{_mmr_step('selA', 'step3', 'sel3')},
+selB AS (SELECT * FROM selA UNION ALL SELECT * FROM sel3),
+{_mmr_step('selB', 'step4', 'sel4')}
+SELECT qid, rank, cid, rel FROM (
+  SELECT qid, 1 AS rank, cid, rel FROM sel1 UNION ALL
+  SELECT qid, 2, cid, rel FROM sel2 UNION ALL
+  SELECT qid, 3, cid, rel FROM sel3 UNION ALL
+  SELECT qid, 4, cid, rel FROM sel4)
+ORDER BY qid, rank
+"""
+
+_DOTI_SPARK = (
+    "CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12) AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS BIGINT)"
+)
+
+
+@register("L-SIM-12", sql=_SIM12_SQL)
+def l_sim_12(spark, sf):
+    """MMR diversified re-ranking (Carbonell & Goldstein): retrieval's
+    answer to near-duplicate result lists — after relevance retrieval,
+    greedily pick k=4 of the top-12 candidates maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked (λ=0.7,
+    carried as the exact integer form 7·rel − 3·max_sim over the 1e12
+    fixed-point dot anchor, so the greedy argmax — tie-broken on id —
+    is bit-identical across engines; the oracle runs the SAME greedy
+    unrolled into per-step SQL). First pick is pure relevance, per
+    standard MMR.
+
+    Scale shape: stage 1 is L-SIM-01's broadcast-queries exact scan
+    (or any ANN tier) truncated to top-12 per query — from there
+    everything is per-query BOUNDED: 12·11 pairwise sims and a 4-step
+    greedy over 12 rows, grouped per query through applyInPandas
+    (Arrow-batched; int64 arithmetic inside, no floats). 100 TB of
+    corpus changes stage 1 only; the rerank cost is |queries|·k·12."""
+    import pandas as pd
+
+    e = load(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cand0 = (
+        e.filter(F.col("vec_id") >= 3)
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            "embedding",
+            F.expr(_DOTI_SPARK.format(a="embedding", b="qv")).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "cid")
+    cand = cand0.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 12
+    )
+    c1 = cand.select("qid", F.col("cid").alias("a"), F.col("embedding").alias("ea"), F.col("rel").alias("rel_a"))
+    c2 = cand.select("qid", F.col("cid").alias("b"), F.col("embedding").alias("eb"))
+    pairs = (
+        c1.join(c2, "qid")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "qid",
+            "a",
+            "b",
+            "rel_a",
+            F.expr(_DOTI_SPARK.format(a="ea", b="eb")).alias("sim"),
+        )
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["qid"].iloc[0])
+        rel = {int(a): int(r) for a, r in zip(pdf["a"], pdf["rel_a"])}
+        sim = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(pdf["a"], pdf["b"], pdf["sim"])
+        }
+        remaining = set(rel)
+        # first pick: pure relevance, tie-break on id
+        first = min(remaining, key=lambda c: (-rel[c], c))
+        sel = [first]
+        remaining.discard(first)
+        for _ in range(3):
+            best = min(
+                remaining,
+                key=lambda c: (
+                    -(7 * rel[c] - 3 * max(sim[(c, s)] for s in sel)),
+                    c,
+                ),
+            )
+            sel.append(best)
+            remaining.discard(best)
+        return pd.DataFrame(
+            {
+                "qid": [qid] * 4,
+                "rank": [1, 2, 3, 4],
+                "cid": sel,
+                "rel": [rel[c] for c in sel],
+            }
+        )
+
+    return (
+        pairs.groupBy("qid")
+        .applyInPandas(greedy, "qid long, rank int, cid long, rel long")
+        .orderBy("qid", "rank")
+    )

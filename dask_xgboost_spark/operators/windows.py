@@ -675,3 +675,83 @@ def q_win_18(spark, sf):
         )
         .orderBy("day")
     )
+
+
+_WIN19_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, day),
+t AS (
+  SELECT event_type, day, n,
+         SUM(n) OVER (PARTITION BY event_type) AS tot,
+         COUNT(*) OVER (PARTITION BY event_type) AS nd
+  FROM d),
+q AS (
+  SELECT event_type, day FROM t WHERE n * nd > tot),
+anch AS (
+  SELECT event_type, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY day) AS INTEGER) AS anchor
+  FROM q),
+streaks AS (
+  SELECT event_type, anchor, CAST(COUNT(*) AS BIGINT) AS len
+  FROM anch GROUP BY event_type, anchor)
+SELECT event_type,
+       CAST(MAX(len) AS BIGINT) AS longest,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(SUM(len) AS BIGINT) AS n_hot_days
+FROM streaks GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("Q-WIN-19", sql=_WIN19_SQL)
+def q_win_19(spark, sf):
+    """Condition-based streak detection (the third islands variant:
+    Q-WIN-08 breaks on TIME GAPS, Q-TS-07 merges RANGES, this one
+    groups consecutive days satisfying a PREDICATE): per event type,
+    find runs of consecutive above-average-volume days and report the
+    longest run, run count, and total hot days — activity streaks,
+    alert-storm runs, heat waves. The row_number-difference trick
+    (day − rank is constant exactly within a consecutive run) turns
+    streak detection into a plain GROUP BY; the qualifying predicate
+    is data-derived (day beats the type's mean) and cross-multiplied
+    to exact integers (n·n_days > total) so it means the same thing at
+    every scale factor.
+
+    Scale shape: facts collapse to the (type, day) rollup first — the
+    only fact-sized shuffle; everything after runs on calendar-bounded
+    rows in one per-type partitioning shared by the mean window, the
+    rank, and the streak rollup."""
+    d = (
+        load(spark, sf, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    t = d.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(wt).alias("tot"),
+        F.count(F.lit(1)).over(wt).alias("nd"),
+    )
+    q = t.filter(F.col("n") * F.col("nd") > F.col("tot"))
+    wr = Window.partitionBy("event_type").orderBy("day")
+    anch = q.select(
+        "event_type",
+        "day",
+        F.date_sub("day", F.row_number().over(wr).cast("int")).alias("anchor"),
+    )
+    streaks = anch.groupBy("event_type", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return (
+        streaks.groupBy("event_type")
+        .agg(
+            F.max("len").cast("bigint").alias("longest"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.sum("len").cast("bigint").alias("n_hot_days"),
+        )
+        .orderBy("event_type")
+    )

@@ -45,6 +45,7 @@ SAMPLE = [
     "Q-PATH-01", "Q-ATTR-01", "Q-RFM-01", "Q-TS-07",
     "Q-WIN-18", "Q-FUNNEL-02", "Q-SCAN-17", "G-SCHEMA-01",
     "Q-SUBQ-08", "Q-DATE-09", "M-PREP-13",
+    "Q-JSON-05", "M-EVAL-07", "Q-WIN-19", "L-SIM-12",
 ]
 
 
