@@ -43,7 +43,7 @@ ID_SHIFT = 10_000_000
 def build_scaled(spark, sf_dir: str, rep: int) -> str:
     out = tempfile.mkdtemp(prefix=f"dxs_ops_{rep}x_")
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "embeddings"):
+              "lineitem", "embeddings"):
         src = f"{sf_dir}/{t}.parquet"
         if os.path.exists(src):
             os.symlink(src, f"{out}/{t}.parquet")
@@ -70,6 +70,18 @@ def build_scaled(spark, sf_dir: str, rep: int) -> str:
         .repartition(32)
         .write.mode("overwrite")
         .parquet(f"{out}/events.parquet")
+    )
+    # orders: orderkey AND custkey shifted (distinct customers per
+    # replica — per-customer windows/rollups grow in keys, not just rows)
+    (
+        load(spark, sf_dir, "orders")
+        .crossJoin(reps)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("r") * ID_SHIFT)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("r") * ID_SHIFT)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/orders.parquet")
     )
     return out
 
