@@ -1342,3 +1342,76 @@ def m_eval_07(spark, sf):
         )
         .orderBy("bucket")
     )
+
+
+_PREP14_SQL = """
+WITH inter AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS it
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey % 100 = 0),
+items AS (SELECT DISTINCT l_partkey AS it FROM lineitem),
+users AS (SELECT DISTINCT u FROM inter),
+cand AS (
+  SELECT us.u, i.it,
+         md5(CAST(us.u AS VARCHAR) || '|' || CAST(i.it AS VARCHAR)) AS h
+  FROM users us, items i
+  WHERE NOT EXISTS (SELECT 1 FROM inter x
+                    WHERE x.u = us.u AND x.it = i.it)),
+ranked AS (
+  SELECT u, it, h,
+         ROW_NUMBER() OVER (PARTITION BY u ORDER BY h, it) AS rnk
+  FROM cand)
+SELECT u, CAST(rnk AS BIGINT) AS rnk, it
+FROM ranked WHERE rnk <= 5 ORDER BY u, rnk
+"""
+
+
+@register("M-PREP-14", sql=_PREP14_SQL)
+def m_prep_14(spark, sf):
+    """Deterministic negative sampling for implicit-feedback training
+    (the BPR / word2vec data-prep step): for each sampled user, pick
+    k=5 items they have NEVER interacted with, chosen by md5-hash
+    order over (user, item) — the registry's no-seeded-PRNG discipline
+    (mixture.py): the "random" negatives are reproducible bit-for-bit
+    on any engine, any partitioning, any rerun, which is what makes
+    training-data lineage auditable. The anti-join against the
+    interaction set guarantees no false negative leaks a positive.
+
+    Scale shape: the fixture demo crosses sampled users × the item
+    vocabulary (bounded demo); the production path blocks the cross by
+    hash-bucket (user, item-bucket) so each task draws from ~k·few
+    candidates — same map-only md5 discipline, never a full cross.
+    Interactions shuffle once on user for the anti-join; candidate
+    ranking is a per-user window over the bounded candidate set."""
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    inter = (
+        o.filter(F.col("o_custkey") % 100 == 0)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it"))
+        .distinct()
+    )
+    items = li.select(F.col("l_partkey").alias("it")).distinct()
+    users = inter.select("u").distinct()
+    cand = (
+        users.crossJoin(items)
+        .join(inter, ["u", "it"], "left_anti")
+        .select(
+            "u",
+            "it",
+            F.md5(
+                F.concat(
+                    F.col("u").cast("string"),
+                    F.lit("|"),
+                    F.col("it").cast("string"),
+                )
+            ).alias("h"),
+        )
+    )
+    w = Window.partitionBy("u").orderBy("h", "it")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("u", "rnk", "it")
+        .orderBy("u", "rnk")
+    )

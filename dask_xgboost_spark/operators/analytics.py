@@ -1380,3 +1380,124 @@ def q_funnel_02(spark, sf):
         )
         .orderBy("cohort_week")
     )
+
+
+_COHORT2_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events),
+marked AS (
+  SELECT user_id, wk,
+         MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+         lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+  FROM act),
+cls AS (
+  SELECT wk,
+         CAST(SUM(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(SUM(CASE WHEN wk != first_wk AND prev_wk = wk - 7
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         CAST(SUM(CASE WHEN wk != first_wk
+                        AND (prev_wk IS NULL OR prev_wk < wk - 7)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM marked GROUP BY wk),
+churn AS (
+  SELECT wk + 7 AS wk, CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM marked
+  WHERE next_wk IS NULL OR next_wk > wk + 7
+  GROUP BY wk + 7),
+maxwk AS (SELECT MAX(wk) AS mw FROM cls)
+SELECT c.wk, c.n_new, c.n_retained, c.n_resurrected,
+       COALESCE(h.n_churned, 0) AS n_churned
+FROM cls c LEFT JOIN churn h ON h.wk = c.wk, maxwk
+WHERE c.wk <= maxwk.mw
+ORDER BY c.wk
+"""
+
+
+@register("Q-COHORT-02", sql=_COHORT2_SQL)
+def q_cohort_02(spark, sf):
+    """Growth accounting (the Social-Capital quick-ratio decomposition):
+    every weekly active user is exactly one of NEW (first week ever),
+    RETAINED (also active the prior week) or RESURRECTED (returning
+    after a gap), and each week also counts CHURNED (active the prior
+    week, absent now — attributed via each activity row's lead(): a
+    user churns at wk+7 when their next activity is absent or later).
+    Q-COHORT-01's retention triangle tracks one cohort's decay; this
+    is the week-over-week P&L of the user base that product teams
+    actually report (new + resurrected vs churned).
+
+    The identity activity(w) = new + retained + resurrected and
+    churned(w) = active(w−7) − retained(w) both follow from the
+    classification, making the output self-auditing.
+
+    Scale shape: facts collapse to DISTINCT (user, week) first; the
+    first/prev/next markers are one per-user window pass over that
+    rollup; weekly counts + the churn self-attribution are
+    calendar-bounded. One user-keyed shuffle total."""
+    act = (
+        load(spark, sf, "events")
+        .select(
+            "user_id",
+            F.date_trunc("week", "ts").cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("wk")
+    marked = act.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(wu).alias("first_wk"),
+        F.lag("wk").over(wo).alias("prev_wk"),
+        F.lead("wk").over(wo).alias("next_wk"),
+    )
+    cls = marked.groupBy("wk").agg(
+        F.sum(F.when(F.col("wk") == F.col("first_wk"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(
+            F.when(
+                (F.col("wk") != F.col("first_wk"))
+                & (F.col("prev_wk") == F.date_sub("wk", 7)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("wk") != F.col("first_wk"))
+                & (
+                    F.col("prev_wk").isNull()
+                    | (F.col("prev_wk") < F.date_sub("wk", 7))
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    churn = (
+        marked.filter(
+            F.col("next_wk").isNull()
+            | (F.col("next_wk") > F.date_add("wk", 7))
+        )
+        .groupBy(F.date_add("wk", 7).alias("wk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    maxwk = cls.agg(F.max("wk").alias("mw"))
+    return (
+        cls.join(churn, "wk", "left")
+        .crossJoin(F.broadcast(maxwk))
+        .filter(F.col("wk") <= F.col("mw"))
+        .select(
+            "wk",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
+        )
+        .orderBy("wk")
+    )

@@ -1382,3 +1382,68 @@ def g_schema_01(spark, sf):
         r2.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_v2"))
     )
     return report.crossJoin(F.broadcast(counts)).orderBy("column_name")
+
+
+_TTL1_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(ts) AS min_ts,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+FROM {EVENTS_US}
+WHERE ts >= TIMESTAMP '2024-01-15 12:00:00'
+"""
+
+
+@register("G-TTL-01", sql=_TTL1_SQL)
+def g_ttl_01(spark, sf):
+    """Partition-level TTL retention enforcement — the cheap path every
+    lakehouse retention job should take before row rewrites: on a
+    day-partitioned table, expired WHOLE partitions are dropped as
+    directory deletes (metadata-only — zero rows read or written, the
+    dominant case for a sliding retention window), and ONLY the single
+    boundary partition containing the cutoff instant is rewritten
+    row-level. Key-based GDPR deletes (G-DELETE-01/02) rewrite
+    matching files wherever they are; TTL aligns the delete predicate
+    with the partition key, which is why retention SHOULD be the
+    partition layout's first customer. The oracle checks the surviving
+    content (count, earliest ts, id checksum, day count) against the
+    batch predicate ts >= cutoff.
+
+    Scale shape: O(expired partitions) directory deletes + ONE
+    partition's rewrite, independent of table size — a 10-year 100 TB
+    table pays for one day of data. The listing is driver-side over
+    partition dirs (bounded by retention horizon), never over files."""
+    import shutil as _sh
+    from datetime import date as _date
+
+    cutoff_day = _date(2024, 1, 15)
+    cutoff = "2024-01-15 12:00:00"
+    base = scratch_dir("ttl_table")
+    ev = load(spark, sf, "events")
+    ev.withColumn("d", F.to_date("ts")).write.partitionBy("d").mode(
+        "overwrite"
+    ).parquet(base)
+    import os
+
+    for entry in os.listdir(base):
+        if not entry.startswith("d="):
+            continue
+        day = _date.fromisoformat(entry[2:])
+        if day < cutoff_day:
+            _sh.rmtree(os.path.join(base, entry))  # metadata-only drop
+        elif day == cutoff_day:
+            part_dir = os.path.join(base, entry)
+            kept = (
+                spark.read.parquet(part_dir)
+                .filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+                .localCheckpoint()  # materialize BEFORE overwriting source
+            )
+            _sh.rmtree(part_dir)
+            kept.write.parquet(part_dir)
+    back = spark.read.parquet(base)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min(F.date_trunc("microsecond", "ts")).alias("min_ts"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.count_distinct(F.to_date("ts")).cast("bigint").alias("n_days"),
+    ).localCheckpoint()
