@@ -29,6 +29,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "python_extensions.py",
         "geo_analytics.py",
         "governance_gates.py",
+        "reliable_serving.py",
+        "product_analytics.py",
     ],
 )
 def test_example_runs(script):
