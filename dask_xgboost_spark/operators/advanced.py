@@ -544,6 +544,56 @@ FROM deadline GROUP BY m ORDER BY m
 """
 
 
+def _default_holidays(day):
+    """Fixed-date holiday rule (Jan 1, Jul 4, Dec 25), every year."""
+    return (
+        ((F.month(day) == 1) & (F.dayofmonth(day) == 1))
+        | ((F.month(day) == 7) & (F.dayofmonth(day) == 4))
+        | ((F.month(day) == 12) & (F.dayofmonth(day) == 25))
+    )
+
+
+def business_day_spine(spark_or_df_bounds, holidays=_default_holidays):
+    """Build the business-day index spine from a 1-row (lo, hi) DATE
+    bounds frame: one generated row per calendar day with ``is_bd``
+    (weekday and not a holiday) and ``bd_cum``, the running count of
+    business days ≤ day. ``bd_cum`` turns "+n business days" into index
+    arithmetic (see add_business_days); ``holidays`` is a Column
+    predicate factory so real holiday calendars can be plugged in.
+
+    The spine is O(days) GENERATED rows (sequence + explode — no
+    shuffle, no driver loop) and broadcasts into any fact join."""
+    b = spark_or_df_bounds
+    spine = b.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    is_bd = ((F.weekday("day") <= 4) & ~holidays("day")).cast("int")
+    cal = spine.select("day", is_bd.alias("is_bd"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return cal.select("day", "is_bd", F.sum("is_bd").over(w).alias("bd_cum"))
+
+
+def add_business_days(df, date_col, n, spine):
+    """Attach ``bd_date``: the day ``n`` business days after
+    ``date_col`` (T+n settlement convention: non-business start dates
+    snap to the previous index, so +n lands n business days after the
+    preceding business day). Two broadcast joins against the spine —
+    the fact side never shuffles."""
+    b1 = F.broadcast(
+        spine.select(F.col("day").alias(date_col), F.col("bd_cum").alias("_c1"))
+    )
+    b2 = F.broadcast(
+        spine.filter(F.col("is_bd") == 1).select(
+            F.col("day").alias("bd_date"), F.col("bd_cum").alias("_c2")
+        )
+    )
+    return (
+        df.join(b1, date_col)
+        .join(b2, F.col("_c2") == F.col("_c1") + n)
+        .drop("_c1", "_c2")
+    )
+
+
 @register("Q-DATE-09", sql=_DATE9_SQL)
 def q_date_09(spark, sf):
     """Business-day arithmetic via a calendar-spine join: every order
@@ -570,30 +620,9 @@ def q_date_09(spark, sf):
     b = orders.agg(
         F.min("od").alias("lo"), F.date_add(F.max("od"), 45).alias("hi")
     )
-    spine = b.select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
-    )
-    is_bd = (
-        (F.weekday("day") <= 4)
-        & ~((F.month("day") == 1) & (F.dayofmonth("day") == 1))
-        & ~((F.month("day") == 7) & (F.dayofmonth("day") == 4))
-        & ~((F.month("day") == 12) & (F.dayofmonth("day") == 25))
-    ).cast("int")
-    cal = spine.select("day", is_bd.alias("is_bd"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    idx = cal.select(
-        "day", "is_bd", F.sum("is_bd").over(w).alias("bd_cum")
-    )
-    b1 = F.broadcast(idx.select(F.col("day").alias("od"), F.col("bd_cum").alias("c1")))
-    b2 = F.broadcast(
-        idx.filter(F.col("is_bd") == 1).select(
-            F.col("day").alias("dl"), F.col("bd_cum").alias("c2")
-        )
-    )
-    dl = (
-        orders.join(b1, "od")
-        .join(b2, F.col("c2") == F.col("c1") + 5)
-        .select("od", "dl")
+    idx = business_day_spine(b)
+    dl = add_business_days(orders, "od", 5, idx).select(
+        "od", F.col("bd_date").alias("dl")
     )
     return (
         dl.groupBy(F.date_trunc("month", "od").cast("date").alias("m"))

@@ -509,6 +509,52 @@ def q_ts_06(spark, sf):
     )
 
 
+def merge_intervals(df, keys, start, end, tie_col):
+    """Coalesce overlapping-or-touching [start, end) intervals into
+    disjoint islands per key group — the public composable form of the
+    Q-TS-07 operator (contract coverage stitching, SLA uptime, vacancy
+    windows). Returns one row per island: ``keys..., island, ms, me``.
+
+    ``tie_col`` must make (start, end, tie_col) a total order within
+    each key group — island ids are then deterministic under any
+    partitioning (the determinism contract every window op here obeys).
+    Works on dates, timestamps, or plain integers (any ordered type
+    where ``>=`` means "touches or overlaps").
+
+    Plan shape: one shuffle on ``keys``, two window passes sharing that
+    partitioning (running MAX(end) over preceding rows marks island
+    starts — a start-gap test alone is WRONG when an earlier interval
+    outlasts a later one), one rollup."""
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(start, end, tie_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = df.select(
+        *keys,
+        start,
+        end,
+        F.when(F.max(end).over(w_prev) >= F.col(start), 0)
+        .otherwise(1)
+        .alias("new_island"),
+        tie_col,
+    )
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(start, end, tie_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = marked.select(
+        *keys,
+        F.sum("new_island").over(w_run).alias("island"),
+        start,
+        end,
+    )
+    return isl.groupBy(*keys, "island").agg(
+        F.min(start).alias("ms"), F.max(end).alias("me")
+    )
+
+
 _TS7_SQL = """
 WITH iv AS (
   SELECT o_custkey, o_orderkey,
@@ -570,34 +616,7 @@ def q_ts_07(spark, sf):
         F.to_date("o_orderdate").alias("s"),
         F.date_add(F.to_date("o_orderdate"), 30).alias("e"),
     )
-    w_prev = (
-        Window.partitionBy("o_custkey")
-        .orderBy("s", "e", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    marked = iv.select(
-        "o_custkey",
-        "s",
-        "e",
-        F.when(F.max("e").over(w_prev) >= F.col("s"), 0)
-        .otherwise(1)
-        .alias("new_island"),
-        "o_orderkey",
-    )
-    w_run = (
-        Window.partitionBy("o_custkey")
-        .orderBy("s", "e", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    isl = marked.select(
-        "o_custkey",
-        F.sum("new_island").over(w_run).alias("island"),
-        "s",
-        "e",
-    )
-    merged = isl.groupBy("o_custkey", "island").agg(
-        F.min("s").alias("ms"), F.max("e").alias("me")
-    )
+    merged = merge_intervals(iv, ["o_custkey"], "s", "e", "o_orderkey")
     return (
         merged.groupBy("o_custkey")
         .agg(
