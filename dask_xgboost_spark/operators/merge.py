@@ -1447,3 +1447,79 @@ def g_ttl_01(spark, sf):
         F.sum("event_id").cast("bigint").alias("id_sum"),
         F.count_distinct(F.to_date("ts")).cast("bigint").alias("n_days"),
     ).localCheckpoint()
+
+
+_TXN1_SQL = """
+SELECT * FROM (
+  SELECT 'lineitem_daily' AS tbl,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qty) AS BIGINT) AS checksum
+  FROM (SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY day)
+  UNION ALL
+  SELECT 'orders_daily',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_ord) AS BIGINT)
+  FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_ord
+        FROM orders GROUP BY day))
+ORDER BY tbl
+"""
+
+
+@register("G-TXN-01", sql=_TXN1_SQL)
+def g_txn_01(spark, sf):
+    """MULTI-table atomic commit: two derived tables (daily order and
+    lineitem rollups) publish through ONE manifest that names both
+    versions — the cross-table consistency contract single-table WAP
+    (G-AUDIT-01) cannot give: a reader must never see table A's new
+    version paired with table B's old one. The test simulates the
+    failure that motivates it: v2 of ONE table is fully written and
+    the job dies BEFORE the manifest swap — the reader, resolving only
+    through the manifest, still sees the consistent v1+v1 pair (the
+    oracle pins v1 content for both), and the orphaned v2 directory is
+    invisible garbage for retention to collect.
+
+    Scale shape: commit cost is one temp-file write + one atomic
+    rename (os.replace / object-store conditional PUT), independent of
+    data size; readers pay one tiny manifest read. This is the
+    portable core of Iceberg/Delta multi-table transaction patterns."""
+    import json
+    import os
+
+    base = scratch_dir("txn_tables")
+    od = (
+        load(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ord"))
+    )
+    ld = (
+        load(spark, sf, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+    )
+    od.write.parquet(f"{base}/orders_daily/v=1")
+    ld.write.parquet(f"{base}/lineitem_daily/v=1")
+    tmp = f"{base}/manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"orders_daily": 1, "lineitem_daily": 1}, f)
+    os.replace(tmp, f"{base}/manifest.json")  # the ONLY commit point
+    # failed multi-table commit: orders v2 lands, job dies pre-swap
+    od.filter(F.col("day") < "1995-01-01").write.parquet(
+        f"{base}/orders_daily/v=2"
+    )
+    with open(f"{base}/manifest.json") as f:
+        manifest = json.load(f)
+    parts = []
+    for tbl, agg_col in (("lineitem_daily", "qty"), ("orders_daily", "n_ord")):
+        t = spark.read.parquet(f"{base}/{tbl}/v={manifest[tbl]}")
+        parts.append(
+            t.agg(
+                F.lit(tbl).alias("tbl"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(agg_col).cast("bigint").alias("checksum"),
+            )
+        )
+    out = parts[0].unionByName(parts[1]).orderBy("tbl")
+    return out.localCheckpoint()

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import tempfile
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
@@ -2261,3 +2262,64 @@ def q_scan_17(spark, sf):
         .orderBy("d")
     )
     return res.localCheckpoint()
+
+
+@register(
+    "Q-AGG-26",
+    sql="WITH ranked AS ("
+    "  SELECT c_mktsegment, c_name, "
+    "  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c, "
+    "  ROW_NUMBER() OVER (PARTITION BY c_mktsegment "
+    "    ORDER BY CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) DESC, "
+    "             c_custkey) AS rnk "
+    "  FROM customer) "
+    "SELECT c_mktsegment, "
+    "  list(c_name ORDER BY rnk) AS top_names, "
+    "  list(bal_c ORDER BY rnk) AS top_bals_c, "
+    "  CAST(MAX(bal_c) AS BIGINT) AS best_bal_c "
+    "FROM ranked WHERE rnk <= 3 "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+)
+def q_agg_26(spark, sf):
+    """ORDERED top-k array materialization per group — the serving-
+    layer precompute ("top 3 accounts per segment as a ready-to-render
+    list") that collapses a rank query into ONE array-typed row per
+    key, the shape a key-value cache or feature store ingests
+    directly. Spark has no ordered collect_list, so determinism comes
+    from collecting (rank, value) STRUCTS and sort_array-ing them
+    (struct order = field order) before projecting the payload —
+    the portable idiom for DuckDB's list(x ORDER BY y).
+
+    Scale shape: rank truncation runs per-key BEFORE any collection,
+    so each group contributes exactly k rows to the aggregate — array
+    cells are bounded at k·|payload| regardless of group size (an
+    UNBOUNDED collect_list is the anti-pattern this entry avoids)."""
+    bal = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        bal.desc(), "c_custkey"
+    )
+    ranked = (
+        load(spark, sf, "customer")
+        .select(
+            "c_mktsegment",
+            "c_name",
+            bal.alias("bal_c"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rnk", "c_name"))),
+                lambda s: s["c_name"],
+            ).alias("top_names"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rnk", "bal_c"))),
+                lambda s: s["bal_c"],
+            ).alias("top_bals_c"),
+            F.max("bal_c").cast("bigint").alias("best_bal_c"),
+        )
+        .orderBy("c_mktsegment")
+    )
