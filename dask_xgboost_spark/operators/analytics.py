@@ -1430,7 +1430,12 @@ def q_cohort_02(spark, sf):
 
     The identity activity(w) = new + retained + resurrected and
     churned(w) = active(w−7) − retained(w) both follow from the
-    classification, making the output self-auditing.
+    classification, making the output self-auditing
+    (examples/product_analytics.py asserts both). Reporting grain is
+    "weeks with any activity": a hypothetical week where every user
+    churned and none were active carries no row (its churn shows up in
+    the preceding active week's successor when activity resumes) —
+    join onto a calendar spine (Q-DATE-06) if dead weeks must render.
 
     Scale shape: facts collapse to DISTINCT (user, week) first; the
     first/prev/next markers are one per-user window pass over that
