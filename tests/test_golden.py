@@ -721,3 +721,30 @@ def test_g_mask_01_no_released_group_below_k(spark, sf_dir):
     assert all(r["n_subjects"] >= 5 for r in released)
     total = sum(r["n_rows"] for r in rows)
     assert total == load(spark, sf_dir, "events").count()
+
+
+def test_l_sim_12_mmr_diversifies_and_respects_relevance(spark, sf_dir):
+    """MMR's two semantic contracts on the fixture (the oracle proves
+    engine parity; this proves the operator DOES something): (a) rank 1
+    is always the pure-relevance argmax — MMR never trades away the
+    best hit; (b) across the query set, at least one selection departs
+    from pure relevance order — the diversity penalty is load-bearing,
+    not a no-op reweighting; (c) picks are distinct per query."""
+    import collections
+
+    from dask_xgboost_spark.registry import load_all
+
+    rows = load_all()["L-SIM-12"].fn(spark, sf_dir).collect()
+    byq = collections.defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.qid, r.rank)):
+        byq[r.qid].append(r)
+    assert len(byq) == 3
+    reordered = 0
+    for q, sel in byq.items():
+        assert [r.rank for r in sel] == [1, 2, 3, 4]
+        assert len({r.cid for r in sel}) == 4
+        rels = [r.rel for r in sel]
+        assert rels[0] == max(rels), "rank 1 must be the relevance argmax"
+        if rels != sorted(rels, reverse=True):
+            reordered += 1
+    assert reordered >= 1, "diversity penalty never fired on any query"
