@@ -475,3 +475,40 @@ def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
     flags = re.findall(r"LeftAnti, BuildRight, (true|false)", p)
     assert "true" in flags, p[:1500]
     assert "false" in flags, p[:1500]
+
+
+def test_subq08_lateral_decorrelates_to_ranked_join(spark, sf_dir):
+    # the SQL-text LATERAL ... ORDER BY ... LIMIT must decorrelate to a
+    # per-key rank + join, never a per-nation re-execution / nested loop
+    p = plan(spark, sf_dir, "Q-SUBQ-08")
+    assert "CartesianProduct" not in p, p
+    assert "Window" in p, p
+
+
+def test_date09_calendar_joins_broadcast(spark, sf_dir):
+    # both business-day index joins must broadcast the generated spine —
+    # the fact side never shuffles for the calendar
+    p = plan(spark, sf_dir, "Q-DATE-09")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_attr01_conversions_broadcast(spark, sf_dir):
+    # the user-keyed conversion aggregate joins back by broadcast
+    p = plan(spark, sf_dir, "Q-ATTR-01")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_path01_no_self_join(spark, sf_dir):
+    # the bigram comes from lead(), not events⋈events: exactly one scan
+    p = plan(spark, sf_dir, "Q-PATH-01")
+    assert p.count("+- Scan parquet") == 1, p
+    assert "Join" not in p, p
+
+
+def test_funnel02_single_fact_shuffle(spark, sf_dir):
+    # conditional-MIN formulation: no interval self-join, conversions
+    # broadcast, one aggregate pass over the joined facts
+    p = plan(spark, sf_dir, "Q-FUNNEL-02")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
