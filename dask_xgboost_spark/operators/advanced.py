@@ -633,3 +633,40 @@ def q_date_09(spark, sf):
         )
         .orderBy("m")
     )
+
+
+@register(
+    "Q-SQL-02",
+    sql="SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "  AS rev_c "
+    "FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' "
+    "  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00' "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+def q_sql_02(spark, sf):
+    """PARAMETERIZED SQL — the injection-safe templating surface
+    (Spark 3.4+ named parameter markers): the query text carries
+    ``:lo`` / ``:hi`` markers and the values travel OUT-OF-BAND via
+    ``spark.sql(..., args=...)``, so a user-supplied date can never
+    splice syntax into the statement — the difference between an API
+    and an f-string. The DataFrame rides in the same way (``{orders}``
+    template binding), so no temp-view registration leaks session
+    state. Parameters bind as typed literals BEFORE Catalyst sees the
+    plan: pushdown/pruning behave exactly as with inline constants
+    (the oracle is the equivalent inlined query).
+
+    Scale shape: identical to the inlined form — parameter binding is
+    a parse-time substitution, zero runtime cost."""
+    orders = load(spark, sf, "orders")
+    return spark.sql(
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        "  AS rev_c "
+        "FROM {orders} "
+        "WHERE o_orderdate >= :lo AND o_orderdate < :hi "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        args={"lo": "1995-01-01 00:00:00", "hi": "1996-01-01 00:00:00"},
+        orders=orders,
+    )

@@ -1523,3 +1523,67 @@ def g_txn_01(spark, sf):
         )
     out = parts[0].unionByName(parts[1]).orderBy("tbl")
     return out.localCheckpoint()
+
+
+_STATS2_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_ord
+  FROM orders GROUP BY day)
+SELECT stat, value FROM (
+  SELECT 'row_count' AS stat, CAST(COUNT(*) AS VARCHAR) AS value FROM daily
+  UNION ALL SELECT 'day_min', CAST(MIN(day) AS VARCHAR) FROM daily
+  UNION ALL SELECT 'day_max', CAST(MAX(day) AS VARCHAR) FROM daily
+  UNION ALL SELECT 'day_num_nulls', '0'
+  UNION ALL SELECT 'n_ord_min', CAST(MIN(n_ord) AS VARCHAR) FROM daily
+  UNION ALL SELECT 'n_ord_max', CAST(MAX(n_ord) AS VARCHAR) FROM daily
+  UNION ALL SELECT 'n_ord_num_nulls', '0')
+ORDER BY stat
+"""
+
+
+@register("G-STATS-02", sql=_STATS2_SQL)
+def g_stats_02(spark, sf):
+    """CATALOG statistics lifecycle — the CBO's food supply: a derived
+    table is saved to the metastore, ``ANALYZE TABLE … COMPUTE
+    STATISTICS FOR COLUMNS`` populates row counts and per-column
+    min/max/null stats, and the operator reads them BACK from the
+    catalog (DESCRIBE EXTENDED) and hash-proves the exact members
+    (row_count, min, max, num_nulls) against the data itself — the
+    same stats≡data gate G-STATS-01 applies to parquet FOOTER stats,
+    one layer up at the table catalog. A stats row that disagreed with
+    the data would mislead join-strategy and partition-pruning
+    decisions silently; this entry makes that an oracle failure.
+    (distinct_count is deliberately excluded: ANALYZE estimates it by
+    HLL sketch — approximate by design, asserted only >0 here.)
+
+    Scale shape: ANALYZE is one map-combined aggregate pass;
+    DESCRIBE is a catalog read. Stats cost one scan ONCE, then every
+    query planner decision benefits."""
+    daily = (
+        load(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ord"))
+    )
+    spark.sql("DROP TABLE IF EXISTS dxs_stats_t")
+    daily.write.saveAsTable("dxs_stats_t")
+    spark.sql(
+        "ANALYZE TABLE dxs_stats_t COMPUTE STATISTICS FOR COLUMNS day, n_ord"
+    )
+    rows = []
+    tbl = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE TABLE EXTENDED dxs_stats_t").collect()
+    }
+    # 'Statistics' renders as '<bytes> bytes, <rows> rows'
+    rows.append(("row_count", tbl["Statistics"].split(", ")[1].split(" ")[0]))
+    for col in ("day", "n_ord"):
+        info = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE EXTENDED dxs_stats_t {col}").collect()
+        }
+        assert int(info["distinct_count"]) > 0  # HLL estimate: present, not exact
+        for stat in ("min", "max", "num_nulls"):
+            rows.append((f"{col}_{stat}", info[stat]))
+    return spark.createDataFrame(
+        rows, "stat string, value string"
+    ).orderBy("stat")

@@ -483,3 +483,39 @@ def u_scalar_03(spark, sf):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "U-SCALAR-04",
+    sql="SELECT o_orderkey, "
+    "CAST(100 * CAST(SUBSTR(CAST(o_orderkey AS VARCHAR), 1, 1) AS BIGINT) "
+    "  + LENGTH(CAST(o_orderkey AS VARCHAR)) AS BIGINT) AS key_sig "
+    "FROM orders WHERE o_orderkey % 1000 = 0 ORDER BY o_orderkey",
+)
+def u_scalar_04(spark, sf):
+    """Arrow-OPTIMIZED scalar Python UDF (``useArrow=True``,
+    Spark 3.5+): plain-Python per-value signature (no pandas in user
+    code) but Arrow-batched transfer — completing the UDF ladder
+    between the pickled row-at-a-time form (which plans/lint.py
+    hard-flags as BatchEvalPython) and the pandas series form
+    (U-SCALAR-01). The plan shows ArrowEvalPython; the lint treats it
+    as acceptable-off-hot-path. The function itself is deliberately
+    SQL-expressible (leading digit × 100 + decimal length) so the
+    oracle can pin the values — the entry verifies the EVALUATION
+    PATH, the registry's many non-trivial UDFs verify usefulness.
+
+    Scale shape: map-only; Arrow batching amortizes serialization the
+    same way pandas_udf does — per-batch, not per-row."""
+    from pyspark.sql.functions import udf
+
+    @udf("bigint", useArrow=True)
+    def key_sig(k: int) -> int:
+        s = str(k)
+        return 100 * int(s[0]) + len(s)
+
+    return (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 1000 == 0)
+        .select("o_orderkey", key_sig("o_orderkey").alias("key_sig"))
+        .orderBy("o_orderkey")
+    )
