@@ -92,8 +92,11 @@ def decode_media(payload: bytes) -> dict:
     cluster or use the PGM path."""
     if payload[:2] == b"P5":
         return decode_pgm(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav_pcm16(payload)
     raise NotImplementedError(
-        "no codec for this magic in this environment (PGM/P5 is supported)"
+        "no codec for this magic in this environment "
+        "(PGM/P5 and WAV/PCM16 are supported)"
     )
 
 
@@ -492,6 +495,150 @@ def l_mm_06(spark, sf):
     return (
         sampled.mapInPandas(
             ranged_read, "doc_id bigint, n_bytes bigint, content_md5 string, ok boolean"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def encode_wav_pcm16(samples, rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE encoder: PCM, mono, 16-bit little-endian —
+    pure Python/struct, the audio twin of the PGM codec (encode_pgm)."""
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(payload: bytes) -> dict:
+    """Chunk-walking WAV decoder: verifies RIFF/WAVE magic, walks the
+    chunk list (tolerating extra chunks, as real encoders emit), reads
+    the fmt contract (PCM / mono / 16-bit) and returns rate + int16
+    samples. Raises on anything outside the PCM16 contract — the same
+    honest-failure policy as decode_media."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        chunk = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM mono 16-bit supported")
+        elif cid == b"data":
+            samples = struct.unpack(f"<{clen // 2}h", chunk[: (clen // 2) * 2])
+        pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return {"rate": rate, "samples": samples}
+
+
+_MM7_SQL = """
+WITH t AS (
+  SELECT doc_id AS k, 400 + (n_chars % 7) * 80 AS n
+  FROM documents WHERE doc_id % 10 = 0),
+s AS (
+  SELECT k, n, i,
+         abs(((k * 7 + i * 13) % 2001) - 1000) AS a,
+         i // 160 AS f
+  FROM t, UNNEST(range(0, n)) AS u(i)
+  WHERE i < (n // 160) * 160),
+fr AS (SELECT k, n, f, SUM(a) AS fa FROM s GROUP BY k, n, f)
+SELECT k AS doc_id,
+       CAST(8000 AS BIGINT) AS rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(fa) AS BIGINT) AS total_abs,
+       CAST(MAX(fa) AS BIGINT) AS max_frame_abs
+FROM fr GROUP BY k, n ORDER BY doc_id
+"""
+
+
+@register("L-MM-07", sql=_MM7_SQL)
+def l_mm_07(spark, sf):
+    """REAL audio decode + frame sampling (the audio twin of L-MM-02's
+    PGM image codec): deterministic PCM tracks — synthesized from each
+    sampled document's (doc_id, n_chars), so the fixture drives length
+    and content — are ENCODED to genuine RIFF/WAVE bytes, then the
+    decode side re-parses those bytes with a chunk-walking reader
+    (magic check, fmt contract, word-aligned chunk list) and computes
+    the frame pipeline every audio-ML loader runs: fixed 160-sample
+    (20 ms @ 8 kHz) frames, tail dropped, per-frame |amplitude| sums →
+    per-track n_frames / total / max. The oracle reproduces the exact
+    integers from the generating formula — so a single mis-parsed
+    header field, byte-order slip, or off-by-one in framing fails the
+    hash. JPEG/MP3-class codecs stay honestly stubbed (decode_media);
+    WAV/PGM prove the full Spark-side plumbing with real bytes.
+
+    Scale shape: encode/decode/frame are ONE mapInPandas pass each
+    side (Arrow-batched binary columns, no row-at-a-time); frames
+    never materialize as rows — each track folds to 6 integers inside
+    the UDF. 100 TB of audio = a map-only scan either side of the
+    (bounded) per-track rollup."""
+    import pandas as pd
+
+    docs = (
+        load(spark, sf, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", (400 + (F.col("n_chars") % 7) * 80).alias("n"))
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for k, n in zip(pdf["doc_id"], pdf["n"]):
+                samples = [((int(k) * 7 + i * 13) % 2001) - 1000 for i in range(int(n))]
+                payloads.append(encode_wav_pcm16(samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    tracks = docs.mapInPandas(encode, "doc_id bigint, payload binary")
+
+    def features(batches):
+        for pdf in batches:
+            rows = []
+            for k, payload in zip(pdf["doc_id"], pdf["payload"]):
+                wav = decode_wav_pcm16(bytes(payload))
+                s = wav["samples"]
+                nf = len(s) // 160
+                frames = [
+                    sum(abs(v) for v in s[f * 160 : (f + 1) * 160])
+                    for f in range(nf)
+                ]
+                rows.append(
+                    (
+                        int(k),
+                        wav["rate"],
+                        len(s),
+                        nf,
+                        sum(frames),
+                        max(frames),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "rate",
+                    "n_samples",
+                    "n_frames",
+                    "total_abs",
+                    "max_frame_abs",
+                ],
+            )
+
+    return (
+        tracks.mapInPandas(
+            features,
+            "doc_id bigint, rate bigint, n_samples bigint, "
+            "n_frames bigint, total_abs bigint, max_frame_abs bigint",
         )
         .orderBy("doc_id")
     )

@@ -748,3 +748,44 @@ def test_l_sim_12_mmr_diversifies_and_respects_relevance(spark, sf_dir):
         if rels != sorted(rels, reverse=True):
             reordered += 1
     assert reordered >= 1, "diversity penalty never fired on any query"
+
+
+def test_wav_codec_round_trip_and_dispatch():
+    """WAV/PCM16 codec contract: encode→decode is lossless, the
+    chunk-walker tolerates extra chunks and odd-length word-aligned
+    padding, decode_media dispatches on the RIFF magic, and non-PCM
+    contracts fail loudly instead of returning garbage."""
+    import struct
+
+    import pytest as _pytest
+
+    from dask_xgboost_spark.operators.multimodal import (
+        decode_media,
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 123, -456]
+    wav = encode_wav_pcm16(samples, rate=16000)
+    out = decode_media(wav)  # magic-number dispatch
+    assert out["rate"] == 16000
+    assert list(out["samples"]) == samples
+
+    # inject an unknown odd-length chunk between fmt and data: real
+    # encoders emit LIST/INFO chunks; the walker must skip + word-align
+    pos = wav.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 3) + b"xyz" + b"\x00"
+    patched = wav[:pos] + extra + wav[pos:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert list(decode_wav_pcm16(patched)["samples"]) == samples
+
+    # stereo payload violates the mono contract → loud failure
+    stereo = wav.replace(
+        struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16),
+        struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16),
+    )
+    with _pytest.raises(ValueError):
+        decode_wav_pcm16(stereo)
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xe0 fake jpeg")
