@@ -1415,3 +1415,86 @@ def m_prep_14(spark, sf):
         .select("u", "rnk", "it")
         .orderBy("u", "rnk")
     )
+
+
+_EVAL8_SQL = """
+WITH assign AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id),
+v AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS c
+  FROM assign GROUP BY variant),
+w AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+         MAX(CASE WHEN variant = 0 THEN c END) AS c0,
+         MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+         MAX(CASE WHEN variant = 1 THEN c END) AS c1
+  FROM v)
+SELECT n0, c0, n1, c1,
+       (CAST(c1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+        - CAST(c0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+       * (CAST(c1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+          - CAST(c0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+       * (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+       > 3.8415 * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+               * (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+               * (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)
+                  - CAST(c0 AS DOUBLE) - CAST(c1 AS DOUBLE))
+         AS significant
+FROM w
+"""
+
+
+@register("M-EVAL-08", sql=_EVAL8_SQL)
+def m_eval_08(spark, sf):
+    """A/B experiment readout — the two-proportion z-test every
+    experimentation platform runs, in engine-exact arithmetic: users
+    are assigned deterministically (user_id % 2 — the documented
+    stand-in for a real bucketing hash, same discipline as M-PREP-14's
+    md5 assignment), per-user conversion is "ever purchased", and the
+    pooled two-proportion z² test is CROSS-MULTIPLIED so no division
+    or sqrt is compared: (c₁n₀ − c₀n₁)²·(n₀+n₁) > z²·n₀n₁·C·(N−C)
+    with z² = 3.8415 (α = 0.05, two-sided). Every factor is an exact
+    integer cast to double (the products pass int64 at large SF —
+    M-EVAL-07's overflow-safe discipline), so both engines compute the
+    identical correctly-rounded boolean. Raw counts ship alongside;
+    effect size is the reader's division.
+
+    Scale shape: one user-keyed rollup (the conversion flag is a
+    per-user MAX, map-combinable), then a 2-row pivot — the experiment
+    readout for a 100 TB event log costs one aggregation pass."""
+    assign = (
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select(
+            (F.col("user_id") % 2).cast("bigint").alias("variant"), "conv"
+        )
+    )
+    v = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("c"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("c1"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    dev = d("c1") * d("n0") - d("c0") * d("n1")
+    lhs = dev * dev * (d("n0") + d("n1"))
+    rhs = (
+        F.lit(3.8415)
+        * d("n0")
+        * d("n1")
+        * (d("c0") + d("c1"))
+        * (d("n0") + d("n1") - d("c0") - d("c1"))
+    )
+    return w.select("n0", "c0", "n1", "c1", (lhs > rhs).alias("significant"))
