@@ -3,9 +3,10 @@
 Design for image/audio/video at 100 TB: media are opaque ``binary``
 columns with typed metadata columns beside them; decode/feature-extract
 runs as Arrow-batched ``mapInPandas`` so bytes never round-trip through
-Python row objects. The decode path runs a REAL pure-Python PGM (netpbm
-P5) codec end-to-end — encode, header parse, raster extraction —
-oracle-verified by digest; formats needing native codecs (JPEG/audio)
+Python row objects. The decode path runs REAL pure-Python codecs for
+one container per modality — PGM/P5 image (L-MM-02), WAV/PCM16 audio
+(L-MM-07), Y4M/Cmono video (L-MM-08) — each encode→parse→extract round
+trip oracle-verified; formats needing native codecs (JPEG/MP3/H.264)
 raise NotImplementedError, since no media libraries exist in this
 container.
 """
@@ -94,9 +95,11 @@ def decode_media(payload: bytes) -> dict:
         return decode_pgm(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav_pcm16(payload)
+    if payload[:9] == b"YUV4MPEG2":
+        return decode_y4m_mono(payload)
     raise NotImplementedError(
         "no codec for this magic in this environment "
-        "(PGM/P5 and WAV/PCM16 are supported)"
+        "(PGM/P5, WAV/PCM16 and Y4M/Cmono are supported)"
     )
 
 
@@ -639,6 +642,160 @@ def l_mm_07(spark, sf):
             features,
             "doc_id bigint, rate bigint, n_samples bigint, "
             "n_frames bigint, total_abs bigint, max_frame_abs bigint",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def encode_y4m_mono(frames, width: int, height: int) -> bytes:
+    """Minimal YUV4MPEG2 encoder (Cmono = luma-only plane): the
+    standard uncompressed video interchange container (mplayer/ffmpeg
+    `-f yuv4mpegpipe`), completing the real-codec trio — PGM (image),
+    WAV (audio), Y4M (video)."""
+    head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 Cmono\n".encode()
+    body = b"".join(b"FRAME\n" + bytes(f) for f in frames)
+    return head + body
+
+
+def decode_y4m_mono(payload: bytes) -> dict:
+    """Stream-parsing Y4M decoder: tokenizes the parameter header
+    (W/H/C tags in any order, unknown tags tolerated), then walks the
+    FRAME markers slicing fixed-size luma planes. Raises outside the
+    Cmono contract — same honest-failure policy as the other codecs."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode("ascii")
+    toks = head.split(" ")
+    if toks[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    colorspace = "C420jpeg"  # the spec's default when C is absent
+    for t in toks[1:]:
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("C"):
+            colorspace = t
+    if w is None or h is None:
+        raise ValueError("missing W/H header params")
+    if colorspace != "Cmono":
+        raise ValueError("only Cmono (luma-only) supported")
+    plane, frames, pos = w * h, [], nl + 1
+    while pos < len(payload):
+        fn = payload.index(b"\n", pos)
+        if payload[pos:fn].split(b" ")[0] != b"FRAME":
+            raise ValueError("malformed FRAME marker")
+        frames.append(payload[fn + 1 : fn + 1 + plane])
+        pos = fn + 1 + plane
+    return {"width": w, "height": h, "frames": frames}
+
+
+_MM8_SQL = """
+WITH t AS (
+  SELECT doc_id AS k, 6 + (n_chars % 5) * 3 AS nf
+  FROM documents WHERE doc_id % 10 = 5),
+px AS (
+  SELECT k, nf, f.i AS f,
+         CAST(SUM((k * 3 + f.i * 7 + p.i * 11) % 256) AS BIGINT) AS fsum
+  FROM t,
+       UNNEST(range(0, nf)) AS f(i),
+       UNNEST(range(0, 128)) AS p(i)
+  WHERE f.i % 3 = 0
+  GROUP BY k, nf, f.i)
+SELECT k AS doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(fsum) AS BIGINT) AS luma_sum,
+       CAST(MAX(fsum) AS BIGINT) AS max_frame_luma
+FROM px GROUP BY k, nf ORDER BY doc_id
+"""
+
+
+@register("L-MM-08", sql=_MM8_SQL)
+def l_mm_08(spark, sf):
+    """REAL video decode + FRAME SAMPLING (completing the modality
+    trio: PGM image L-MM-02, WAV audio L-MM-07, Y4M video here):
+    deterministic 16×8 luma-only video tracks — length and pixels
+    derived from each sampled document — are encoded to genuine
+    YUV4MPEG2 bytes, re-parsed by a tokenizing header reader + FRAME
+    walker, and every 3rd frame is sampled for integer luma statistics
+    (the keyframe-sampling step every video-training pipeline runs
+    before expensive feature extraction). The oracle reproduces the
+    exact integers from the generating formula: a mis-read header tag,
+    plane-size slip, or off-by-one in the frame stride fails the hash.
+    Compressed codecs (H.264 etc.) stay honestly stubbed in
+    decode_media; the container/sampling plumbing is fully real.
+
+    Scale shape: one Arrow-batched mapInPandas pass per side; sampled
+    frames fold to per-track integers inside the UDF. Y4M is
+    fixed-stride, so a production reader seeks straight to sampled
+    frames (byte offset = header + f·(6 + plane)) instead of scanning
+    — noted here, irrelevant at fixture sizes."""
+    import pandas as pd
+
+    W, H, PLANE = 16, 8, 128
+    docs = (
+        load(spark, sf, "documents")
+        .filter(F.col("doc_id") % 10 == 5)
+        .select("doc_id", (6 + (F.col("n_chars") % 5) * 3).alias("nf"))
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for k, nf in zip(pdf["doc_id"], pdf["nf"]):
+                frames = [
+                    bytes(
+                        (int(k) * 3 + f * 7 + p * 11) % 256
+                        for p in range(PLANE)
+                    )
+                    for f in range(int(nf))
+                ]
+                payloads.append(encode_y4m_mono(frames, W, H))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    vids = docs.mapInPandas(encode, "doc_id bigint, payload binary")
+
+    def features(batches):
+        for pdf in batches:
+            rows = []
+            for k, payload in zip(pdf["doc_id"], pdf["payload"]):
+                v = decode_y4m_mono(bytes(payload))
+                sampled = [
+                    sum(v["frames"][f])
+                    for f in range(0, len(v["frames"]), 3)
+                ]
+                rows.append(
+                    (
+                        int(k),
+                        v["width"],
+                        v["height"],
+                        len(v["frames"]),
+                        len(sampled),
+                        sum(sampled),
+                        max(sampled),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "n_sampled",
+                    "luma_sum",
+                    "max_frame_luma",
+                ],
+            )
+
+    return (
+        vids.mapInPandas(
+            features,
+            "doc_id bigint, width bigint, height bigint, n_frames bigint, "
+            "n_sampled bigint, luma_sum bigint, max_frame_luma bigint",
         )
         .orderBy("doc_id")
     )

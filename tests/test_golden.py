@@ -789,3 +789,36 @@ def test_wav_codec_round_trip_and_dispatch():
 
     with _pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_y4m_codec_round_trip_and_dispatch():
+    """Y4M/Cmono codec contract: encode→decode is lossless, the header
+    tokenizer tolerates unknown parameter tags in any order,
+    decode_media dispatches on the YUV4MPEG2 magic, and non-mono
+    colorspaces fail loudly."""
+    import pytest as _pytest
+
+    from dask_xgboost_spark.operators.multimodal import (
+        decode_media,
+        decode_y4m_mono,
+        encode_y4m_mono,
+    )
+
+    frames = [bytes(range(12)), bytes(reversed(range(12))), bytes(12)]
+    vid = encode_y4m_mono(frames, width=4, height=3)
+    out = decode_media(vid)  # magic-number dispatch
+    assert (out["width"], out["height"]) == (4, 3)
+    assert [bytes(f) for f in out["frames"]] == frames
+
+    # unknown tag + reordered params must parse (the Y4M grammar allows
+    # arbitrary X-prefixed extensions and any tag order)
+    reordered = vid.replace(
+        b"YUV4MPEG2 W4 H3 F25:1 Ip A1:1 Cmono\n",
+        b"YUV4MPEG2 Cmono XCOLORRANGE=FULL H3 W4 F25:1\n",
+    )
+    assert [bytes(f) for f in decode_y4m_mono(reordered)["frames"]] == frames
+
+    # chroma-bearing colorspace violates the Cmono contract
+    c420 = vid.replace(b"Cmono", b"C420 ")
+    with _pytest.raises(ValueError):
+        decode_y4m_mono(c420)
