@@ -832,6 +832,44 @@ _DOTI_SPARK = (
 )
 
 
+def _mmr_greedy_kernel(pdf):
+    """Per-query MMR greedy over the (a, b, sim, rel_a) pair frame —
+    the applyInPandas kernel L-SIM-12 ships, module-level so the
+    hypothesis property test can drive the EXACT shipped code on
+    adversarial score matrices. Pure int64 arithmetic; ties to the
+    smaller candidate id; first pick is pure relevance."""
+    import pandas as pd
+
+    qid = int(pdf["qid"].iloc[0])
+    rel = {int(a): int(r) for a, r in zip(pdf["a"], pdf["rel_a"])}
+    sim = {
+        (int(a), int(b)): int(s)
+        for a, b, s in zip(pdf["a"], pdf["b"], pdf["sim"])
+    }
+    remaining = set(rel)
+    first = min(remaining, key=lambda c: (-rel[c], c))
+    sel = [first]
+    remaining.discard(first)
+    for _ in range(3):
+        best = min(
+            remaining,
+            key=lambda c: (
+                -(7 * rel[c] - 3 * max(sim[(c, s)] for s in sel)),
+                c,
+            ),
+        )
+        sel.append(best)
+        remaining.discard(best)
+    return pd.DataFrame(
+        {
+            "qid": [qid] * 4,
+            "rank": [1, 2, 3, 4],
+            "cid": sel,
+            "rel": [rel[c] for c in sel],
+        }
+    )
+
+
 @register("L-SIM-12", sql=_SIM12_SQL)
 def l_sim_12(spark, sf):
     """MMR diversified re-ranking (Carbonell & Goldstein): retrieval's
@@ -884,39 +922,10 @@ def l_sim_12(spark, sf):
         )
     )
 
-    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = int(pdf["qid"].iloc[0])
-        rel = {int(a): int(r) for a, r in zip(pdf["a"], pdf["rel_a"])}
-        sim = {
-            (int(a), int(b)): int(s)
-            for a, b, s in zip(pdf["a"], pdf["b"], pdf["sim"])
-        }
-        remaining = set(rel)
-        # first pick: pure relevance, tie-break on id
-        first = min(remaining, key=lambda c: (-rel[c], c))
-        sel = [first]
-        remaining.discard(first)
-        for _ in range(3):
-            best = min(
-                remaining,
-                key=lambda c: (
-                    -(7 * rel[c] - 3 * max(sim[(c, s)] for s in sel)),
-                    c,
-                ),
-            )
-            sel.append(best)
-            remaining.discard(best)
-        return pd.DataFrame(
-            {
-                "qid": [qid] * 4,
-                "rank": [1, 2, 3, 4],
-                "cid": sel,
-                "rel": [rel[c] for c in sel],
-            }
-        )
-
     return (
         pairs.groupBy("qid")
-        .applyInPandas(greedy, "qid long, rank int, cid long, rel long")
+        .applyInPandas(
+            _mmr_greedy_kernel, "qid long, rank int, cid long, rel long"
+        )
         .orderBy("qid", "rank")
     )

@@ -31,6 +31,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "governance_gates.py",
         "reliable_serving.py",
         "product_analytics.py",
+        "multimodal_pipeline.py",
     ],
 )
 def test_example_runs(script):

@@ -103,3 +103,71 @@ def test_add_business_days_matches_walk(spark, offs, n):
         for r in add_business_days(df, "od", n, spine).collect()
     }
     assert got == {d: _ref_add_bd(d, n) for d in dates}
+
+
+def _ref_mmr(rel: dict, sim: dict, k: int):
+    """Pure-Python MMR greedy reference: first pick = max relevance,
+    then argmax of 7·rel − 3·max-sim-to-selected, ties to smaller id."""
+    remaining = set(rel)
+    sel = [min(remaining, key=lambda c: (-rel[c], c))]
+    remaining.discard(sel[0])
+    while len(sel) < k and remaining:
+        best = min(
+            remaining,
+            key=lambda c: (-(7 * rel[c] - 3 * max(sim[(c, s)] for s in sel)), c),
+        )
+        sel.append(best)
+        remaining.discard(best)
+    return sel
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rels=st.lists(
+        st.integers(min_value=-10**12, max_value=10**12), min_size=5, max_size=9
+    ),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_mmr_greedy_matches_reference(spark, rels, seed):
+    """The applyInPandas MMR kernel (the exact code L-SIM-12 ships)
+    must reproduce the reference greedy on arbitrary int64 score
+    matrices — including ties and negative similarities, which the
+    fixture's real dot products rarely produce."""
+    import pandas as pd
+
+    ids = list(range(len(rels)))
+    rel = dict(zip(ids, rels))
+    # deterministic symmetric "similarities" from the seed
+    sim = {}
+    for a in ids:
+        for b in ids:
+            if a != b:
+                v = ((a * 31 + b * 17 + seed) % (2 * 10**12)) - 10**12
+                sim[(a, b)] = sim.get((b, a), v)
+    pairs = pd.DataFrame(
+        [
+            {"qid": 0, "a": a, "b": b, "rel_a": rel[a], "sim": s}
+            for (a, b), s in sim.items()
+        ]
+    )
+    sdf = spark.createDataFrame(
+        pairs, "qid long, a long, b long, rel_a long, sim long"
+    )
+    # run the shipped kernel through the same applyInPandas path the
+    # operator uses: reuse its grouping contract on our synthetic pairs
+    from dask_xgboost_spark.operators import similarity as _sim
+
+    out = (
+        sdf.groupBy("qid")
+        .applyInPandas(
+            _sim._mmr_greedy_kernel, "qid long, rank int, cid long, rel long"
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    want = _ref_mmr(rel, sim, 4)
+    assert [r.cid for r in out] == want
