@@ -2323,3 +2323,49 @@ def q_agg_26(spark, sf):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "Q-SCAN-18",
+    sql="SELECT doc_id, lang, md5(text) AS text_md5 "
+    "FROM documents ORDER BY doc_id",
+)
+def q_scan_18(spark, sf):
+    """Custom Python Data Source WRITER (Spark 4 ``DataSourceWriter``)
+    — the write-side twin of Q-SCAN-11's reader, completing the
+    extension point's third leg (batch read / stream read / batch
+    WRITE): documents go out through the pure-Python ``pyjsonl`` sink
+    and come back through the pure-Python reader, content digests ≡
+    the parquet original. The writer is TRANSACTIONAL (the same WAP
+    discipline as G-AUDIT-01): tasks stage ``.staged`` files invisible
+    to the reader and return them as commit messages; ``commit()``
+    renames all-or-nothing on the driver; ``abort()`` unstages — a
+    failed or speculative task can never publish partial data.
+
+    Scale shape: each task streams its own partition to its own file
+    (no driver data path); commit is O(files) renames. Python encode is
+    the slow path by design — this sink is for formats/APIs Spark has
+    no native writer for."""
+    from dask_xgboost_spark.sources.pydatasource import register_python_sources
+
+    register_python_sources(spark)
+    out = scratch_dir("pyjsonl_sink")
+    (
+        load(spark, sf, "documents")
+        .select("doc_id", "lang", "text")
+        .write.format("pyjsonl")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("pyjsonl")
+        .schema("doc_id bigint, lang string, text string")
+        .option("path", out)
+        .load()
+    )
+    return (
+        back.select("doc_id", "lang", F.md5("text").alias("text_md5"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    )

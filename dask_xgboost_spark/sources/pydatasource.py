@@ -26,7 +26,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -47,6 +49,9 @@ class JsonLinesDataSource(DataSource):
 
     def reader(self, schema) -> "JsonLinesReader":
         return JsonLinesReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> "JsonLinesWriter":
+        return JsonLinesWriter(schema, self.options, overwrite)
 
 
 class JsonLinesReader(DataSourceReader):
@@ -72,6 +77,12 @@ class JsonLinesReader(DataSourceReader):
         # Absent keys surface as NULL (same contract as the native JSON
         # reader with an explicit schema).
         import json
+
+        # an empty directory yields zero InputPartitions, and Spark then
+        # invokes read() once with None — a scan of nothing must return
+        # nothing, not crash (found by the all-or-nothing writer test)
+        if partition is None:
+            return
 
         names = [f.name for f in self._schema.fields]
         with open(partition.value, "r", encoding="utf-8") as fh:
@@ -187,3 +198,70 @@ def register_python_sources(spark) -> None:
     spark.dataSource.register(JsonLinesDataSource)
     spark.dataSource.register(RangeStreamDataSource)
     _REGISTERED_APPS.add(app)
+
+
+class JsonLinesWriter(DataSourceWriter):
+    """Batch WRITER for the ``pyjsonl`` source (Spark 4
+    ``DataSourceWriter``) — completing the extension point's third leg
+    (batch read / stream read / batch write). Transactional contract,
+    the same WAP discipline as G-AUDIT-01:
+
+    - each task writes its rows to a ``.staged`` file and returns the
+      path as its commit message (never visible to the reader, which
+      matches only ``part-*.json``);
+    - ``commit()`` runs on the driver ONLY if every task succeeded and
+      renames all staged files into readable ``part-*.json`` names —
+      speculative/retried task leftovers stay ``.staged`` and invisible;
+    - ``abort()`` deletes every staged file, so a failed job publishes
+      nothing.
+
+    At 100 TB: tasks stream rows to their own file (no driver data
+    path); commit is O(files) renames."""
+
+    def __init__(self, schema, options, overwrite: bool):
+        self._names = [f.name for f in schema.fields]
+        self._path = options["path"]
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self._path, exist_ok=True)
+        staged = os.path.join(self._path, f"part-{uuid.uuid4().hex}.json.staged")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self._names, row))) + "\n")
+                n += 1
+        return WriterCommitMessage_(staged, n)
+
+    def commit(self, messages):
+        import os
+
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if f.startswith("part-") and f.endswith(".json"):
+                    os.remove(os.path.join(self._path, f))
+        for m in messages:
+            if m is not None and m.staged_path:
+                os.replace(m.staged_path, m.staged_path[: -len(".staged")])
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and m.staged_path:
+                try:
+                    os.remove(m.staged_path)
+                except FileNotFoundError:
+                    pass
+
+
+class WriterCommitMessage_(WriterCommitMessage):
+    """Serializable per-task commit message: the staged path + rowcount."""
+
+    def __init__(self, staged_path: str, n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows

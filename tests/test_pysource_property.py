@@ -175,3 +175,43 @@ def test_chunking_matches_python_reference(spark, texts):
         for ci, chunk, ln in ref_chunks(t)
     ]
     assert [(r.doc_id, r.ci, r.chunk, r.chunk_len) for r in got] == want
+
+
+def test_pyjsonl_writer_publishes_all_or_nothing(spark, tmp_path):
+    """Transactional sink contract: a job with a failing task must
+    publish NOTHING (staged files never become reader-visible), and a
+    successful retry of the same job publishes exactly once."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.sources.pydatasource import register_python_sources
+
+    register_python_sources(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).repartition(4).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("t").alias("text"),
+    )
+
+    @F.udf("string")
+    def boom(lang):
+        raise RuntimeError("injected task failure")
+
+    with pytest.raises(Exception):
+        df.withColumn("lang", boom("lang")).write.format("pyjsonl").option(
+            "path", out
+        ).mode("append").save()
+    back_schema = "doc_id bigint, lang string, text string"
+    read = lambda: (  # noqa: E731
+        spark.read.format("pyjsonl").schema(back_schema).option("path", out).load()
+    )
+    import os
+
+    if os.path.isdir(out):
+        assert read().count() == 0, "failed job must publish nothing"
+        assert all(f.endswith(".staged") or not f.endswith(".json")
+                   for f in os.listdir(out))
+
+    df.write.format("pyjsonl").option("path", out).mode("overwrite").save()
+    assert read().count() == 100
