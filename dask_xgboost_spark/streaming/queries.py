@@ -1301,3 +1301,72 @@ def s_sink_07(spark, sf):
         .orderBy("sink")
         .localCheckpoint()
     )
+
+
+@register(
+    "S-STATE-06",
+    sql="SELECT event_id FROM ("
+    "  SELECT event_id, ROW_NUMBER() OVER ("
+    "    PARTITION BY user_id, date_trunc('hour', ts) "
+    "    ORDER BY ts, event_id) AS rn "
+    f"  FROM {EVENTS_US}) "
+    "WHERE rn <= 3 ORDER BY event_id",
+    mode="stream",
+)
+def s_state_06(spark, sf):
+    """Stateful per-key QUOTA gate (rate limiting at ingest): each
+    (user, hour) may pass at most K=3 events; the rest are shed — the
+    abuse-control / fair-use primitive every ingest edge runs, and a
+    stateful FILTER rather than an aggregate (state is one counter per
+    active key, the output is the surviving rows themselves). The
+    batch oracle is exact because admission is defined in EVENT-time
+    order (first K by (ts, event_id) per user-hour), which the
+    time-ordered file replay + per-batch sort reproduce: the streaming
+    gate admits exactly the rows a batch row_number() ≤ K would.
+
+    Scale shape: state per ACTIVE (user, hour) is a single int64;
+    production deployments add an event-time timeout to evict past
+    hours (S-STATE-05's mechanism — omitted here so the availableNow
+    replay stays minimal, and noted because unbounded key retention is
+    the quota gate's one real operational risk)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    K = 3
+
+    ev = (
+        events_stream(spark, sf, n_files=4, max_files_per_trigger=1)
+        .withWatermark("ts", "1 second")
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("h"),
+            "ts",
+            "event_id",
+        )
+    )
+
+    state_schema = StructType([StructField("n", LongType())])
+
+    def gate(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout mode
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        n = state.get[0] if state.exists else 0
+        take = max(0, K - n)
+        admitted = rows.head(take)
+        state.update((n + len(rows),))
+        if len(admitted):
+            yield pd.DataFrame({"event_id": admitted["event_id"].values})
+
+    out = ev.groupBy("user_id", "h").applyInPandasWithState(
+        gate,
+        outputStructType="event_id bigint",
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    result = run_to_memory(out, "append")
+    return result.orderBy("event_id").localCheckpoint()
