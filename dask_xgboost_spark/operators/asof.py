@@ -95,3 +95,79 @@ def asof_join_backward(
         .filter(F.col("_asof_side") == 1)
         .drop("_asof_side")
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Nearest as-of join (``pandas.merge_asof(direction='nearest')``):
+    attach to each left row the CLOSEST right timestamp for the key in
+    either direction, optionally bounded by ``tolerance_us``. Returns
+    the left frame plus ``asof_match_ts`` (NULL when nothing matches
+    within tolerance), ``asof_gap_us`` (absolute distance, exact epoch
+    µs) and ``asof_side`` ('b'ackward / 'f'orward). Equidistant
+    candidates resolve BACKWARD (pandas' rule).
+
+    Same scale contract as :func:`asof_join_backward` — ONE shuffle on
+    the key, no per-row subquery, no (left × earlier-right) pair
+    blowup: the union carries both sides through two window passes
+    over the same partitioning (a running max of prior right
+    timestamps, a running min of later ones; the second sort is
+    in-partition, not a new exchange)."""
+    lcols = left.columns
+    l2 = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+    )
+    r2 = right.select(
+        *[
+            (F.col(on) if c == on else F.lit(None).cast(t)).alias(c)
+            for c, t in left.dtypes
+        ],
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+    )
+    u = l2.unionByName(r2)
+    rts = F.when(F.col("_asof_side") == 0, F.col("_asof_ts"))
+    # backward: right rows sort BEFORE left at equal ts → ties inclusive
+    w_b = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_asof_ts"), F.col("_asof_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: left rows sort BEFORE right at equal ts → ties inclusive
+    w_f = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_asof_ts"), F.col("_asof_side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    scored = u.select(
+        *lcols,
+        "_asof_side",
+        F.col("_asof_ts").alias("_lts"),
+        F.max(rts).over(w_b).alias("_bts"),
+        F.min(rts).over(w_f).alias("_fts"),
+    ).filter(F.col("_asof_side") == 1)
+    lus = F.unix_micros("_lts")
+    bgap = lus - F.unix_micros("_bts")  # ≥ 0, NULL when no prior right
+    fgap = F.unix_micros("_fts") - lus  # ≥ 0, NULL when no later right
+    tol = F.lit(tolerance_us) if tolerance_us is not None else None
+    b_ok = F.col("_bts").isNotNull() & ((bgap <= tol) if tol is not None else F.lit(True))
+    f_ok = F.col("_fts").isNotNull() & ((fgap <= tol) if tol is not None else F.lit(True))
+    # equidistant → backward (pandas' nearest rule)
+    pick_b = b_ok & (~f_ok | (bgap <= fgap))
+    pick_f = f_ok & ~pick_b
+    return scored.select(
+        *lcols,
+        F.when(pick_b, F.col("_bts"))
+        .when(pick_f, F.col("_fts"))
+        .alias("asof_match_ts"),
+        F.when(pick_b, bgap).when(pick_f, fgap).cast("bigint").alias("asof_gap_us"),
+        F.when(pick_b, F.lit("b")).when(pick_f, F.lit("f")).alias("asof_side"),
+    )

@@ -2369,3 +2369,73 @@ def q_scan_18(spark, sf):
         .orderBy("doc_id")
         .localCheckpoint()
     )
+
+
+_JOIN16_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+b AS (
+  SELECT c.event_id, c.user_id, c.ts, MAX(p.pts) AS bts
+  FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.pts <= c.ts
+  GROUP BY c.event_id, c.user_id, c.ts),
+bf AS (
+  SELECT b.event_id, b.ts, b.bts, MIN(p.pts) AS fts
+  FROM b LEFT JOIN p ON p.user_id = b.user_id AND p.pts >= b.ts
+  GROUP BY b.event_id, b.ts, b.bts),
+sel AS (
+  SELECT event_id,
+         CASE WHEN bts IS NOT NULL
+              THEN epoch_us(ts) - epoch_us(bts) END AS bgap,
+         CASE WHEN fts IS NOT NULL
+              THEN epoch_us(fts) - epoch_us(ts) END AS fgap
+  FROM bf),
+fl AS (
+  SELECT event_id, bgap, fgap,
+         (bgap IS NOT NULL AND bgap <= 7200000000) AS bok,
+         (fgap IS NOT NULL AND fgap <= 7200000000) AS fok
+  FROM sel)
+SELECT event_id,
+       CAST(CASE WHEN bok AND (NOT fok OR bgap <= fgap) THEN bgap
+                 WHEN fok THEN fgap END AS BIGINT) AS asof_gap_us,
+       CASE WHEN bok AND (NOT fok OR bgap <= fgap) THEN 'b'
+            WHEN fok THEN 'f' END AS asof_side
+FROM fl ORDER BY event_id
+"""
+
+
+@register("Q-JOIN-16", sql=_JOIN16_SQL)
+def q_join_16(spark, sf):
+    """NEAREST as-of join (``merge_asof(direction='nearest')`` parity,
+    completing the as-of family beyond Q-JOIN-10's backward form):
+    every click attaches its closest purchase for the user in EITHER
+    direction within a 2-hour tolerance — the "what conversion is this
+    interaction about" attachment where the purchase can precede OR
+    follow the click. Equidistant candidates resolve backward
+    (pandas' rule); distances are exact epoch-µs int64.
+
+    Scale shape (operators/asof.py::asof_join_nearest): one shuffle on
+    the user key; backward and forward candidates come from two window
+    passes over that single partitioning — never the (click ×
+    purchase) pair materialization the oracle's didactic LEFT-JOIN
+    form implies (that form is quadratic per key and exists here only
+    because oracle clarity beats oracle performance)."""
+    from dask_xgboost_spark.operators.asof import asof_join_nearest
+
+    ev = load(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    out = asof_join_nearest(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        tolerance_us=7_200_000_000,
+    )
+    return out.select("event_id", "asof_gap_us", "asof_side").orderBy("event_id")

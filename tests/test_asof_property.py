@@ -194,3 +194,71 @@ def test_connected_components_matches_union_find(spark, edges):
         members.setdefault(find(n), set()).add(n)
     want = {(n, min(ms)) for root, ms in members.items() for n in ms}
     assert got == want, f"edges={edges}\ngot={got}\nwant={want}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=12),
+    rights=st.lists(st.integers(min_value=0, max_value=120), min_size=0, max_size=12),
+    tol_s=st.integers(min_value=1, max_value=60),
+)
+def test_asof_nearest_matches_pandas(spark, lefts, rights, tol_s):
+    """asof_join_nearest ≡ pandas.merge_asof(direction='nearest',
+    tolerance=...) on random per-key series — including the equidistant
+    tie (pandas resolves backward; verified, and so do we) and the
+    no-match-within-tolerance NULL."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from dask_xgboost_spark.operators.asof import asof_join_nearest
+
+    epoch = dt.datetime(2026, 1, 1)
+    lpdf = pd.DataFrame(
+        {
+            "k": ["a"] * len(lefts),
+            "lid": range(len(lefts)),
+            "lts": [epoch + dt.timedelta(seconds=s) for s in lefts],
+        }
+    )
+    rs = sorted(set(rights))
+    rpdf = pd.DataFrame(
+        {
+            "k": ["a"] * len(rs),
+            "rts": [epoch + dt.timedelta(seconds=s) for s in rs],
+        }
+    )
+    ldf = spark.createDataFrame(lpdf, "k string, lid long, lts timestamp")
+    rdf = (
+        spark.createDataFrame(rpdf, "k string, rts timestamp")
+        if len(rpdf)
+        else spark.createDataFrame([], "k string, rts timestamp")
+    )
+    got = {
+        r.lid: r.asof_match_ts
+        for r in asof_join_nearest(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            tolerance_us=tol_s * 1_000_000,
+        ).collect()
+    }
+    if not len(rpdf):
+        assert got == {i: None for i in range(len(lefts))}
+        return
+    want_df = pd.merge_asof(
+        lpdf.sort_values("lts"),
+        rpdf.sort_values("rts"),
+        by="k",
+        left_on="lts",
+        right_on="rts",
+        direction="nearest",
+        tolerance=pd.Timedelta(seconds=tol_s),
+    )
+    want = {
+        int(row.lid): (None if pd.isna(row.rts) else row.rts.to_pydatetime())
+        for row in want_df.itertuples()
+    }
+    assert got == want
