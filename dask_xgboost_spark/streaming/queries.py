@@ -1370,3 +1370,45 @@ def s_state_06(spark, sf):
     )
     result = run_to_memory(out, "append")
     return result.orderBy("event_id").localCheckpoint()
+
+
+@register(
+    "S-JOIN-06",
+    sql="SELECT e.event_id, e.event_type "
+    f"FROM {EVENTS_US} e WHERE NOT EXISTS ("
+    "  SELECT 1 FROM events b "
+    "  WHERE b.event_type = 'error' AND b.user_id = e.user_id) "
+    "ORDER BY e.event_id",
+    mode="stream",
+)
+def s_join_06(spark, sf):
+    """Stream-static LEFT ANTI join — blocklist / ledger filtering AT
+    INGEST: every micro-batch drops rows whose user appears on a
+    static suppression list (here: users who ever produced an error
+    event — an abuse list, GDPR suppression list, or L-DEDUP-12-style
+    already-processed ledger all have this shape). The anti join is
+    the streaming twin of the batch decontamination/ledger ops: data
+    never reaches the sink if its key is listed, rather than being
+    cleaned afterwards.
+
+    Scale shape: the static side is key-cardinality and broadcast per
+    micro-batch (re-planned each batch, so a REFRESHED blocklist file
+    takes effect on the next trigger without restarting the query);
+    the stream side stays map-only — no stateful join state at all,
+    the cheapest possible streaming join mode."""
+    from dask_xgboost_spark.sources import load
+
+    blocklist = (
+        load(spark, sf, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id")
+        .distinct()
+    )
+    ev = events_stream(spark, sf, n_files=4, max_files_per_trigger=2).select(
+        "event_id", "event_type", "user_id"
+    )
+    kept = ev.join(F.broadcast(blocklist), "user_id", "left_anti").select(
+        "event_id", "event_type"
+    )
+    result = run_to_memory(kept, "append")
+    return result.orderBy("event_id").localCheckpoint()
