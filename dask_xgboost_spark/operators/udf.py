@@ -519,3 +519,88 @@ def u_scalar_04(spark, sf):
         .select("o_orderkey", key_sig("o_orderkey").alias("key_sig"))
         .orderBy("o_orderkey")
     )
+
+
+_GAPPLY4_SQL = """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT p.user_id, p.ts, MAX(c.ts) AS cts
+  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+  GROUP BY p.user_id, p.ts),
+agg_m AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purch,
+         CAST(SUM(CASE WHEN cts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched,
+         CAST(COALESCE(SUM(CASE WHEN cts IS NOT NULL
+                  THEN epoch_us(ts) - epoch_us(cts) END), 0) AS BIGINT)
+           AS sum_gap_us
+  FROM m GROUP BY user_id),
+agg_c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+  FROM c GROUP BY user_id)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       CAST(COALESCE(b.n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(COALESCE(a.n_purch, 0) AS BIGINT) AS n_purch,
+       CAST(COALESCE(a.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(COALESCE(a.sum_gap_us, 0) AS BIGINT) AS sum_gap_us
+FROM agg_m a FULL OUTER JOIN agg_c b ON a.user_id = b.user_id
+ORDER BY user_id
+"""
+
+
+@register("U-GAPPLY-04", sql=_GAPPLY4_SQL)
+def u_gapply_04(spark, sf):
+    """COGROUPED applyInPandas — the UDF surface's last uncovered leg:
+    TWO frames co-partitioned per key and handed to one pandas
+    function together (``df1.groupBy(k).cogroup(df2.groupBy(k))``).
+    This is Spark's direct equivalent of the reference's core
+    alignment trick — dask-xgboost co-partitions the data/label/weight
+    triad so per-key parts meet in one task (core.py:209); cogroup is
+    that contract as a first-class API. The demo computes per-user
+    click→purchase attachment (for each purchase, its latest prior
+    click; exact epoch-µs gap sums) with a sorted-merge inside the UDF
+    — per key, O(n log n) in pandas, with NO crossed join anywhere.
+
+    Scale shape: one shuffle per side on the SAME key → co-located
+    tasks; the pandas function sees each key's two frames whole. The
+    oracle states the same semantics in (didactic, quadratic) SQL."""
+    ev = load(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+
+    def attach(key, cdf, pdf_):
+        import numpy as np
+        import pandas as pd
+
+        cts = np.sort(cdf["ts"].astype("int64").values)  # epoch ns
+        pts = np.sort(pdf_["ts"].astype("int64").values)
+        n_matched = 0
+        gap_us = 0
+        for t in pts:
+            i = np.searchsorted(cts, t, side="right")
+            if i > 0:
+                n_matched += 1
+                gap_us += int(t - cts[i - 1]) // 1000
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_clicks": [len(cts)],
+                "n_purch": [len(pts)],
+                "n_matched": [n_matched],
+                "sum_gap_us": [gap_us],
+            }
+        )
+
+    out = (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            attach,
+            "user_id bigint, n_clicks bigint, n_purch bigint, "
+            "n_matched bigint, sum_gap_us bigint",
+        )
+    )
+    return out.orderBy("user_id")
