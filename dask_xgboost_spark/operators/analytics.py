@@ -1506,3 +1506,95 @@ def q_cohort_02(spark, sf):
         )
         .orderBy("wk")
     )
+
+
+_QUAL5_SQL = """
+SELECT * FROM (
+  SELECT 'orders->customer' AS rel,
+         CAST(COUNT(*) AS BIGINT) AS n_child,
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphans,
+         CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL
+                            THEN o.o_orderkey END), 0) AS BIGINT)
+           AS orphan_key_sum
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem->orders',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL
+                            THEN l.l_orderkey END), 0) AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem->part',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN p.p_partkey IS NULL
+                            THEN l.l_partkey END), 0) AS BIGINT)
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  UNION ALL
+  SELECT 'events->customer(sampled)',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL
+                            THEN e.event_id END), 0) AS BIGINT)
+  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey)
+ORDER BY rel
+"""
+
+
+@register("Q-QUAL-05", sql=_QUAL5_SQL)
+def q_qual_05(spark, sf):
+    """Cross-table referential-integrity audit — the warehouse health
+    check the row/value gates (Q-QUAL-01..04) don't cover: every
+    foreign-key relationship is scanned for ORPHANS (child rows whose
+    parent key is missing), reporting child cardinality, orphan count,
+    and an orphan-key checksum so a regression pinpoints WHICH rows
+    broke, not just how many. The events→customer edge is the
+    interesting one on this fixture: event user_ids exceed the
+    customer key space, so the audit must actually count real orphans
+    — a zeros-only integrity check proves nothing.
+
+    Scale shape: each relationship is one LEFT join with the PARENT
+    side broadcast (keys + nothing else — a parent key list broadcasts
+    at dimension scale even when the dim itself would not), then a
+    map-side-combined rollup; relationships run independently and
+    union four 1-row results."""
+    def audit(child, ckey, parent, pkey, rel, idcol):
+        pk = F.broadcast(parent.select(pkey).distinct())
+        j = child.join(pk, child[ckey] == pk[pkey], "left")
+        return j.agg(
+            F.lit(rel).alias("rel"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.sum(F.when(F.col(pkey).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+            F.coalesce(
+                F.sum(F.when(F.col(pkey).isNull(), child[idcol])), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("orphan_key_sum"),
+        )
+
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    lineitem = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    events = load(spark, sf, "events")
+    parts_ = [
+        audit(orders, "o_custkey", customer, "c_custkey",
+              "orders->customer", "o_orderkey"),
+        audit(lineitem, "l_orderkey", orders, "o_orderkey",
+              "lineitem->orders", "l_orderkey"),
+        audit(lineitem, "l_partkey", part, "p_partkey",
+              "lineitem->part", "l_partkey"),
+        audit(events, "user_id", customer, "c_custkey",
+              "events->customer(sampled)", "event_id"),
+    ]
+    out = parts_[0]
+    for p_ in parts_[1:]:
+        out = out.unionByName(p_)
+    return out.orderBy("rel")

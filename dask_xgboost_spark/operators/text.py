@@ -1136,3 +1136,78 @@ def l_text_20(spark, sf):
         .filter(F.col("rnk") <= 20)
         .orderBy("rnk")
     )
+
+
+_PIPE5_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, text, length(text) AS nc,
+         length(text) - length(replace(text, ' ', '')) + 1 AS ntok
+  FROM documents),
+dup AS (
+  SELECT CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_dup_rows
+  FROM (SELECT text, COUNT(*) AS cnt FROM d GROUP BY text) g)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(nc) AS BIGINT) AS total_chars,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       CAST(MIN(nc) AS BIGINT) AS min_chars,
+       CAST(MAX(nc) AS BIGINT) AS max_chars,
+       CAST(MAX(dup.n_dup_rows) AS BIGINT) AS n_dup_rows,
+       CAST((MAX(dup.n_dup_rows) * 1000) // COUNT(*) AS BIGINT)
+         AS dup_pm
+FROM d, dup
+"""
+
+
+@register("L-PIPE-05", sql=_PIPE5_SQL)
+def l_pipe_05(spark, sf):
+    """Dataset card generation (the "datasheets for datasets"
+    artifact): one structured row summarizing the corpus a release
+    ships with — document/language counts, exact char and
+    whitespace-token totals, length extremes, and the exact-duplicate
+    rate as integer per-mille (rows beyond the first occurrence of
+    each distinct text). Every release of a training corpus should
+    carry this row; regenerating it after each pipeline stage
+    (dedup, quality gate, mixture) turns "what did that stage do" into
+    a diff of two rows. Exact integer carriers throughout — including
+    the duplicate rate, floored per-mille, so the card is
+    hash-comparable across engines and runs.
+
+    Scale shape: one map-side-combined aggregate over the corpus plus
+    one text-keyed shuffle for the duplicate count (hash the text to
+    16 bytes pre-shuffle at 100 TB — L-TEXT-15's discipline); the card
+    itself is a single row however large the corpus."""
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.length("text").alias("nc"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("ntok"),
+    )
+    dup = (
+        d.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg((F.sum("cnt") - F.count(F.lit(1))).cast("bigint").alias("n_dup_rows"))
+    )
+    card = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("nc").cast("bigint").alias("total_chars"),
+        F.sum("ntok").cast("bigint").alias("total_tokens"),
+        F.min("nc").cast("bigint").alias("min_chars"),
+        F.max("nc").cast("bigint").alias("max_chars"),
+    )
+    return card.crossJoin(F.broadcast(dup)).select(
+        "n_docs",
+        "n_langs",
+        "total_chars",
+        "total_tokens",
+        "min_chars",
+        "max_chars",
+        "n_dup_rows",
+        F.expr("(n_dup_rows * 1000) div n_docs").cast("bigint").alias("dup_pm"),
+    )
