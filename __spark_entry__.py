@@ -79,7 +79,7 @@ _DRIVER_PRIORITY = [
     "G-TTL-01", "Q-COHORT-02", "M-PREP-14", "Q-AGG-26", "G-TXN-01",
     "Q-SQL-02", "U-SCALAR-04", "G-STATS-02", "L-MM-07", "M-EVAL-08",
     "L-MM-08", "Q-SCAN-18", "S-STATE-06", "Q-JOIN-16", "S-JOIN-06", "U-GAPPLY-04",
-    "Q-QUAL-05", "L-PIPE-05",
+    "Q-QUAL-05", "L-PIPE-05", "G-LAKE-01",
     "L-TEXT-12", "L-TEXT-13", "L-TEXT-14", "L-TEXT-15", "L-TEXT-16",
     "L-PIPE-03", "L-PIPE-04",
     "M-PREP-04", "M-PREP-05", "M-PREP-06", "M-PREP-07",

@@ -1587,3 +1587,65 @@ def g_stats_02(spark, sf):
     return spark.createDataFrame(
         rows, "stat string, value string"
     ).orderBy("stat")
+
+
+_LAKE1_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM events
+WHERE CAST(date_trunc('day', ts) AS DATE) < DATE '2024-01-16'
+GROUP BY d ORDER BY d
+"""
+
+
+@register("G-LAKE-01", sql=_LAKE1_SQL)
+def g_lake_01(spark, sf):
+    """MANIFEST-scoped scan — the read-side half of the table-format
+    contract (G-TXN-01 is the write side): the reader asks the
+    manifest which files make up the table, and reads EXACTLY those —
+    never a directory listing. The test plants both failure modes the
+    directory-listing reader cannot survive: an ORPHAN data file from
+    an aborted/concurrent job sits in the same directory (a listing
+    would double-count it; the manifest never mentions it) and a
+    manifest-listed file set that is a strict subset of the directory.
+    The oracle pins the committed subset's content.
+
+    Scale shape: at object-store scale LIST is slow, eventually
+    consistent, and unbounded; a manifest read is one small file and
+    the scan's file set is exact. Spark-side this is just
+    ``read.parquet(*files)`` — the FileIndex is built from the
+    manifest list, no listing RPC per partition. This is the portable
+    core of how Iceberg/Delta/Hudi plan scans."""
+    import json
+    import os
+
+    base = scratch_dir("lake_table")
+    ev = load(spark, sf, "events").select(
+        "event_id", "ts", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    )
+    committed = []
+    # one file per committed day (first 15 days); day 16+ never committed
+    for day in [f"2024-01-{i:02d}" for i in range(1, 16)]:
+        path = f"{base}/data-{day}.parquet"
+        ev.filter(F.col("d") == day).drop("d").repartition(1).write.parquet(path)
+        committed.append(path)
+    # orphan from an aborted job, sitting right next to committed data
+    ev.filter(F.col("d") == "2024-01-10").drop("d").repartition(1).write.parquet(
+        f"{base}/data-orphan.parquet"
+    )
+    with open(f"{base}/manifest.json", "w") as fh:
+        json.dump({"files": committed}, fh)
+    with open(f"{base}/manifest.json") as fh:
+        files = json.load(fh)["files"]
+    assert all(os.path.isdir(p) for p in files)
+    back = spark.read.parquet(*files)
+    return (
+        back.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("d")
+        .localCheckpoint()
+    )

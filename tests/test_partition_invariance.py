@@ -49,7 +49,7 @@ SAMPLE = [
     "G-TTL-01", "Q-COHORT-02", "M-PREP-14", "Q-AGG-26", "G-TXN-01",
     "Q-SQL-02", "U-SCALAR-04", "G-STATS-02", "L-MM-07", "M-EVAL-08",
     "L-MM-08", "Q-SCAN-18", "Q-JOIN-16", "U-GAPPLY-04",
-    "Q-QUAL-05", "L-PIPE-05",
+    "Q-QUAL-05", "L-PIPE-05", "G-LAKE-01",
 ]
 
 
