@@ -1565,6 +1565,17 @@ def g_stats_02(spark, sf):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ord"))
     )
     spark.sql("DROP TABLE IF EXISTS dxs_stats_t")
+    # DROP on a fresh session cannot see a PREVIOUS process's managed
+    # table — the catalog is empty but the warehouse directory survives
+    # on disk, and saveAsTable then dies with LOCATION_ALREADY_EXISTS
+    # (caught by examples/lakehouse_ops.py running after a parity
+    # sweep). Clear the orphaned location explicitly.
+    import os as _os
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    _shutil.rmtree(_os.path.join(wh, "dxs_stats_t"), ignore_errors=True)
     daily.write.saveAsTable("dxs_stats_t")
     spark.sql(
         "ANALYZE TABLE dxs_stats_t COMPUTE STATISTICS FOR COLUMNS day, n_ord"

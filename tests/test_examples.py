@@ -32,6 +32,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "reliable_serving.py",
         "product_analytics.py",
         "multimodal_pipeline.py",
+        "lakehouse_ops.py",
     ],
 )
 def test_example_runs(script):
