@@ -1231,21 +1231,77 @@ FROM seg GROUP BY segment ORDER BY segment
 """
 
 
+def _dist_ntile(df, order_exprs, alias, n_buckets=5, n_parts=32):
+    """Exact NTILE(n) over a TOTAL order (the caller's tie-break must
+    make the sort key unique) without a single-task global Window:
+
+    1. range-partition on the sort key and pin the assignment with a
+       localCheckpoint — range boundaries come from a sampling pass, so
+       the two consumers below MUST read one materialization, not
+       re-execute the exchange;
+    2. rank locally per range (partitionBy(spark_partition_id), fully
+       parallel) and add the cumulative row count of earlier ranges —
+       ≤ n_parts numbers, computed driver-side from one tiny aggregate
+       and shipped back as a literal map;
+    3. map global rank → bucket with NTILE's big-buckets-first rule
+       (the first n mod k buckets get ⌈n/k⌉ rows), so the result is
+       bit-identical to the window form both engines implement.
+
+    Cost: one range shuffle + one pinned materialization of the input
+    per scored dimension; every sort runs on 1/n_parts of the rows.
+    This replaces the r6 shape (three unpartitioned NTILE windows =
+    three single-task sorts of the whole customer dimension — the one
+    super-linear point in the r6 10× probe, VERDICT r6 wrong #1)."""
+    pid = f"_pid_{alias}"
+    d = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = dict(
+        d.groupBy(pid).agg(F.count(F.lit(1)).alias("c")).collect()
+    )  # bounded: ≤ n_parts rows
+    n = sum(counts.values())
+    run, offsets = 0, {}
+    for p in sorted(counts):
+        offsets[p] = run
+        run += counts[p]
+    off_map = F.create_map(
+        *[F.lit(x) for p in offsets for x in (p, offsets[p])]
+    )
+    q, rem = divmod(n, n_buckets)
+    cut = rem * (q + 1)
+    r = F.element_at(off_map, F.col(pid)) + F.row_number().over(
+        Window.partitionBy(pid).orderBy(*order_exprs)
+    )
+    # guard q == 0 (n < n_buckets): every rank lands in the first
+    # branch (cut == n); Spark yields NULL, not an error, for x/0 in
+    # the dead branch
+    tile = F.when(
+        r <= cut, F.floor((r - 1) / F.lit(q + 1)) + 1
+    ).otherwise(F.lit(rem) + F.floor((r - cut - 1) / F.lit(max(q, 1))) + 1)
+    return d.withColumn(alias, tile.cast("int")).drop(pid)
+
+
 @register("Q-RFM-01", sql=_RFM1_SQL)
 def q_rfm_01(spark, sf):
     """RFM customer segmentation — the CRM staple: per customer
     Recency (days from their last order to the corpus's last order),
     Frequency (order count), Monetary (lifetime cents); each dimension
-    quintiled with NTILE(5) under a custkey tie-break (higher score =
-    better on every axis), then a fixed CASE ladder names the segments
-    and the output rolls up to per-segment headcount + revenue.
+    quintiled under a custkey tie-break (higher score = better on
+    every axis), then a fixed CASE ladder names the segments and the
+    output rolls up to per-segment headcount + revenue. The oracle
+    states the quintiles as NTILE(5) windows; the Spark side computes
+    the SAME assignment via _dist_ntile (range-partitioned local ranks
+    + driver-side offsets + NTILE bucket arithmetic) so no dimension-
+    sized sort ever funnels through one task.
 
     Scale shape: orders collapse to one row per customer first (the
-    only fact-sized shuffle), so the three NTILEs sort the CUSTOMER
-    table, not the facts. The un-partitioned NTILE is a global sort of
-    a dimension-sized input — same documented trade-off as Q-WIN-11;
-    at true 100 TB-dimension scale swap in percent_rank bucketing over
-    range-partitioned sorts. The anchor date is a 1-row broadcast."""
+    only fact-sized shuffle); each quintile then costs one range
+    shuffle of the customer rollup with per-range parallel sorts —
+    at a 10⁹-customer dimension that is 32 bounded sorts per axis
+    instead of the r6 shape's three single-task global sorts
+    (VERDICT r6 wrong #1). The anchor date is a 1-row broadcast."""
     orders = load(spark, sf, "orders")
     anchor = orders.agg(
         F.max(F.to_date("o_orderdate")).alias("anchor_day")
@@ -1265,14 +1321,14 @@ def q_rfm_01(spark, sf):
             "mon_c",
         )
     )
-    scored = cust.select(
-        "o_custkey",
-        "mon_c",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("rec_days").desc(), "o_custkey"))
-        .alias("r"),
-        F.ntile(5).over(Window.orderBy(F.asc("freq"), "o_custkey")).alias("f"),
-        F.ntile(5).over(Window.orderBy(F.asc("mon_c"), "o_custkey")).alias("m"),
+    scored = _dist_ntile(
+        cust, [F.col("rec_days").desc(), F.asc("o_custkey")], "r"
+    )
+    scored = _dist_ntile(
+        scored, [F.asc("freq"), F.asc("o_custkey")], "f"
+    )
+    scored = _dist_ntile(
+        scored, [F.asc("mon_c"), F.asc("o_custkey")], "m"
     )
     seg = scored.select(
         "mon_c",
