@@ -1585,8 +1585,22 @@ def g_stats_02(spark, sf):
         r["col_name"]: r["data_type"]
         for r in spark.sql("DESCRIBE TABLE EXTENDED dxs_stats_t").collect()
     }
-    # 'Statistics' renders as '<bytes> bytes, <rows> rows'
-    rows.append(("row_count", tbl["Statistics"].split(", ")[1].split(" ")[0]))
+    # 'Statistics' renders as '<bytes> bytes, <rows> rows' — a PROSE
+    # contract that catalog versions may reshuffle; fail with the Spark
+    # version in hand rather than a silent IndexError (VERDICT r6 #5)
+    try:
+        stats_prose = tbl["Statistics"]
+        row_count = stats_prose.split(", ")[1].split(" ")[0]
+        assert row_count.isdigit() and stats_prose.split(", ")[1].endswith(
+            "rows"
+        )
+    except (KeyError, IndexError, AssertionError) as e:
+        raise RuntimeError(
+            "G-STATS-02: DESCRIBE TABLE EXTENDED 'Statistics' prose format "
+            f"changed on Spark {spark.version} (got "
+            f"{tbl.get('Statistics')!r}); update the parse"
+        ) from e
+    rows.append(("row_count", row_count))
     for col in ("day", "n_ord"):
         info = {
             r["info_name"]: r["info_value"]
@@ -1601,11 +1615,15 @@ def g_stats_02(spark, sf):
 
 
 _LAKE1_SQL = """
+WITH cut AS (
+  SELECT MAX(d) AS cutoff FROM (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d
+    FROM events ORDER BY d LIMIT 15))
 SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(event_id) AS BIGINT) AS id_sum
 FROM events
-WHERE CAST(date_trunc('day', ts) AS DATE) < DATE '2024-01-16'
+WHERE CAST(date_trunc('day', ts) AS DATE) <= (SELECT cutoff FROM cut)
 GROUP BY d ORDER BY d
 """
 
@@ -1635,16 +1653,29 @@ def g_lake_01(spark, sf):
     ev = load(spark, sf, "events").select(
         "event_id", "ts", F.to_date(F.date_trunc("day", "ts")).alias("d")
     )
+    # commit the fixture's first ≤15 DISTINCT days — derived from the
+    # data, not a hardcoded calendar, so a regenerated fixture with a
+    # different time span keeps every per-day file non-empty and the
+    # orphan-invisibility proof load-bearing (ADVICE r6 low). The
+    # oracle derives the same cutoff (LIMIT 15 over distinct days).
+    days = [
+        r["d"] for r in ev.select("d").distinct().orderBy("d").limit(15).collect()
+    ]
+    assert days, "events fixture has no rows"
     committed = []
-    # one file per committed day (first 15 days); day 16+ never committed
-    for day in [f"2024-01-{i:02d}" for i in range(1, 16)]:
-        path = f"{base}/data-{day}.parquet"
-        ev.filter(F.col("d") == day).drop("d").repartition(1).write.parquet(path)
+    for day in days:  # later days than the cutoff are never committed
+        path = f"{base}/data-{day.isoformat()}.parquet"
+        ev.filter(F.col("d") == F.lit(day)).drop("d").repartition(1).write.parquet(
+            path
+        )
         committed.append(path)
-    # orphan from an aborted job, sitting right next to committed data
-    ev.filter(F.col("d") == "2024-01-10").drop("d").repartition(1).write.parquet(
-        f"{base}/data-orphan.parquet"
-    )
+    # orphan from an aborted job, sitting right next to committed data —
+    # a COMMITTED middle day, so a listing reader would double-count it;
+    # non-empty by construction (the day came from the data) + asserted
+    orphan_day = days[len(days) // 2]
+    orphan_src = ev.filter(F.col("d") == F.lit(orphan_day)).drop("d")
+    assert orphan_src.limit(1).count() > 0, "orphan source day is empty"
+    orphan_src.repartition(1).write.parquet(f"{base}/data-orphan.parquet")
     with open(f"{base}/manifest.json", "w") as fh:
         json.dump({"files": committed}, fh)
     with open(f"{base}/manifest.json") as fh:

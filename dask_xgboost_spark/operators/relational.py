@@ -2134,6 +2134,19 @@ def q_scan_15(spark, sf):
         assert files and all(f.endswith(suffix) for f in files), (
             codec, files[:2]
         )
+        if codec == "none":
+            # '.parquet' alone proves nothing (every codec's files end
+            # with it); prove UNcompressed from the column-chunk footer
+            # metadata, where codec actually lives (ADVICE r6 low)
+            import pyarrow.parquet as _pq
+
+            md = _pq.ParquetFile(files[0]).metadata
+            comps = {
+                md.row_group(g).column(i).compression
+                for g in range(md.num_row_groups)
+                for i in range(md.num_columns)
+            }
+            assert comps == {"UNCOMPRESSED"}, comps
         back = spark.read.parquet(d)
         out.append(
             back.agg(

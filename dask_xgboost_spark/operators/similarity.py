@@ -850,11 +850,17 @@ def _mmr_greedy_kernel(pdf):
     first = min(remaining, key=lambda c: (-rel[c], c))
     sel = [first]
     remaining.discard(first)
-    for _ in range(3):
+    # guard like the reference greedy (tests/test_interval_property.py
+    # ::_ref_mmr): a query whose top-12 truncation yields <4 candidates
+    # (tiny fixtures, heavy filters) emits fewer ranks instead of
+    # crashing on min() over an empty set, and a missing pair sim
+    # (candidates that never co-occurred in the pair frame) scores
+    # neutral instead of KeyError-ing the whole job (ADVICE r6 low)
+    while len(sel) < 4 and remaining:
         best = min(
             remaining,
             key=lambda c: (
-                -(7 * rel[c] - 3 * max(sim[(c, s)] for s in sel)),
+                -(7 * rel[c] - 3 * max(sim.get((c, s), 0) for s in sel)),
                 c,
             ),
         )
@@ -862,8 +868,8 @@ def _mmr_greedy_kernel(pdf):
         remaining.discard(best)
     return pd.DataFrame(
         {
-            "qid": [qid] * 4,
-            "rank": [1, 2, 3, 4],
+            "qid": [qid] * len(sel),
+            "rank": list(range(1, len(sel) + 1)),
             "cid": sel,
             "rel": [rel[c] for c in sel],
         }
