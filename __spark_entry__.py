@@ -70,6 +70,8 @@ _DRIVER_PRIORITY = [
     "M-PREP-04", "M-PREP-05", "M-PREP-06", "M-PREP-07",
     "Q-AGG-17", "Q-AGG-19", "U-GAPPLY-02", "L-SIM-05", "L-SIM-07",
     "L-TEXT-04", "G-COMPACT-01",
+    # round-7 additions (hash-green locally at both SFs, never checked)
+    "Q-JOIN-17", "L-DEDUP-14", "Q-JSON-06", "M-EVAL-09", "M-PREP-15",
     # r6-window re-check pool (all green r6)
     "Q-JOIN-13", "M-EVAL-03", "L-DEDUP-12", "G-MASK-01", "Q-QUAL-03",
     "M-PREP-09", "G-DELETE-02", "S-QUAL-01", "L-SIM-10", "M-EVAL-04",

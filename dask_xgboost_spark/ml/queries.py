@@ -1498,3 +1498,128 @@ def m_eval_08(spark, sf):
         * (d("n0") + d("n1") - d("c0") - d("c1"))
     )
     return w.select("n0", "c0", "n1", "c1", (lhs > rhs).alias("significant"))
+
+
+# shared md5-polynomial score fragment for M-EVAL-09 — dialect-specific
+# only in the string cast (Spark STRING vs DuckDB VARCHAR)
+def _cal_raw(cast_t: str) -> str:
+    h = f"md5(CAST(o_orderkey AS {cast_t}))"
+    return (
+        f"(CAST(ascii(substr({h}, 1, 1)) AS BIGINT) * 961"
+        f" + CAST(ascii(substr({h}, 2, 1)) AS BIGINT) * 31"
+        f" + CAST(ascii(substr({h}, 3, 1)) AS BIGINT))"
+    )
+
+
+_EVAL9_SQL = f"""
+WITH s AS (
+  SELECT {_cal_raw('VARCHAR')} % 1000 AS spm,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders)
+SELECT spm // 100 AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(spm) AS BIGINT) AS sum_score_pm,
+       CAST(SUM(y) AS BIGINT) AS n_pos
+FROM s GROUP BY bin ORDER BY bin
+"""
+
+
+@register("M-EVAL-09", sql=_EVAL9_SQL)
+def m_eval_09(spark, sf):
+    """Calibration-bin readout (the reliability-diagram table): scores
+    in per-mille land in 10 equal-width bins; per bin the row count,
+    the exact predicted-probability numerator (Σ score_pm; mean = that
+    over 1000·n) and the observed positive count. A calibrated model
+    has sum_score_pm/(1000·n) ≈ n_pos/n per bin — the downstream ECE /
+    Brier decomposition is driver-side arithmetic on these 10 rows.
+    The "model score" is an md5-polynomial stand-in (the same
+    determinism discipline as M-PREP-11's feature hashing: both
+    engines compute the identical integer, so the oracle pins the
+    MECHANISM; a real model plugs its score column in unchanged). The
+    label is priority∈{{URGENT,HIGH}}.
+
+    Scale shape: one map-combined aggregate over 10 groups — the
+    cheapest possible eval pass; no per-row output ever leaves the
+    executors."""
+    raw = _cal_raw("STRING")
+    s = load(spark, sf, "orders").select(
+        (F.expr(raw) % 1000).alias("spm"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    )
+    return (
+        s.groupBy(F.expr("spm div 100").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("spm").cast("long").alias("sum_score_pm"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
+_PREP15_SQL = """
+WITH t AS (
+  SELECT o_orderpriority AS label, o_orderkey AS k,
+         md5(CAST(o_orderkey AS VARCHAR)) AS h FROM orders),
+r AS (SELECT label, k,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY h, k) AS rn,
+             COUNT(*) OVER (PARTITION BY label) AS n
+      FROM t)
+SELECT label,
+       CASE WHEN rn <= (n * 8) // 10 THEN 'train'
+            WHEN rn <= (n * 9) // 10 THEN 'valid'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(k) AS BIGINT) AS key_sum
+FROM r GROUP BY label, split ORDER BY label, split
+"""
+
+
+@register("M-PREP-15", sql=_PREP15_SQL)
+def m_prep_15(spark, sf):
+    """EXACT stratified train/valid/test split (80/10/10 per class):
+    within each label, rows are pseudo-shuffled by md5(key) and
+    rank-cut at exact ⌊0.8n⌋/⌊0.9n⌋ boundaries — so every class hits
+    its target proportions EXACTLY (±1 row from the floor), unlike the
+    hash-bucket split (M-PREP-14's mechanism), which is only
+    proportional in expectation and can starve rare classes. The
+    md5 ordering makes the split deterministic, reproducible, and
+    leakage-free (membership depends only on the key, never on row
+    order or partitioning). Output is the per-(class, split) contract:
+    counts + key checksum.
+
+    Scale shape: one window partitioned BY LABEL — parallel across
+    classes; a single giant class serializes its own rank pass (the
+    price of exactness — if that bites, fall back to hash-bucket for
+    the head classes and exact ranks for the tail). One shuffle
+    total."""
+    t = load(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("label"),
+        F.col("o_orderkey").alias("k"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("label").orderBy("h", "k")
+    wn = Window.partitionBy("label")
+    r = t.select(
+        "label",
+        "k",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    split = (
+        F.when(F.col("rn") <= F.expr("(n * 8) div 10"), "train")
+        .when(F.col("rn") <= F.expr("(n * 9) div 10"), "valid")
+        .otherwise("test")
+    )
+    return (
+        r.select("label", split.alias("split"), "k")
+        .groupBy("label", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("k").cast("long").alias("key_sum"),
+        )
+        .orderBy("label", "split")
+    )

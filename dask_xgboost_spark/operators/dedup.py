@@ -864,3 +864,112 @@ def l_dedup_13(spark, sf):
         )
     )
     return pairs.filter(F.col("dist2") <= 100).orderBy("a", "b")
+
+
+def _mh_hash(p: int) -> str:
+    """Permutation-p MinHash value of shingle column ``g`` — a 6-char
+    polynomial over md5 hex, written in the SQL dialect intersection so
+    the SAME text runs in Spark SQL and DuckDB (md5/ascii/substr/||
+    agree; the BIGINT cast keeps every product in int64 — 31^5·127
+    overflows int32, which Spark would silently wrap with ANSI off)."""
+    return (
+        "("
+        + " + ".join(
+            f"CAST(ascii(substr(md5('{p}|' || g), {i + 1}, 1)) AS BIGINT)"
+            f" * {31 ** i}"
+            for i in range(6)
+        )
+        + ")"
+    )
+
+
+_DEDUP14_DOCS = (
+    "(SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 400000, text || ' extra' FROM documents "
+    "WHERE doc_id < 40)"
+)
+
+_DEDUP14_SQL = f"""
+WITH sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM {_DEDUP14_DOCS} d) t,
+                 unnest(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+sig AS (SELECT doc_id,
+               {', '.join(f'MIN({_mh_hash(p)}) AS m{p}' for p in range(8))}
+        FROM sh GROUP BY doc_id),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band, CAST(m{2 * b} AS VARCHAR) || ':' || "
+      f"CAST(m{2 * b + 1} AS VARCHAR) AS sig FROM sig"
+      for b in range(4)
+  )})
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(COUNT(*) AS BIGINT) AS n_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY d1, d2 ORDER BY d1, d2
+"""
+
+
+@register("L-DEDUP-14", sql=_DEDUP14_SQL)
+def l_dedup_14(spark, sf):
+    """HASH-MODE MinHash + banded LSH candidate generation — the
+    oracle-checkable twin of L-DEDUP-02 (whose Spark-ML
+    approxSimilarityJoin internals are engine-specific, so it can only
+    be golden-checked on planted-dup recall). Here every stage is
+    deterministic in the SQL dialect intersection: 3-word shingles →
+    8 MinHash permutations (md5-polynomial hashes, one groupBy with 8
+    MIN aggregates — no row explosion) → 4 bands × 2 rows → candidate
+    pair per shared band value. DuckDB runs the identical pipeline, so
+    the ENTIRE LSH mechanism — not just its recall — is hash-proven.
+    Forty planted near-dups (one appended token) make the banding
+    load-bearing at every SF.
+
+    Scale shape: the canonical 100 TB dedup plan — one shuffle to
+    doc-grain signatures, one shuffle on (band, sig) buckets; candidate
+    pairs are Σ|bucket|², never corpus². Band/row split (b=4, r=2)
+    tunes the usual S-curve: P(candidate) = 1-(1-j^r)^b. Verification
+    (exact Jaccard on candidates only) is L-DEDUP-09's job; grouping
+    into clusters is L-DEDUP-07's."""
+    base = load(spark, sf, "documents").select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    docs = base.unionByName(planted)
+    shingles = F.expr(
+        "case when size(split(text, ' ')) >= 3 then "
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) "
+        "else array() end"
+    )
+    sh = docs.select("doc_id", F.explode(shingles).alias("g")).distinct()
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.expr(_mh_hash(p))).alias(f"m{p}") for p in range(8)]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.expr(
+            "stack(4, "
+            + ", ".join(
+                f"{b}, concat(cast(m{2 * b} as string), ':', "
+                f"cast(m{2 * b + 1} as string))"
+                for b in range(4)
+            )
+            + ") as (band, sig)"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+        .orderBy("d1", "d2")
+    )

@@ -2452,3 +2452,77 @@ def q_join_16(spark, sf):
         tolerance_us=7_200_000_000,
     )
     return out.select("event_id", "asof_gap_us", "asof_side").orderBy("event_id")
+
+
+_JOIN17_SQL = f"""
+WITH s AS (SELECT event_id, user_id, ts FROM {EVENTS_US} e
+           WHERE event_type = 'signup'),
+p AS (SELECT user_id, ts, {sql_cents('value')} AS val_c FROM {EVENTS_US} e
+      WHERE event_type = 'purchase')
+SELECT s.event_id,
+       CAST(COUNT(p.ts) AS BIGINT) AS n_purch,
+       CAST(COALESCE(SUM(p.val_c), 0) AS BIGINT) AS val_sum_c
+FROM s LEFT JOIN p
+  ON p.user_id = s.user_id
+ AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 7 DAY
+GROUP BY s.event_id ORDER BY s.event_id
+"""
+
+
+@register("Q-JOIN-17", sql=_JOIN17_SQL)
+def q_join_17(spark, sf):
+    """BANDED temporal interval join (point-in-range): each signup
+    opens a 7-day window; count/sum the same user's purchases inside
+    it. The oracle states the semantics as the textbook inequality
+    join — which Spark can only execute as a per-user row-pairing —
+    while the operator BANDS it: the interval side explodes into its
+    ≤8 covered day-buckets, the point side maps to its one bucket, and
+    the join becomes a plain equi-join on (user_id, day) with the
+    exact range predicate applied as a cheap post-filter. Same rows
+    out (each point has exactly one bucket, so no pair can match
+    twice); unmatched signups rejoin with zero counts for the LEFT
+    semantics.
+
+    Scale shape: the 100 TB difference between an inequality join
+    (BNLJ or per-key quadratic pairing) and an equi-join shuffle with
+    a bounded ×(window_days+1) fan-out on the SMALL side only.
+    Bucket granularity trades fan-out vs post-filter selectivity —
+    pick it near the window length, the standard range-join recipe
+    (same discipline as the geo grid join, plans/scale.py
+    ::binned_range_join)."""
+    ev = load(spark, sf, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        cents("value").cast("long").alias("val_c"),
+    )
+    win_end = F.col("ts") + F.expr("INTERVAL 7 DAY")
+    s_banded = s.withColumn(
+        "day", F.explode(F.sequence(F.to_date("ts"), F.to_date(win_end)))
+    )
+    p_banded = p.withColumn("day", F.to_date("pts"))
+    matched = (
+        s_banded.join(p_banded, ["user_id", "day"])
+        .filter(
+            (F.col("pts") >= F.col("ts"))
+            & (F.col("pts") < F.col("ts") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purch"),
+            F.sum("val_c").cast("long").alias("val_sum_c"),
+        )
+    )
+    return (
+        s.select("event_id")
+        .join(matched, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_purch", F.lit(0)).cast("long").alias("n_purch"),
+            F.coalesce("val_sum_c", F.lit(0)).cast("long").alias("val_sum_c"),
+        )
+        .orderBy("event_id")
+    )

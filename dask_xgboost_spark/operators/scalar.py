@@ -1163,3 +1163,66 @@ def q_json_05(spark, sf):
         .cast("bigint")
         .alias("n_types"),
     ).localCheckpoint()
+
+
+_JSON6_SQL = """
+WITH j AS (
+  SELECT o_orderkey AS k,
+         '{"k":' || CAST(o_orderkey AS VARCHAR) ||
+         ',"p":"' || o_orderpriority || '"' ||
+         ',"items":[' || CAST(o_custkey AS VARCHAR) || ',' ||
+         CAST(o_orderkey % 7 AS VARCHAR) || ']}' AS js
+  FROM orders WHERE o_orderkey % 50 = 0)
+SELECT k,
+       CAST(json_extract(js, '$.k') AS BIGINT) AS jk,
+       json_extract_string(js, '$.p') AS jp,
+       CAST(json_extract(js, '$.items[1]') AS BIGINT) AS item1,
+       CAST(json_extract(js, '$.missing') AS BIGINT) AS miss
+FROM j ORDER BY k
+"""
+
+
+@register("Q-JSON-06", sql=_JSON6_SQL)
+def q_json_06(spark, sf):
+    """VARIANT semi-structured ingestion (Spark 4): ``parse_json``
+    turns JSON text into the binary VARIANT type once, and
+    ``variant_get`` extracts typed values by path — the open-schema
+    layer below Q-JSON-01's fixed-schema from_json (which must declare
+    every field up front) and above raw string get_json_object (which
+    re-parses per extraction). The JSON is synthesized in-query by
+    identical string concatenation in both engines, so the oracle pins
+    byte-identical input; extractions cover a top-level int, a string,
+    an array index, and a MISSING path (NULL in both engines, never an
+    error).
+
+    Scale shape: parse once → binary VARIANT; every variant_get is a
+    cheap binary traversal (no re-tokenization), and the parse
+    vectorizes inside whole-stage codegen. For hot fixed fields,
+    promote to typed columns at ingest (Q-JSON-01); VARIANT is for the
+    long tail that would otherwise force schema churn."""
+    j = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.concat(
+                F.lit('{"k":'),
+                F.col("o_orderkey").cast("string"),
+                F.lit(',"p":"'),
+                F.col("o_orderpriority"),
+                F.lit('","items":['),
+                F.col("o_custkey").cast("string"),
+                F.lit(","),
+                (F.col("o_orderkey") % 7).cast("string"),
+                F.lit("]}"),
+            ).alias("js"),
+        )
+    )
+    v = j.select("k", F.expr("parse_json(js)").alias("v"))
+    return v.select(
+        "k",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("jk"),
+        F.expr("variant_get(v, '$.p', 'string')").alias("jp"),
+        F.expr("variant_get(v, '$.items[1]', 'bigint')").alias("item1"),
+        F.expr("variant_get(v, '$.missing', 'bigint')").alias("miss"),
+    ).orderBy("k")

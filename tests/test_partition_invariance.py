@@ -50,6 +50,9 @@ SAMPLE = [
     "Q-SQL-02", "U-SCALAR-04", "G-STATS-02", "L-MM-07", "M-EVAL-08",
     "L-MM-08", "Q-SCAN-18", "Q-JOIN-16", "U-GAPPLY-04",
     "Q-QUAL-05", "L-PIPE-05", "G-LAKE-01",
+    # round-7 additions: banded interval join, hash-mode MinHash LSH,
+    # VARIANT extraction, calibration bins, exact stratified split
+    "Q-JOIN-17", "L-DEDUP-14", "Q-JSON-06", "M-EVAL-09", "M-PREP-15",
 ]
 
 
