@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     "L-TEXT-04", "G-COMPACT-01",
     # round-7 additions (hash-green locally at both SFs, never checked)
     "Q-JOIN-17", "L-DEDUP-14", "Q-JSON-06", "M-EVAL-09", "M-PREP-15",
+    "Q-PROF-02", "M-EVAL-10", "L-TEXT-21",
     # r6-window re-check pool (all green r6)
     "Q-JOIN-13", "M-EVAL-03", "L-DEDUP-12", "G-MASK-01", "Q-QUAL-03",
     "M-PREP-09", "G-DELETE-02", "S-QUAL-01", "L-SIM-10", "M-EVAL-04",

@@ -1623,3 +1623,114 @@ def m_prep_15(spark, sf):
         )
         .orderBy("label", "split")
     )
+
+
+# shared md5-flip predicted-class fragment for M-EVAL-10 — the stand-in
+# "model output" is the actual class perturbed to the next class in the
+# alphabetical ring for the ~1/5 of rows whose md5 first hex char lands
+# on a multiple of 5 (same determinism discipline as M-EVAL-09's score)
+def _conf_pred(cast_t: str) -> str:
+    h = f"md5(CAST(event_id AS {cast_t}))"
+    return (
+        f"CASE WHEN CAST(ascii(substr({h}, 1, 1)) AS BIGINT) % 5 = 0 "
+        "THEN CASE event_type WHEN 'click' THEN 'error' "
+        "WHEN 'error' THEN 'purchase' WHEN 'purchase' THEN 'signup' "
+        "WHEN 'signup' THEN 'view' ELSE 'click' END "
+        "ELSE event_type END"
+    )
+
+
+_EVAL10_SQL = f"""
+WITH e AS (
+  SELECT event_type AS actual, {_conf_pred('VARCHAR')} AS predicted
+  FROM events),
+cm AS (SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM e GROUP BY actual, predicted),
+sup AS (SELECT actual AS cls, CAST(SUM(cnt) AS BIGINT) AS support
+        FROM cm GROUP BY actual),
+pn AS (SELECT predicted AS cls, CAST(SUM(cnt) AS BIGINT) AS pred_n
+       FROM cm GROUP BY predicted),
+d AS (SELECT actual AS cls, CAST(SUM(cnt) AS BIGINT) AS tp
+      FROM cm WHERE actual = predicted GROUP BY actual)
+SELECT s.cls,
+       CAST(COALESCE(d.tp, 0) AS BIGINT) AS tp,
+       CAST(COALESCE(pn.pred_n, 0) - COALESCE(d.tp, 0) AS BIGINT) AS fp,
+       CAST(s.support - COALESCE(d.tp, 0) AS BIGINT) AS fn,
+       s.support,
+       CAST(1000 * COALESCE(d.tp, 0) // NULLIF(COALESCE(pn.pred_n, 0), 0)
+            AS BIGINT) AS precision_pm,
+       CAST(1000 * COALESCE(d.tp, 0) // s.support AS BIGINT) AS recall_pm,
+       CAST(2000 * COALESCE(d.tp, 0)
+            // NULLIF(s.support + COALESCE(pn.pred_n, 0), 0)
+            AS BIGINT) AS f1_pm
+FROM sup s LEFT JOIN pn ON s.cls = pn.cls LEFT JOIN d ON s.cls = d.cls
+ORDER BY s.cls
+"""
+
+
+@register("M-EVAL-10", sql=_EVAL10_SQL)
+def m_eval_10(spark, sf):
+    """Multiclass confusion-matrix readout: per class the true/false
+    positives, false negatives, support, and floor-per-mille precision /
+    recall / F1 in exact integer arithmetic (F1 = 2000*tp // (support +
+    pred_n), since 2tp+fp+fn = support + pred_n) — the classification
+    eval leg M-EVAL-01/02 (thresholded binary) and M-EVAL-03 (AUC)
+    don't cover. "Predictions" are the md5-ring perturbation of the
+    true class (~19% error rate), so every confusion cell is engine-
+    deterministic and the oracle pins the mechanism; a real model's
+    predicted-label column plugs in unchanged. Macro/micro averages are
+    driver-side arithmetic on these 5 rows.
+
+    Scale shape: ONE shuffle to the (actual, predicted) grain — at most
+    k^2 cells for k classes — then three rollups of that tiny frame and
+    a 5-row join. Per-row work never leaves the map side; the eval is
+    O(classes^2) past the first aggregate regardless of input size."""
+    pred = _conf_pred("STRING")
+    e = load(spark, sf, "events").select(
+        F.col("event_type").alias("actual"), F.expr(pred).alias("predicted")
+    )
+    cm = e.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    sup = cm.groupBy(F.col("actual").alias("cls")).agg(
+        F.sum("cnt").cast("bigint").alias("support")
+    )
+    pn = cm.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("cnt").cast("bigint").alias("pred_n")
+    )
+    d = cm.filter(F.col("actual") == F.col("predicted")).select(
+        F.col("actual").alias("cls"), F.col("cnt").alias("tp")
+    )
+    j = (
+        sup.join(pn, "cls", "left")
+        .join(d, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            (F.coalesce("pred_n", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fp"),
+            (F.col("support") - F.coalesce("tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fn"),
+            "support",
+            F.coalesce("pred_n", F.lit(0)).cast("bigint").alias("pred_n"),
+        )
+    )
+    return (
+        j.select(
+            "cls",
+            "tp",
+            "fp",
+            "fn",
+            "support",
+            F.expr("1000 * tp div nullif(pred_n, 0)")
+            .cast("bigint")
+            .alias("precision_pm"),
+            F.expr("1000 * tp div support").cast("bigint").alias("recall_pm"),
+            F.expr("2000 * tp div nullif(support + pred_n, 0)")
+            .cast("bigint")
+            .alias("f1_pm"),
+        )
+        .orderBy("cls")
+    )

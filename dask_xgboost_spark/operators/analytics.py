@@ -1654,3 +1654,98 @@ def q_qual_05(spark, sf):
     for p_ in parts_[1:]:
         out = out.unionByName(p_)
     return out.orderBy("rel")
+
+
+_PROF2_SQL = """
+WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY user_id),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+b AS (SELECT (CAST(ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) * 31
+              + CAST(ascii(substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) AS BIGINT)) % 32
+         AS bucket,
+             SUM(cnt) AS n
+      FROM c GROUP BY bucket),
+bm AS (SELECT CAST(MAX(n) AS BIGINT) AS bucket_max FROM b),
+k AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10),
+r AS (SELECT a.user_id, a.cnt,
+             CAST(COUNT(*) AS BIGINT) AS rk,
+             CAST(SUM(b2.cnt) AS BIGINT) AS cum
+      FROM k a JOIN k b2
+        ON b2.cnt > a.cnt OR (b2.cnt = a.cnt AND b2.user_id <= a.user_id)
+      GROUP BY a.user_id, a.cnt)
+SELECT rk, user_id, cnt,
+       CAST(cnt * 1000 // total AS BIGINT) AS share_pm,
+       CAST(cum * 1000 // total AS BIGINT) AS cum_pm,
+       bucket_max AS bucket_max_rows,
+       CAST(bucket_max * 32000 // total AS BIGINT) AS bucket_skew_pm
+FROM r, t, bm ORDER BY rk
+"""
+
+
+@register("Q-PROF-02", sql=_PROF2_SQL)
+def q_prof_02(spark, sf):
+    """Join-key skew profiler — the DIAGNOSIS step that decides whether a
+    key needs Q-JOIN-15's salting or AQE skew splitting before a big
+    join: top-10 heaviest keys with exact counts, per-mille share of
+    total, cumulative concentration, plus a simulated 32-bucket hash-
+    partition histogram (md5-derived bucket, engine-neutral) whose
+    max-bucket skew ratio (1000 = perfectly even) says how lopsided the
+    shuffle would actually be. Profile first, salt only what this
+    flags: a 10^9-key uniform column and a power-law column look the
+    same in a row count and completely different here.
+
+    Scale shape: one key-grain aggregate (map-combined), then top-10 via
+    TakeOrderedAndProject (partial top-k per partition, never a global
+    sort); rank+cumulative computed by a 10x10 broadcast triangle
+    self-join instead of a SinglePartition window (plans/lint.py
+    GLOBAL_WINDOW discipline); bucket histogram is a second 32-group
+    rollup of the key-grain frame. Nothing bigger than the key grain
+    ever shuffles."""
+    ev = load(spark, sf, "events")
+    c = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    total = c.agg(F.sum("cnt").cast("bigint").alias("total"))
+    h = F.md5(F.col("user_id").cast("string"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)).cast("bigint") * 31
+        + F.ascii(F.substring(h, 2, 1)).cast("bigint")
+    ) % 32
+    bm = (
+        c.groupBy(bucket.alias("bucket"))
+        .agg(F.sum("cnt").alias("n"))
+        .agg(F.max("n").cast("bigint").alias("bucket_max"))
+    )
+    k = c.orderBy(F.desc("cnt"), F.asc("user_id")).limit(10)
+    a, b2 = k.alias("a"), k.alias("b")
+    le = (F.col("b.cnt") > F.col("a.cnt")) | (
+        (F.col("b.cnt") == F.col("a.cnt"))
+        & (F.col("b.user_id") <= F.col("a.user_id"))
+    )
+    r = (
+        a.join(F.broadcast(b2), le)
+        .groupBy(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.cnt").alias("cnt"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("rk"),
+            F.sum("b.cnt").cast("bigint").alias("cum"),
+        )
+    )
+    return (
+        r.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(bm))
+        .select(
+            "rk",
+            "user_id",
+            "cnt",
+            F.expr("cnt * 1000 div total").cast("bigint").alias("share_pm"),
+            F.expr("cum * 1000 div total").cast("bigint").alias("cum_pm"),
+            F.col("bucket_max").alias("bucket_max_rows"),
+            F.expr("bucket_max * 32000 div total")
+            .cast("bigint")
+            .alias("bucket_skew_pm"),
+        )
+        .orderBy("rk")
+    )

@@ -1211,3 +1211,100 @@ def l_pipe_05(spark, sf):
         "n_dup_rows",
         F.expr("(n_dup_rows * 1000) div n_docs").cast("bigint").alias("dup_pm"),
     )
+
+
+_T21_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(COUNT(*) * length(tok) AS BIGINT) AS chars
+      FROM tok WHERE length(tok) > 0 GROUP BY doc_id, tok),
+d AS (SELECT doc_id, CAST(SUM(chars) AS BIGINT) AS tot_chars,
+             CAST(COALESCE(SUM(CASE WHEN cnt >= 2 THEN chars END), 0)
+                  AS BIGINT) AS dup_chars
+      FROM c GROUP BY doc_id),
+top AS (SELECT doc_id, tok AS top_tok, chars AS top_chars FROM (
+          SELECT doc_id, tok, chars,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, tok) AS rn
+          FROM c) z
+        WHERE rn = 1)
+SELECT d.doc_id, tot_chars, top_tok, top_chars,
+       CAST(top_chars * 1000 // tot_chars AS BIGINT) AS top_pm,
+       dup_chars,
+       CAST(dup_chars * 1000 // tot_chars AS BIGINT) AS dup_pm,
+       (top_chars * 1000 // tot_chars <= 120
+        AND dup_chars * 1000 // tot_chars <= 800) AS pass_gate
+FROM d JOIN top ON d.doc_id = top.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("L-TEXT-21", sql=_T21_SQL)
+def l_text_21(spark, sf):
+    """Within-document repetition quality gate (the Gopher/RefinedWeb
+    rule family "fraction of characters in the most common n-gram" /
+    "fraction of characters in duplicated spans", Rae et al. 2021 §A1.1,
+    word-grain here): per document, the exact character mass of the
+    single most frequent token (ties broken to the lexicographically
+    smallest, so both engines pick the same one) and of ALL tokens
+    occurring >= 2 times, each as a floor-per-mille share of total token
+    characters, plus the keep/drop gate at top<=120 permille AND
+    dup<=800 permille — thresholds that split this corpus ~74%/~43%
+    respectively, so BOTH conditions are load-bearing in the hash.
+    Complements L-TEXT-10 (entropy, a summary score), L-TEXT-12
+    (consecutive runs), and L-TEXT-15 (cross-corpus dup n-grams): this
+    is the within-doc rule an operator actually thresholds on.
+
+    Scale shape: explode -> one (doc, token)-grain aggregate -> one
+    doc-grain rollup plus a doc-partitioned top-1 window (parallel
+    across docs, never global). Everything is exact integer arithmetic;
+    per-token rows collapse map-side before the only shuffle."""
+    toks = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    c = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        (F.count(F.lit(1)) * F.length("tok")).cast("bigint").alias("chars"),
+    )
+    d = c.groupBy("doc_id").agg(
+        F.sum("chars").cast("bigint").alias("tot_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") >= 2, F.col("chars"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("dup_chars"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("tok"))
+    top = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("tok").alias("top_tok"),
+            F.col("chars").alias("top_chars"),
+        )
+    )
+    return (
+        d.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "tot_chars",
+            "top_tok",
+            "top_chars",
+            F.expr("top_chars * 1000 div tot_chars")
+            .cast("bigint")
+            .alias("top_pm"),
+            "dup_chars",
+            F.expr("dup_chars * 1000 div tot_chars")
+            .cast("bigint")
+            .alias("dup_pm"),
+            (
+                (F.expr("top_chars * 1000 div tot_chars") <= 120)
+                & (F.expr("dup_chars * 1000 div tot_chars") <= 800)
+            ).alias("pass_gate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -53,6 +53,8 @@ SAMPLE = [
     # round-7 additions: banded interval join, hash-mode MinHash LSH,
     # VARIANT extraction, calibration bins, exact stratified split
     "Q-JOIN-17", "L-DEDUP-14", "Q-JSON-06", "M-EVAL-09", "M-PREP-15",
+    # round-7 second wave: skew profiler, confusion matrix, repetition gate
+    "Q-PROF-02", "M-EVAL-10", "L-TEXT-21",
 ]
 
 
