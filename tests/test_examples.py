@@ -33,6 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "product_analytics.py",
         "multimodal_pipeline.py",
         "lakehouse_ops.py",
+        "model_evaluation.py",
     ],
 )
 def test_example_runs(script):
