@@ -1668,26 +1668,22 @@ ORDER BY s.cls
 """
 
 
-@register("M-EVAL-10", sql=_EVAL10_SQL)
-def m_eval_10(spark, sf):
-    """Multiclass confusion-matrix readout: per class the true/false
-    positives, false negatives, support, and floor-per-mille precision /
-    recall / F1 in exact integer arithmetic (F1 = 2000*tp // (support +
-    pred_n), since 2tp+fp+fn = support + pred_n) — the classification
-    eval leg M-EVAL-01/02 (thresholded binary) and M-EVAL-03 (AUC)
-    don't cover. "Predictions" are the md5-ring perturbation of the
-    true class (~19% error rate), so every confusion cell is engine-
-    deterministic and the oracle pins the mechanism; a real model's
-    predicted-label column plugs in unchanged. Macro/micro averages are
-    driver-side arithmetic on these 5 rows.
+def confusion_matrix(df, actual_col: str = "actual",
+                     predicted_col: str = "predicted"):
+    """Public API behind M-EVAL-10: per-class confusion counts and
+    floor-per-mille precision/recall/F1 in exact integer arithmetic for
+    a frame of (actual, predicted) label pairs. One row per class that
+    appears as an actual label; a class only ever predicted (never
+    actual) contributes to other classes' fp but gets no row — its
+    recall would be undefined. Property-tested against an independent
+    pure-pandas reference in tests/test_eval_profile_property.py.
 
     Scale shape: ONE shuffle to the (actual, predicted) grain — at most
     k^2 cells for k classes — then three rollups of that tiny frame and
-    a 5-row join. Per-row work never leaves the map side; the eval is
-    O(classes^2) past the first aggregate regardless of input size."""
-    pred = _conf_pred("STRING")
-    e = load(spark, sf, "events").select(
-        F.col("event_type").alias("actual"), F.expr(pred).alias("predicted")
+    a k-row join; per-row work never leaves the map side."""
+    e = df.select(
+        F.col(actual_col).alias("actual"),
+        F.col(predicted_col).alias("predicted"),
     )
     cm = e.groupBy("actual", "predicted").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
@@ -1734,3 +1730,23 @@ def m_eval_10(spark, sf):
         )
         .orderBy("cls")
     )
+
+
+@register("M-EVAL-10", sql=_EVAL10_SQL)
+def m_eval_10(spark, sf):
+    """Multiclass confusion-matrix readout: per class the true/false
+    positives, false negatives, support, and floor-per-mille precision /
+    recall / F1 in exact integer arithmetic (F1 = 2000*tp // (support +
+    pred_n), since 2tp+fp+fn = support + pred_n) — the classification
+    eval leg M-EVAL-01/02 (thresholded binary) and M-EVAL-03 (AUC)
+    don't cover. "Predictions" are the md5-ring perturbation of the
+    true class (~19% error rate), so every confusion cell is engine-
+    deterministic and the oracle pins the mechanism; a real model's
+    predicted-label column plugs into confusion_matrix (the public API
+    this delegates to) unchanged. Macro/micro averages are driver-side
+    arithmetic on these 5 rows (see examples/model_evaluation.py)."""
+    e = load(spark, sf, "events").select(
+        F.col("event_type").alias("actual"),
+        F.expr(_conf_pred("STRING")).alias("predicted"),
+    )
+    return confusion_matrix(e)

@@ -1682,6 +1682,71 @@ FROM r, t, bm ORDER BY rk
 """
 
 
+def profile_key_skew(df, key_col: str, top_k: int = 10, num_buckets: int = 32):
+    """Public API behind Q-PROF-02: profile the distribution of a join
+    key before shuffling on it. Returns one row per top-``top_k`` key
+    (heaviest first, key-ascending tie-break) with exact count,
+    floor-per-mille share of total rows, cumulative concentration, and
+    two constant diagnostic columns: the row count of the fullest of
+    ``num_buckets`` simulated hash partitions (md5-derived bucket, so
+    the histogram is engine/partitioner-neutral) and its skew ratio in
+    per-mille (1000 = perfectly even; ``num_buckets``·1000 = everything
+    on one bucket).
+
+    Scale shape: one map-combined key-grain aggregate; top-k via
+    TakeOrderedAndProject; rank/cumulative via a k x k broadcast
+    triangle join (never a SinglePartition window); bucket histogram is
+    a ``num_buckets``-group rollup of the key grain."""
+    c = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    total = c.agg(F.sum("cnt").cast("bigint").alias("total"))
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)).cast("bigint") * 31
+        + F.ascii(F.substring(h, 2, 1)).cast("bigint")
+    ) % num_buckets
+    bm = (
+        c.groupBy(bucket.alias("bucket"))
+        .agg(F.sum("cnt").alias("n"))
+        .agg(F.max("n").cast("bigint").alias("bucket_max"))
+    )
+    k = c.orderBy(F.desc("cnt"), F.asc(key_col)).limit(top_k)
+    a, b2 = k.alias("a"), k.alias("b")
+    le = (F.col("b.cnt") > F.col("a.cnt")) | (
+        (F.col("b.cnt") == F.col("a.cnt"))
+        & (F.col(f"b.{key_col}") <= F.col(f"a.{key_col}"))
+    )
+    r = (
+        a.join(F.broadcast(b2), le)
+        .groupBy(
+            F.col(f"a.{key_col}").alias(key_col),
+            F.col("a.cnt").alias("cnt"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("rk"),
+            F.sum("b.cnt").cast("bigint").alias("cum"),
+        )
+    )
+    skew_factor = num_buckets * 1000
+    return (
+        r.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(bm))
+        .select(
+            "rk",
+            key_col,
+            "cnt",
+            F.expr("cnt * 1000 div total").cast("bigint").alias("share_pm"),
+            F.expr("cum * 1000 div total").cast("bigint").alias("cum_pm"),
+            F.col("bucket_max").alias("bucket_max_rows"),
+            F.expr(f"bucket_max * {skew_factor} div total")
+            .cast("bigint")
+            .alias("bucket_skew_pm"),
+        )
+        .orderBy("rk")
+    )
+
+
 @register("Q-PROF-02", sql=_PROF2_SQL)
 def q_prof_02(spark, sf):
     """Join-key skew profiler — the DIAGNOSIS step that decides whether a
@@ -1694,58 +1759,8 @@ def q_prof_02(spark, sf):
     flags: a 10^9-key uniform column and a power-law column look the
     same in a row count and completely different here.
 
-    Scale shape: one key-grain aggregate (map-combined), then top-10 via
-    TakeOrderedAndProject (partial top-k per partition, never a global
-    sort); rank+cumulative computed by a 10x10 broadcast triangle
-    self-join instead of a SinglePartition window (plans/lint.py
-    GLOBAL_WINDOW discipline); bucket histogram is a second 32-group
-    rollup of the key-grain frame. Nothing bigger than the key grain
-    ever shuffles."""
-    ev = load(spark, sf, "events")
-    c = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    total = c.agg(F.sum("cnt").cast("bigint").alias("total"))
-    h = F.md5(F.col("user_id").cast("string"))
-    bucket = (
-        F.ascii(F.substring(h, 1, 1)).cast("bigint") * 31
-        + F.ascii(F.substring(h, 2, 1)).cast("bigint")
-    ) % 32
-    bm = (
-        c.groupBy(bucket.alias("bucket"))
-        .agg(F.sum("cnt").alias("n"))
-        .agg(F.max("n").cast("bigint").alias("bucket_max"))
-    )
-    k = c.orderBy(F.desc("cnt"), F.asc("user_id")).limit(10)
-    a, b2 = k.alias("a"), k.alias("b")
-    le = (F.col("b.cnt") > F.col("a.cnt")) | (
-        (F.col("b.cnt") == F.col("a.cnt"))
-        & (F.col("b.user_id") <= F.col("a.user_id"))
-    )
-    r = (
-        a.join(F.broadcast(b2), le)
-        .groupBy(
-            F.col("a.user_id").alias("user_id"),
-            F.col("a.cnt").alias("cnt"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("rk"),
-            F.sum("b.cnt").cast("bigint").alias("cum"),
-        )
-    )
-    return (
-        r.crossJoin(F.broadcast(total))
-        .crossJoin(F.broadcast(bm))
-        .select(
-            "rk",
-            "user_id",
-            "cnt",
-            F.expr("cnt * 1000 div total").cast("bigint").alias("share_pm"),
-            F.expr("cum * 1000 div total").cast("bigint").alias("cum_pm"),
-            F.col("bucket_max").alias("bucket_max_rows"),
-            F.expr("bucket_max * 32000 div total")
-            .cast("bigint")
-            .alias("bucket_skew_pm"),
-        )
-        .orderBy("rk")
-    )
+    Scale shape: see profile_key_skew (the public API this delegates
+    to) — nothing bigger than the key grain ever shuffles, and the
+    profiler is property-tested against an independent pure-pandas
+    reference in tests/test_eval_profile_property.py."""
+    return profile_key_skew(load(spark, sf, "events"), "user_id")
