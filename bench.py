@@ -247,13 +247,20 @@ def main() -> None:
         df.toPandas()
         results[key] = round(_timed_full(df, runs=5), 4)
         stage_reuse[key] = round(_median_timed(lambda: df.toPandas(), runs=5), 4)
-        shuffle_headline[key] = _shuffle_metrics(spark, df, f"shuf_{key}")
-        # a handful of operators persist() small multi-referenced
-        # intermediates (Q-TPCH-15's revenue view, graph edge sets,
-        # lexical dfreq); dropping them between queries keeps one
-        # query's cache from skewing the next one's timings and bounds
-        # executor storage over the sweep (ADVICE r4)
+        # drop caches BEFORE the shuffle metric, not only after the
+        # query: operators that persist() an intermediate (Q-TPCH-15's
+        # revenue view) would otherwise serve InMemoryTableScan to the
+        # metric run and the shuffle FEEDING the cache would count zero
+        # — exactly the regression class the metric exists to pin. The
+        # metric run below re-executes every stage cache-cold. (Also
+        # keeps one query's cache from skewing the next one's timings
+        # and bounds executor storage over the sweep, ADVICE r4.)
         spark.catalog.clearCache()
+        # tier-unique tag: Q-AGG-01 also runs in the TPC-H loop, and
+        # getJobIdsForGroup over a REUSED tag returns both executions'
+        # jobs (double-counted rows/bytes, reproduced)
+        shuffle_headline[key] = _shuffle_metrics(spark, df, f"shuf_hl_{key}")
+        spark.catalog.clearCache()  # drop what the metric run re-cached
 
     # fixed per-job floor: a trivial 2-stage (shuffle) query over 8
     # cached rows, fully re-executed — pure job-submission + stage
@@ -410,7 +417,8 @@ def main() -> None:
         df = specs[name].fn(spark, sf_dir)
         df.toPandas()  # warm: plan, codegen, file listing
         tpch_spark[key] = round(_timed_full(df, runs=3), 4)
-        shuffle_tpch[key] = _shuffle_metrics(spark, df, f"shuf_{key}")
+        spark.catalog.clearCache()  # cache-cold metric; see headline loop
+        shuffle_tpch[key] = _shuffle_metrics(spark, df, f"shuf_tpch_{key}")
         sql = specs[name].sql
         con.execute(sql).df()
         tpch_duck[key] = round(_median_timed(lambda: con.execute(sql).df()), 4)
