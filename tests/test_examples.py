@@ -34,6 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "multimodal_pipeline.py",
         "lakehouse_ops.py",
         "model_evaluation.py",
+        "scale_diagnostics.py",
     ],
 )
 def test_example_runs(script):
