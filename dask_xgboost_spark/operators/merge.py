@@ -1086,12 +1086,18 @@ def g_backfill_02(spark, sf):
     windows (partition-prunable on a date-partitioned store, the
     G-DELETE-02 pruning discipline), and the merge touches only those
     serving rows. Reconciliation cost tracks the lateness volume, not
-    the table."""
+    the table. Even the FIXTURE SETUP (carving "the 64 earliest rows"
+    as the synthetic late set) stays scale-shaped: orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition top-k, k-row
+    driver merge) and the complement is a broadcast anti-join — never
+    a single-task row_number over the full table (the oracle's
+    row_number states the same selection declaratively; (ts, event_id)
+    is a total order so both pick identical rows)."""
     ev = load(spark, sf, "events").select("ts", "event_id")
-    w = Window.orderBy("ts", "event_id")
-    ranked = ev.withColumn("rn", F.row_number().over(w))
-    late = ranked.filter(F.col("rn") <= 64)
-    kept = ranked.filter(F.col("rn") > 64)
+    late = ev.orderBy("ts", "event_id").limit(64)
+    kept = ev.join(
+        F.broadcast(late.select("event_id")), "event_id", "left_anti"
+    )
 
     serving = kept.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
         F.count(F.lit(1)).alias("n")

@@ -325,9 +325,12 @@ def test_lint_detects_missing_pushdown(spark, sf_dir):
 
 def test_lint_sweep_headline_families(spark, sf_dir):
     """Registry-wide lint gate over the relational + pipeline families:
-    no error-severity finding anywhere, except the documented
-    allowances (broadcast-NLJ for tiny broadcast query sets in the
-    similarity ops). Streaming/ML/UDF entries are exercised elsewhere;
+    no error-severity finding anywhere, AND no single-partition-fed
+    window (GLOBAL_WINDOW, warn severity — promoted to a failure here
+    because it is the one warn that silently becomes a one-task
+    bottleneck at scale: Q-RFM-01 shipped exactly that in r6 and the
+    error-only sweep could not see it), except the documented
+    allowances. Streaming/ML/UDF entries are exercised elsewhere;
     UDF entries are Python BY DESIGN and the UDTF is row-at-a-time by
     API contract."""
     from dask_xgboost_spark.plans.lint import lint_plan
@@ -343,6 +346,33 @@ def test_lint_sweep_headline_families(spark, sf_dir):
         # containment join against a 6-row broadcast zone table — BNLJ is
         # the intended physical plan for a tiny geometry set (geo.py)
         "Q-GEO-02": {"CARTESIAN_BNLJ"},
+        # global windows over PROVABLY BOUNDED frames or DECLARED
+        # global-total-order semantics — the lint's own documented
+        # exception, each defended in the op's docstring. Any NEW entry
+        # tripping GLOBAL_WINDOW must either partition the window or
+        # argue a bounded frame here (G-BACKFILL-02 did neither and was
+        # rewritten to TakeOrderedAndProject + anti-join instead).
+        #   bounded frames:
+        # Q-TREND-01 windows the ~100-row months-grain aggregate;
+        # Q-WIN-16/18 window calendar-bounded day-grain rollups;
+        # Q-DATE-09's business-day spine is O(calendar days);
+        # M-PREP-03 ranks the category dimension (≤ |categories| rows);
+        # M-EVAL-01/03 window the ≤100-row score-bucket table (the
+        #   docstrings call out exactly this lint case).
+        "Q-TREND-01": {"GLOBAL_WINDOW"},
+        "Q-WIN-16": {"GLOBAL_WINDOW"},
+        "Q-WIN-18": {"GLOBAL_WINDOW"},
+        "Q-DATE-09": {"GLOBAL_WINDOW"},
+        "M-PREP-03": {"GLOBAL_WINDOW"},
+        "M-EVAL-01": {"GLOBAL_WINDOW"},
+        "M-EVAL-03": {"GLOBAL_WINDOW"},
+        #   declared semantics (§2C global window/rank contract rows;
+        #   each docstring names the scale path — approx quantiles or
+        #   range-partitioned orderBy):
+        "Q-SORT-01": {"GLOBAL_WINDOW"},
+        "Q-WIN-05": {"GLOBAL_WINDOW"},
+        "Q-WIN-07": {"GLOBAL_WINDOW"},
+        "Q-WIN-11": {"GLOBAL_WINDOW"},
     }
     names = [
         n
@@ -355,16 +385,26 @@ def test_lint_sweep_headline_families(spark, sf_dir):
                           "Q-PIVOT", "Q-QUAL", "G-MV", "G-MASK", "M-EVAL",
                           "G-BACKFILL-02", "Q-ARR-08",
                           "L-TEXT", "L-DEDUP-0", "L-DEDUP-1",
-                          "L-MIX", "L-PIPE-01"))
+                          "L-MIX", "L-PIPE-01",
+                          # r7 extension: the families where windows
+                          # actually live were outside the sweep — the
+                          # r6 Q-RFM-01 single-task NTILEs sat in one
+                          "Q-RFM", "Q-ATTR", "Q-PATH", "Q-FUNNEL",
+                          "Q-COHORT", "Q-TREND", "Q-BASKET", "Q-PROF",
+                          "Q-MERGE", "Q-SAMPLE", "Q-DATE", "Q-STR",
+                          "Q-MATH", "Q-PROJ", "Q-FIL", "Q-COND",
+                          "Q-CAST", "Q-ARR", "Q-MAP", "Q-JSON",
+                          "Q-SQL", "M-PREP"))
     ]
-    assert len(names) >= 60, len(names)
+    assert len(names) >= 120, len(names)
     bad = {}
     for n in names:
         df = SPECS[n].fn(spark, sf_dir)
         findings = [
             f
             for f in lint_plan(df)
-            if f.severity == "error" and f.code not in allow.get(n, set())
+            if (f.severity == "error" or f.code == "GLOBAL_WINDOW")
+            and f.code not in allow.get(n, set())
         ]
         if findings:
             bad[n] = findings
