@@ -76,15 +76,31 @@ def lint_plan(df: DataFrame, max_exchanges: int = 4) -> list[Finding]:
             )
         )
     if "BroadcastNestedLoopJoin" in plan:
-        findings.append(
-            Finding(
-                "warn",
-                "CARTESIAN_BNLJ",
-                "BroadcastNestedLoopJoin: every probe row scans the whole "
-                "broadcast side — fine for a tiny broadcast (top-k query "
-                "sets), fatal if the broadcast side grows with the data.",
+        # codegen markers and tree structure only print in the
+        # executed-plan string (same reason the GLOBAL_WINDOW walk
+        # uses it below)
+        executed_for_bnlj = df._jdf.queryExecution().executedPlan().toString()
+        if _bnlj_builds_all_scalar_agg(executed_for_bnlj):
+            findings.append(
+                Finding(
+                    "info",
+                    "BNLJ_SCALAR",
+                    "BroadcastNestedLoopJoin whose every build side is a "
+                    "grouping-key-less aggregate (provably one broadcast "
+                    "row — the attach-global-totals/bounds pattern): "
+                    "scale-safe by construction.",
+                )
             )
-        )
+        else:
+            findings.append(
+                Finding(
+                    "warn",
+                    "CARTESIAN_BNLJ",
+                    "BroadcastNestedLoopJoin: every probe row scans the whole "
+                    "broadcast side — fine for a tiny broadcast (top-k query "
+                    "sets), fatal if the broadcast side grows with the data.",
+                )
+            )
     if "BatchEvalPython" in plan:
         findings.append(
             Finding(
@@ -185,6 +201,74 @@ def assert_scales(df: DataFrame, allow: set[str] | frozenset[str] = frozenset())
         raise AssertionError(
             "plan fails scale lint:\n" + "\n".join(f"  [{f.code}] {f.message}" for f in bad)
         )
+
+
+def _tree_indent(line: str) -> int:
+    """Depth of a node line in executedPlan().toString() — the count of
+    leading tree-glyph characters (spaces, ':', '+', '-'); the node text
+    (including a codegen '*(n)' prefix) starts right after them."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _bnlj_builds_all_scalar_agg(tree: str) -> bool:
+    """True when EVERY BroadcastNestedLoopJoin node in the executed-plan
+    tree builds from a side that is bounded BY CONSTRUCTION at any data
+    size: a grouping-key-less aggregate (the
+    ``crossJoin(broadcast(df.agg(...)))`` attach-a-global-scalar
+    pattern, provably one row), a literal ``spark.range(n)`` spine
+    (Range only ever prints constant bounds), or a LIMITed frame
+    (TakeOrderedAndProject / GlobalLimit / CollectLimit — the limit is
+    a plan constant). Walk: from each BNLJ line, its DIRECT children
+    print one indent level deeper; the build side starts at the
+    direct-child BroadcastExchange, and is bounded when the first
+    Aggregate line under that exchange prints ``keys=[]``, or a
+    Range/limit node appears before any Aggregate. A ReusedExchange
+    build (its source subtree prints elsewhere) or any other build
+    shape returns False — the caller keeps the conservative warn."""
+    lines = tree.split("\n")
+    try:
+        cut = next(i for i, l in enumerate(lines) if "== Initial Plan ==" in l)
+        lines = lines[:cut]
+    except StopIteration:
+        pass
+    found_any = False
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        found_any = True
+        base = _tree_indent(line)
+        scalar = False
+        j = i + 1
+        while j < len(lines) and (
+            not lines[j].strip() or _tree_indent(lines[j]) > base
+        ):
+            lj = lines[j]
+            if (
+                _tree_indent(lj) == base + 3
+                and "BroadcastExchange" in lj
+                and "ReusedExchange" not in lj
+            ):
+                bbase = _tree_indent(lj)
+                k = j + 1
+                while k < len(lines) and (
+                    not lines[k].strip() or _tree_indent(lines[k]) > bbase
+                ):
+                    if "Aggregate" in lines[k]:
+                        scalar = "keys=[]" in lines[k]
+                        break
+                    if re.search(
+                        r"\bRange \(|\bTakeOrderedAndProject\b"
+                        r"|\bGlobalLimit\b|\bCollectLimit\b",
+                        lines[k],
+                    ):
+                        scalar = True
+                        break
+                    k += 1
+                break
+            j += 1
+        if not scalar:
+            return False
+    return found_any
 
 
 def _window_fed_by_single_partition(tree: str) -> bool:

@@ -325,27 +325,35 @@ def test_lint_detects_missing_pushdown(spark, sf_dir):
 
 def test_lint_sweep_headline_families(spark, sf_dir):
     """Registry-wide lint gate over the relational + pipeline families:
-    no error-severity finding anywhere, AND no single-partition-fed
-    window (GLOBAL_WINDOW, warn severity — promoted to a failure here
-    because it is the one warn that silently becomes a one-task
-    bottleneck at scale: Q-RFM-01 shipped exactly that in r6 and the
-    error-only sweep could not see it), except the documented
-    allowances. Streaming/ML/UDF entries are exercised elsewhere;
-    UDF entries are Python BY DESIGN and the UDTF is row-at-a-time by
-    API contract."""
+    no error-severity finding anywhere, AND none of the two warn codes
+    that silently become scale killers — GLOBAL_WINDOW (a one-task
+    bottleneck: Q-RFM-01 shipped exactly that in r6 and the error-only
+    sweep could not see it) and CARTESIAN_BNLJ (unbounded row pairing;
+    the provably-bounded build shapes auto-downgrade to info inside
+    lint_plan) — except the documented allowances. Streaming/ML/UDF
+    entries are exercised elsewhere; UDF entries are Python BY DESIGN
+    and the UDTF is row-at-a-time by API contract."""
     from dask_xgboost_spark.plans.lint import lint_plan
 
     allow = {
         # brute-force verification twins / broadcast query sets: the
         # broadcast side is k query rows, documented in the op docstrings.
-        # (CARTESIAN_BNLJ is warn-severity today, so these entries gate
-        # nothing yet — they pin the intent if BNLJ is ever promoted to
-        # error severity.)
+        # (lint_plan auto-downgrades the provably-bounded build shapes —
+        # scalar aggregate / literal Range — to info BNLJ_SCALAR; these
+        # entries broadcast small DATA frames the plan can't prove
+        # bounded, so they carry explicit allowances instead.)
         "L-SIM-01": {"CARTESIAN_BNLJ"},
         "L-DEDUP-05": {"CARTESIAN_BNLJ"},
         # containment join against a 6-row broadcast zone table — BNLJ is
         # the intended physical plan for a tiny geometry set (geo.py)
         "Q-GEO-02": {"CARTESIAN_BNLJ"},
+        # negative-sampling demo crosses sampled users × the item
+        # vocabulary — bounded demo by construction, production path
+        # (hash-bucket blocked cross) named in the docstring
+        "M-PREP-14": {"CARTESIAN_BNLJ"},
+        # the DECLARED cross-join operator itself (§2C contract row) —
+        # small×small by contract, documented in the op docstring
+        "Q-JOIN-07": {"CARTESIAN_BNLJ"},
         # global windows over PROVABLY BOUNDED frames or DECLARED
         # global-total-order semantics — the lint's own documented
         # exception, each defended in the op's docstring. Any NEW entry
@@ -403,7 +411,10 @@ def test_lint_sweep_headline_families(spark, sf_dir):
         findings = [
             f
             for f in lint_plan(df)
-            if (f.severity == "error" or f.code == "GLOBAL_WINDOW")
+            if (
+                f.severity == "error"
+                or f.code in ("GLOBAL_WINDOW", "CARTESIAN_BNLJ")
+            )
             and f.code not in allow.get(n, set())
         ]
         if findings:
