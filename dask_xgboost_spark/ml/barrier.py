@@ -89,5 +89,6 @@ def barrier_train_linear(
         context = BarrierTaskContext.get()
         yield from train_partition(context, it)
 
+    # bounded: one model blob per barrier task, not data rows
     results = rdd.barrier().mapPartitions(run).collect()
     return np.asarray(results[0])

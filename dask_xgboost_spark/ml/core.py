@@ -172,7 +172,7 @@ def compute_impute_means(
         .filter(F.col("v") != missing)
         .groupBy("pos")
         .agg(F.avg("v").alias("m"))
-        .collect()
+        .collect()  # bounded: one row per feature dimension
     )
     means = {r["pos"]: r["m"] for r in means_rows}
     dim = int(df.select(F.size(arr).alias("d")).first()["d"])
@@ -515,6 +515,7 @@ def predict(model, data, features_col: str = FEATURES_COL):
     sdf, _ = _local_features_frame(data)
     sdf = _maybe_impute(model, sdf)
     out = model.transform(sdf).select("_row_idx", "prediction").orderBy("_row_idx")
+    # bounded: local-predict API contract — input was a local array
     return np.asarray(out.toPandas()["prediction"], dtype="float64")
 
 
@@ -612,6 +613,7 @@ class XGBClassifier:
     ):
         if classes is None:
             # eager distributed distinct, like the reference (core.py:566)
+            # bounded: |classes| rows
             classes = sorted(
                 r[0] for r in df.select(label_col).distinct().collect()
             )
@@ -674,7 +676,7 @@ class XGBClassifier:
             pdf = (
                 out.select("_row_idx", proba.alias("proba"))
                 .orderBy("_row_idx")
-                .toPandas()
+                .toPandas()  # bounded: local-predict API contract
             )
             return np.array(pdf["proba"].tolist(), dtype="float64")
         return out.select(*df.columns, proba.alias("proba"))

@@ -1587,7 +1587,7 @@ def g_stats_02(spark, sf):
         "ANALYZE TABLE dxs_stats_t COMPUTE STATISTICS FOR COLUMNS day, n_ord"
     )
     rows = []
-    tbl = {
+    tbl = {  # bounded: DESCRIBE output is catalog-metadata rows
         r["col_name"]: r["data_type"]
         for r in spark.sql("DESCRIBE TABLE EXTENDED dxs_stats_t").collect()
     }
@@ -1608,7 +1608,7 @@ def g_stats_02(spark, sf):
         ) from e
     rows.append(("row_count", row_count))
     for col in ("day", "n_ord"):
-        info = {
+        info = {  # bounded: DESCRIBE output is catalog-metadata rows
             r["info_name"]: r["info_value"]
             for r in spark.sql(f"DESCRIBE EXTENDED dxs_stats_t {col}").collect()
         }
@@ -1664,7 +1664,7 @@ def g_lake_01(spark, sf):
     # different time span keeps every per-day file non-empty and the
     # orphan-invisibility proof load-bearing (ADVICE r6 low). The
     # oracle derives the same cutoff (LIMIT 15 over distinct days).
-    days = [
+    days = [  # bounded: LIMIT 15 day list
         r["d"] for r in ev.select("d").distinct().orderBy("d").limit(15).collect()
     ]
     assert days, "events fixture has no rows"

@@ -1163,7 +1163,9 @@ def q_agg_19(spark, sf):
     # boundary; the exact counts stay a distributed aggregate and the
     # tiny (key, est) frame broadcast-joins back onto it
     exact_df = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact"))
-    keys = sorted(r["event_type"] for r in exact_df.select("event_type").collect())
+    keys = sorted(  # bounded: the low-cardinality key list (5 event types)
+        r["event_type"] for r in exact_df.select("event_type").collect()
+    )
     est_df = spark.createDataFrame(
         [(t, int(jcms.estimateCount(t))) for t in keys],
         "event_type string, est bigint",

@@ -545,6 +545,7 @@ def l_sim_07(spark, sf):
     coded = unit.mapInPandas(encode, "vec_id bigint, codes array<bigint>")
 
     # per-query ADC tables (m×k), flattened so a JVM HOF does the lookup sum
+    # bounded: N_QUERIES broadcast query vectors
     queries = unit.filter(F.col("vec_id") < N_QUERIES).collect()
     rows = []
     for r in queries:
@@ -727,6 +728,7 @@ def l_sim_11(spark, sf):
         "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"
     )
     emb = load(spark, sf, "embeddings").select("vec_id", quant.alias("qv"))
+    # bounded: the broadcast query-vector set (k rows), never the corpus
     qrows = emb.filter(F.col("vec_id") % 100 == 0).collect()
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["qv"] for r in qrows], dtype=np.int64)  # (k, d)

@@ -26,7 +26,7 @@ def explain_string(df: DataFrame, mode: str = "formatted") -> str:
 
 def executed_plan_string(df: DataFrame) -> str:
     """The AQE-final executed plan (runs the query)."""
-    df.collect()
+    df.collect()  # bounded: diagnostic tooling — caller materializes by contract
     return df._jdf.queryExecution().executedPlan().toString()
 
 

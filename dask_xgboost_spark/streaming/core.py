@@ -55,7 +55,7 @@ def events_stream(
     else:
         stream_dir = scratch_mkdtemp("dxs_stream_")
         batch = spark.read.parquet(src).orderBy("ts")
-        pdf = batch.toPandas()
+        pdf = batch.toPandas()  # bounded: fixture scaffolding synthesizing micro-batch files
         late = None
         if late_rows:
             late = pdf.iloc[:late_rows]
