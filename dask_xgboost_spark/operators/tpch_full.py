@@ -168,13 +168,56 @@ def q_tpch_11(spark, sf):
     parts above twice the mean per-part value — a grouped aggregate
     HAVING-compared against a scalar subquery over the SAME aggregate
     input (mean-relative so the threshold is scale-free; TPC-H's own
-    fraction is 0.0001/SF for the same reason). Spark side shares the SQL text: Catalyst plans the scalar
-    subquery as its own (reusable-exchange) stage and broadcasts the
-    single-row result; the comparison stays exact int64 vs double of an
-    int64. Deterministic ORDER BY (value DESC, key)."""
-    for t in ("lineitem", "supplier", "nation"):
-        load(spark, sf, t).createOrReplaceTempView(t)
-    return spark.sql(_Q11_SQL)
+    fraction is 0.0001/SF for the same reason). The part grain is the
+    irreducible shuffle here (the shuffle IS the query), but the SQL
+    form pays it TWICE — Catalyst plans the scalar subquery as its own
+    aggregate over the same joined input and exchange reuse does not
+    fire across the differently-pruned branches (measured 40,365
+    shuffled rows at sf0.1, 2× the 19,996-part grain). This plan runs
+    the per-part aggregate ONCE and derives the threshold from it:
+    SUM over the per-part sums is the subquery's SUM exactly (int64
+    partial-sum associativity) and COUNT(*) over the part grain is its
+    COUNT(DISTINCT l_partkey), in the oracle's exact expression order
+    (2.0 * CAST(total AS BIGINT), then / count), broadcast back as one
+    row; the comparison stays exact int64 vs double of an int64.
+    Deterministic ORDER BY (value DESC, key)."""
+    sup_f = (
+        load(spark, sf, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf, "nation").filter(F.col("n_nationkey") % 3 == 1)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = cents("l_extendedprice") * F.col("l_quantity").cast("long")
+    per_part = (
+        load(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(F.broadcast(sup_f), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(val).cast("long").alias("value_c"))
+        # referenced twice (threshold + filter); Catalyst's column
+        # pruning gives the branches different schemas so exchange
+        # reuse does NOT fire — materialize the tiny part-grain rollup
+        # once (the Q-TPCH-15 discipline, BASELINE.md §5)
+        .persist()
+    )
+    thr = per_part.agg(
+        (
+            (F.lit(2.0) * F.sum("value_c").cast("long"))
+            / F.count(F.lit(1))
+        ).alias("t")
+    )
+    return (
+        per_part.join(F.broadcast(thr), F.col("value_c") > F.col("t"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            (F.col("value_c") / 1e2).alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
 
 
 _Q15_SQL = (
@@ -290,13 +333,50 @@ _Q17_SQL = (
 def q_tpch_17(spark, sf):
     """Small-quantity-order shape (TPC-H Q17): revenue lost to orders
     below 20% of a part's average quantity — the per-part correlated
-    scalar AVG subquery. Catalyst decorrelates it into an aggregate +
-    join on partkey. The average is derived as CAST(int64 SUM AS
-    DOUBLE)/COUNT in both engines (never engine-native AVG) so the
-    threshold compare is bit-identical."""
-    for t in ("lineitem", "part"):
-        load(spark, sf, t).createOrReplaceTempView(t)
-    return spark.sql(_Q17_SQL)
+    scalar AVG subquery. The oracle states the correlated form;
+    Catalyst's own decorrelation aggregates lineitem at the grain of
+    EVERY part and only then joins the brand/type-filtered dim — at
+    sf0.1 that shuffled 20,003 rows (|parts|, measured by the bench's
+    shuffle metric) for a query whose filter keeps 130 parts. This plan
+    applies the Q5 keyset-prune discipline instead: the filtered part
+    keyset broadcasts into lineitem BELOW the aggregate (the
+    correlation predicate l2.l_partkey = p_partkey makes the avg over
+    the pruned rows identical to the avg over all rows of those
+    parts), so the per-part threshold aggregate — and everything above
+    it — runs at the 130-key grain. The average stays CAST(int64 SUM
+    AS DOUBLE)/COUNT, multiplied by 0.2 in the oracle's exact
+    expression order, so the threshold compare is bit-identical."""
+    part_k = (
+        load(spark, sf, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    li_f = (
+        load(spark, sf, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(part_k), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    qty = F.col("l_quantity").cast("long")
+    thr = (
+        li_f.groupBy("l_partkey")
+        .agg(
+            (
+                F.lit(0.2)
+                * (F.sum(qty).cast("double") / F.count(F.lit(1)))
+            ).alias("t")
+        )
+        .withColumnRenamed("l_partkey", "tk")
+    )
+    return (
+        li_f.join(F.broadcast(thr), F.col("l_partkey") == F.col("tk"))
+        .filter(F.col("l_quantity").cast("double") < F.col("t"))
+        .agg(
+            (F.sum(cents("l_extendedprice")).cast("long") / F.lit(7e2)).alias(
+                "avg_yearly"
+            )
+        )
+    )
 
 
 @register(
