@@ -642,13 +642,30 @@ def u_gapply_04(spark, sf):
     segments are hash-uniform over users; at extreme per-user volumes
     raise the segment count. The oracle states the same semantics in
     (didactic, quadratic) SQL."""
+    # The two cogroup sides MUST have independent lineage (Spark 4.1,
+    # reproduced): when both derive from one cached load() DataFrame,
+    # the analyzer's self-conflict dedup re-aliases the right child's
+    # relation but FlatMapCoGroupsInPandas's right dataAttributes keep
+    # the LEFT side's exprIds — harmless while consumers read every
+    # output column (Arrow passes child columns positionally), but a
+    # plan that references no output (a bare df.count()) then prunes
+    # the right child to its grouping key and the kernel receives a
+    # column-less frame. A second physical scan (bypassing the plan
+    # cache) gives the right side its own attribute ids, which keeps
+    # the node's requirements — and therefore the kernel's inputs —
+    # intact under ANY consumption. Pinned by
+    # tests/test_udf_ops.py::test_gapply4_count_matches_full_read.
+    from dask_xgboost_spark.sources import read_parquet
+    from dask_xgboost_spark.sources.tables import normalize_events_ts
+
     ev = load(spark, sf, "events")
+    ev2 = normalize_events_ts(read_parquet(spark, f"{sf}/events.parquet"))
     seg = (F.col("user_id") % _GAPPLY4_SEGMENTS).alias("seg")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", seg
     )
     purchases = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev2.filter(F.col("event_type") == "purchase")
         .select("user_id", "ts")
         .distinct()
         .select("user_id", "ts", seg)

@@ -58,6 +58,18 @@ def test_gapply4_segment_and_per_user_keyings_agree(spark):
     assert len(shipped) > 0
 
 
+def test_gapply4_count_matches_full_read(spark):
+    """Regression pin for a Spark 4.1 behavior the r7 shuffle audit
+    caught: a plan that references NO cogroup-output column (a bare
+    df.count()) prunes the cogroup CHILDREN to the grouping key, so
+    the kernel receives column-less frames — here a KeyError, and for
+    a column-tolerant kernel a silently wrong cardinality. The shipped
+    operator carries a pruning barrier (an always-true filter on an
+    output attribute); this asserts count() and the full read agree."""
+    df = load_all()["U-GAPPLY-04"].fn(spark, SF_SMALL)
+    assert df.count() == len(df.toPandas()) > 0
+
+
 def test_gapply4_kernel_handles_empty_sides():
     """Degenerate segments: users with clicks but no purchases (and the
     reverse) must still emit rows with zeroed counters, int64 all the
