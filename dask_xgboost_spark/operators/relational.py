@@ -2289,8 +2289,9 @@ def q_scan_17(spark, sf):
     "             c_custkey) AS rnk "
     "  FROM customer) "
     "SELECT c_mktsegment, "
-    "  list(c_name ORDER BY rnk) AS top_names, "
-    "  list(bal_c ORDER BY rnk) AS top_bals_c, "
+    "  string_agg(c_name, '|' ORDER BY rnk) AS top_names, "
+    "  string_agg(CAST(bal_c AS VARCHAR), '|' ORDER BY rnk) "
+    "    AS top_bals_c, "
     "  CAST(MAX(bal_c) AS BIGINT) AS best_bal_c "
     "FROM ranked WHERE rnk <= 3 "
     "GROUP BY c_mktsegment ORDER BY c_mktsegment",
@@ -2298,15 +2299,23 @@ def q_scan_17(spark, sf):
 def q_agg_26(spark, sf):
     """ORDERED top-k array materialization per group — the serving-
     layer precompute ("top 3 accounts per segment as a ready-to-render
-    list") that collapses a rank query into ONE array-typed row per
+    list") that collapses a rank query into ONE ordered-list row per
     key, the shape a key-value cache or feature store ingests
     directly. Spark has no ordered collect_list, so determinism comes
     from collecting (rank, value) STRUCTS and sort_array-ing them
     (struct order = field order) before projecting the payload —
     the portable idiom for DuckDB's list(x ORDER BY y).
 
+    The ordered lists are FINAL-PROJECTED to '|'-joined canonical
+    strings in both engines (array_join here, string_agg ORDER BY in
+    the oracle): the verification harness canonicalizes results with
+    a plain pandas sort, which cannot hash ndarray cells — raw
+    array<…> output columns crash it (r7 driver row). Identical
+    semantics, hash-safe carrier; tests/test_driver_window.py gates
+    every window-eligible entry against Array/Map output columns.
+
     Scale shape: rank truncation runs per-key BEFORE any collection,
-    so each group contributes exactly k rows to the aggregate — array
+    so each group contributes exactly k rows to the aggregate — list
     cells are bounded at k·|payload| regardless of group size (an
     UNBOUNDED collect_list is the anti-pattern this entry avoids)."""
     bal = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
@@ -2326,13 +2335,23 @@ def q_agg_26(spark, sf):
     return (
         ranked.groupBy("c_mktsegment")
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("rnk", "c_name"))),
-                lambda s: s["c_name"],
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("rnk", "c_name"))
+                    ),
+                    lambda s: s["c_name"],
+                ),
+                "|",
             ).alias("top_names"),
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("rnk", "bal_c"))),
-                lambda s: s["bal_c"],
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("rnk", "bal_c"))
+                    ),
+                    lambda s: s["bal_c"].cast("string"),
+                ),
+                "|",
             ).alias("top_bals_c"),
             F.max("bal_c").cast("bigint").alias("best_bal_c"),
         )

@@ -340,4 +340,21 @@ def lint_oracle_types(con, sql: str) -> list[Finding]:
                     "CAST the aggregate to BIGINT",
                 )
             )
+        # The r7 Q-AGG-26 trap: the verification harness canonicalizes
+        # with a plain pandas sort_values over raw columns, which
+        # throws `unhashable type: numpy.ndarray` on list/map/struct
+        # cells. Hash mode requires schema parity, so gating the
+        # ORACLE's output type also gates the Spark side: any
+        # window-eligible entry must final-project nested columns to a
+        # canonical string (array_join / string_agg ORDER BY).
+        if "[]" in up or up.startswith(("MAP(", "STRUCT(", "UNION(")):
+            findings.append(
+                Finding(
+                    "error",
+                    "ORACLE_NESTED",
+                    f"oracle output column {name!r} is {dtype}: the driver's "
+                    "pandas canonicalizer cannot sort/hash nested cells — "
+                    "final-project to a '|'-joined string in BOTH engines",
+                )
+            )
     return findings

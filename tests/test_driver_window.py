@@ -93,6 +93,29 @@ def test_oracle_output_types_survive_pandas_fetch(duck):
     assert not offenders, f"HUGEINT-emitting oracles: {offenders}"
 
 
+def test_oracle_type_lint_catches_nested_output(duck):
+    """The r7 Q-AGG-26 failure mode, made mechanical (VERDICT r7 #1):
+    the driver's canonicalizer does a plain pandas sort_values, which
+    throws `unhashable type: numpy.ndarray` on list/map cells. Any
+    window-eligible (hash-mode) entry with a nested output column would
+    ship red, so lint_oracle_types must flag it — and because hash mode
+    requires schema parity, gating the oracle gates the Spark side too."""
+    from dask_xgboost_spark.plans.lint import lint_oracle_types
+
+    bad = "SELECT c_mktsegment, list(c_name) AS names FROM customer GROUP BY 1"
+    findings = lint_oracle_types(duck, bad)
+    assert any(f.code == "ORACLE_NESTED" for f in findings)
+    bad_map = "SELECT MAP {'a': 1} AS m"
+    assert any(
+        f.code == "ORACLE_NESTED" for f in lint_oracle_types(duck, bad_map)
+    )
+    good = (
+        "SELECT c_mktsegment, string_agg(c_name, '|' ORDER BY c_name) "
+        "AS names FROM customer GROUP BY 1"
+    )
+    assert lint_oracle_types(duck, good) == []
+
+
 def test_oracle_type_lint_catches_uncast_sum(duck):
     """The lint itself must fail on the round-4 trap pattern."""
     from dask_xgboost_spark.plans.lint import lint_oracle_types
