@@ -1095,9 +1095,11 @@ def g_backfill_02(spark, sf):
     is a total order so both pick identical rows)."""
     ev = load(spark, sf, "events").select("ts", "event_id")
     late = ev.orderBy("ts", "event_id").limit(64)
-    kept = ev.join(
-        F.broadcast(late.select("event_id")), "event_id", "left_anti"
-    )
+    # anti-join on the FULL (ts, event_id) ordering pair, not event_id
+    # alone — the carve must not assume event_id is globally unique
+    # (ADVICE r7): a duplicate id at a later ts would otherwise be
+    # silently dropped from the kept set.
+    kept = ev.join(F.broadcast(late), ["ts", "event_id"], "left_anti")
 
     serving = kept.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
         F.count(F.lit(1)).alias("n")

@@ -180,7 +180,15 @@ def q_tpch_11(spark, sf):
     COUNT(DISTINCT l_partkey), in the oracle's exact expression order
     (2.0 * CAST(total AS BIGINT), then / count), broadcast back as one
     row; the comparison stays exact int64 vs double of an int64.
-    Deterministic ORDER BY (value DESC, key)."""
+    Deterministic ORDER BY (value DESC, key).
+
+    CALLER CONTRACT (storage): the part-grain rollup stays persist()ed
+    for the session — a DataFrame cannot unpersist itself after its
+    consumer materializes. Metered/batch callers must
+    ``spark.catalog.clearCache()`` after collecting the result (bench.py
+    and tools/shuffle_audit.py already do); a long-lived session that
+    calls this repeatedly without clearing retains one ~|parts|-row
+    cached rollup."""
     sup_f = (
         load(spark, sf, "supplier")
         .join(

@@ -210,6 +210,31 @@ def _tree_indent(line: str) -> int:
     return len(line) - len(line.lstrip(" :+-"))
 
 
+# A BNLJ build side is "provably bounded" only when its limit constant
+# is small enough to broadcast-and-loop safely; 100k rows is generous
+# for a broadcast (Spark's own autoBroadcast default is ~10 MB) while
+# still refusing the limit(10_000_000) footgun.
+_BNLJ_BOUNDED_ROWS = 100_000
+
+
+def _limit_node_rows(line: str) -> float:
+    """Parse the row bound a limit-type plan node guarantees, or +inf
+    when no constant parses (keeps the caller's conservative warn).
+    Shapes: ``TakeOrderedAndProject(limit=100, …)``, ``GlobalLimit 64``,
+    ``CollectLimit 21``, ``Range (0, 5000, step=1, …)``."""
+    m = re.search(r"TakeOrderedAndProject\(limit=(\d+)", line)
+    if m:
+        return int(m.group(1))
+    m = re.search(r"\b(?:GlobalLimit|CollectLimit)\s+(\d+)", line)
+    if m:
+        return int(m.group(1))
+    m = re.search(r"\bRange \((\d+), (\d+), step=(\d+)", line)
+    if m:
+        start, end, step = (int(g) for g in m.groups())
+        return max(0, -(-(end - start) // step)) if step else float("inf")
+    return float("inf")
+
+
 def _bnlj_builds_all_scalar_agg(tree: str) -> bool:
     """True when EVERY BroadcastNestedLoopJoin node in the executed-plan
     tree builds from a side that is bounded BY CONSTRUCTION at any data
@@ -218,7 +243,10 @@ def _bnlj_builds_all_scalar_agg(tree: str) -> bool:
     pattern, provably one row), a literal ``spark.range(n)`` spine
     (Range only ever prints constant bounds), or a LIMITed frame
     (TakeOrderedAndProject / GlobalLimit / CollectLimit — the limit is
-    a plan constant). Walk: from each BNLJ line, its DIRECT children
+    a plan constant, and it must PARSE BELOW ``_BNLJ_BOUNDED_ROWS``:
+    a limit(10_000_000) build is a plan constant but not a broadcast-
+    safe one, so an unparseable or over-threshold constant keeps the
+    warn). Walk: from each BNLJ line, its DIRECT children
     print one indent level deeper; the build side starts at the
     direct-child BroadcastExchange, and is bounded when the first
     Aggregate line under that exchange prints ``keys=[]``, or a
@@ -245,7 +273,10 @@ def _bnlj_builds_all_scalar_agg(tree: str) -> bool:
             lj = lines[j]
             if (
                 _tree_indent(lj) == base + 3
-                and "BroadcastExchange" in lj
+                # a finalized AQE plan wraps the exchange in a
+                # BroadcastQueryStage at the direct-child level; accept
+                # either so post-collect lints can still downgrade
+                and ("BroadcastExchange" in lj or "BroadcastQueryStage" in lj)
                 and "ReusedExchange" not in lj
             ):
                 bbase = _tree_indent(lj)
@@ -261,7 +292,7 @@ def _bnlj_builds_all_scalar_agg(tree: str) -> bool:
                         r"|\bGlobalLimit\b|\bCollectLimit\b",
                         lines[k],
                     ):
-                        scalar = True
+                        scalar = _limit_node_rows(lines[k]) <= _BNLJ_BOUNDED_ROWS
                         break
                     k += 1
                 break

@@ -294,6 +294,37 @@ def test_lint_flags_cartesian_and_python_udf(spark, sf_dir):
         raise AssertionError("assert_scales should have raised")
 
 
+def test_bnlj_downgrade_respects_limit_constant(spark, sf_dir):
+    """ADVICE r7: a LIMITed BNLJ build side is only 'provably bounded'
+    when the limit CONSTANT is broadcast-safe — limit(10) downgrades to
+    BNLJ_SCALAR info, limit(10_000_000) keeps the CARTESIAN_BNLJ warn."""
+    from pyspark.sql import functions as F2
+
+    from dask_xgboost_spark.plans.lint import (
+        _limit_node_rows,
+        lint_plan,
+    )
+    from dask_xgboost_spark.sources import load
+
+    assert _limit_node_rows("+- TakeOrderedAndProject(limit=100, x)") == 100
+    assert _limit_node_rows("+- GlobalLimit 64") == 64
+    assert _limit_node_rows("   +- Range (0, 5000, step=1, splits=8)") == 5000
+    assert _limit_node_rows("+- SomethingElse") == float("inf")
+
+    # lint the UNCOLLECTED frames: lint_plan's designed input is the
+    # pre-execution plan (initial AQE plan, where GlobalLimit prints
+    # its constant under the direct-child BroadcastExchange)
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    small = n.crossJoin(F2.broadcast(o.limit(10)))
+    codes_small = {f.code for f in lint_plan(small)}
+    assert "BNLJ_SCALAR" in codes_small and "CARTESIAN_BNLJ" not in codes_small
+
+    big = n.crossJoin(F2.broadcast(o.limit(10_000_000)))
+    codes_big = {f.code for f in lint_plan(big)}
+    assert "CARTESIAN_BNLJ" in codes_big, codes_big
+
+
 def test_lint_passes_clean_plans(spark, sf_dir):
     """Every bench headliner must be lint-clean at error severity — the
     deploy gate the linter exists for."""

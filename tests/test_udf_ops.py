@@ -64,8 +64,10 @@ def test_gapply4_count_matches_full_read(spark):
     df.count()) prunes the cogroup CHILDREN to the grouping key, so
     the kernel receives column-less frames — here a KeyError, and for
     a column-tolerant kernel a silently wrong cardinality. The shipped
-    operator carries a pruning barrier (an always-true filter on an
-    output attribute); this asserts count() and the full read agree."""
+    operator gives the right cogroup side INDEPENDENT LINEAGE via a
+    second physical parquet scan (udf.py:645), so the pruner cannot
+    collapse both children through one shared cached scan; this
+    asserts count() and the full read agree."""
     df = load_all()["U-GAPPLY-04"].fn(spark, SF_SMALL)
     assert df.count() == len(df.toPandas()) > 0
 
