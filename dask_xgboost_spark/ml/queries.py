@@ -1750,3 +1750,216 @@ def m_eval_10(spark, sf):
         F.expr(_conf_pred("STRING")).alias("predicted"),
     )
     return confusion_matrix(e)
+
+
+_PREP16_SQL = """
+WITH inter AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS it
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey % 100 = 0),
+users AS (SELECT DISTINCT u FROM inter),
+items AS (
+  SELECT it, substr(md5('b#' || CAST(it AS VARCHAR)), 1, 1) AS bucket
+  FROM (SELECT DISTINCT l_partkey AS it FROM lineitem) t),
+spine AS (
+  SELECT substr('0123456789abcdef', CAST(i AS INT) + 1, 1) AS bucket
+  FROM range(16) r(i)),
+probes AS (
+  SELECT u, bucket FROM (
+    SELECT us.u, s.bucket,
+           ROW_NUMBER() OVER (
+             PARTITION BY us.u
+             ORDER BY md5('p#' || CAST(us.u AS VARCHAR) || '#' || s.bucket),
+                      s.bucket) AS pr
+    FROM users us, spine s) z
+  WHERE pr <= 4),
+cand AS (
+  SELECT p.u, i.it,
+         md5(CAST(p.u AS VARCHAR) || '|' || CAST(i.it AS VARCHAR)) AS h
+  FROM probes p JOIN items i ON i.bucket = p.bucket
+  WHERE NOT EXISTS (SELECT 1 FROM inter x WHERE x.u = p.u AND x.it = i.it)),
+ranked AS (
+  SELECT u, it, h,
+         ROW_NUMBER() OVER (PARTITION BY u ORDER BY h, it) AS rnk
+  FROM cand)
+SELECT u, CAST(rnk AS BIGINT) AS rnk, it
+FROM ranked WHERE rnk <= 5 ORDER BY u, rnk
+"""
+
+
+@register("M-PREP-16", sql=_PREP16_SQL)
+def m_prep_16(spark, sf):
+    """BLOCKED negative sampling — the production path M-PREP-14's
+    docstring promised, shipped as code (VERDICT r7 item 4): instead of
+    crossing every sampled user with the FULL item vocabulary, items
+    are hashed into B=16 md5 buckets and each user draws candidates
+    from only its P=4 probe buckets (chosen by md5(user, bucket) rank
+    — deterministic, so the "random" probe set is reproducible on any
+    engine / partitioning / rerun). Candidates are anti-joined against
+    the interaction set (no positive ever leaks) and ranked by the
+    SAME md5(user|item) key as M-PREP-14, so the blocked draw is
+    exactly the demo's draw restricted to the probed buckets
+    (property-pinned against a pure-Python reference in
+    tests/test_negsample_property.py).
+
+    Scale shape: candidate volume is users × P × (|items|/B) instead
+    of users × |items| — with B sized so |items|/B is a constant c
+    (production uses a 3-4 hex-char bucket, B = 4096-65536), shuffle
+    rows are Θ(users · P·c) ≈ Θ(users · k), the audit target. The
+    16-key bucket join here is the fixture rendering of that knob —
+    at 16 buckets the join would skew at real scale; widening the
+    bucket string is the one-line fix. The 16-row probe spine is a
+    literal Range crossed under every user (bounded broadcast BNLJ,
+    lint-downgraded by design)."""
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    inter = (
+        o.filter(F.col("o_custkey") % 100 == 0)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it"))
+        .distinct()
+    )
+    users = inter.select("u").distinct()
+    items = (
+        li.select(F.col("l_partkey").alias("it"))
+        .distinct()
+        .withColumn(
+            "bucket",
+            F.substring(
+                F.md5(F.concat(F.lit("b#"), F.col("it").cast("string"))), 1, 1
+            ),
+        )
+    )
+    spine = spark.range(16).select(
+        F.expr("substr('0123456789abcdef', CAST(id AS INT) + 1, 1)").alias(
+            "bucket"
+        )
+    )
+    wpr = Window.partitionBy("u").orderBy(
+        F.md5(
+            F.concat(
+                F.lit("p#"), F.col("u").cast("string"), F.lit("#"), F.col("bucket")
+            )
+        ),
+        "bucket",
+    )
+    probes = (
+        users.crossJoin(spine)
+        .withColumn("pr", F.row_number().over(wpr))
+        .filter(F.col("pr") <= 4)
+        .select("u", "bucket")
+    )
+    cand = (
+        probes.join(items, "bucket")
+        .join(inter, ["u", "it"], "left_anti")
+        .select(
+            "u",
+            "it",
+            F.md5(
+                F.concat(
+                    F.col("u").cast("string"), F.lit("|"), F.col("it").cast("string")
+                )
+            ).alias("h"),
+        )
+    )
+    w = Window.partitionBy("u").orderBy("h", "it")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("u", "rnk", "it")
+        .orderBy("u", "rnk")
+    )
+
+
+_EVAL11_SQL = """
+WITH r AS (
+  SELECT o_custkey AS u,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS rel,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY md5('r#' || CAST(o_orderkey AS VARCHAR)), o_orderkey
+         ) AS rnk
+  FROM orders),
+per_q AS (
+  SELECT u,
+         MIN(CASE WHEN rel THEN rnk END) AS first_rank,
+         CAST(SUM(CASE WHEN rel AND rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits5,
+         CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+  FROM r GROUP BY u)
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN first_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       CAST(SUM(CASE WHEN first_rank IS NOT NULL
+                     THEN 1000000 // first_rank ELSE 0 END) AS BIGINT)
+         AS rr_ppm_sum,
+       CAST(SUM(hits5) AS BIGINT) AS hits_at_5,
+       CAST(SUM(n_rel) AS BIGINT) AS n_rel_total
+FROM per_q JOIN customer ON c_custkey = u
+GROUP BY segment ORDER BY segment
+"""
+
+
+@register("M-EVAL-11", sql=_EVAL11_SQL)
+def m_eval_11(spark, sf):
+    """Distributed ranking-metric readout (MRR / hit-rate@k) — the
+    retrieval-eval leg the M-EVAL family lacked: per query (customer),
+    candidates (orders) are ranked by a deterministic md5 score
+    stand-in (a real model's score column plugs into the window
+    unchanged; same discipline as M-EVAL-09/10), relevance is the
+    order-priority flag, and the per-segment rollup reports exact
+    integers only: query counts, first-relevant hits, hits@5, and the
+    reciprocal-rank sum in FLOOR parts-per-million (1000000 div
+    first_rank — the repo's floor-per-mille discipline, avoiding any
+    cross-engine float summation). MRR = rr_ppm_sum / n_queries / 1e6
+    and hit-rate@5 = hits_at_5-bearing queries / n_queries are
+    driver-side divisions on these 5 rows.
+
+    Scale shape: one window partitioned by query key (never global),
+    one query-grain rollup, one join to the dimension for the segment
+    rollup — three shuffles on a 100 TB ranking log, each on the
+    natural grain; per-query state is O(1)."""
+    r = load(spark, sf, "orders").select(
+        F.col("o_custkey").alias("u"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("rel"),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.md5(F.concat(F.lit("r#"), F.col("o_orderkey").cast("string"))),
+                "o_orderkey",
+            )
+        )
+        .alias("rnk"),
+    )
+    per_q = r.groupBy("u").agg(
+        F.min(F.when(F.col("rel"), F.col("rnk"))).alias("first_rank"),
+        F.sum(F.when(F.col("rel") & (F.col("rnk") <= 5), 1).otherwise(0))
+        .cast("long")
+        .alias("hits5"),
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("long").alias("n_rel"),
+    )
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("u"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        per_q.join(cust, "u")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(F.when(F.col("first_rank").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+            F.sum(
+                F.when(
+                    F.col("first_rank").isNotNull(),
+                    F.expr("1000000 div first_rank"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rr_ppm_sum"),
+            F.sum("hits5").cast("long").alias("hits_at_5"),
+            F.sum("n_rel").cast("long").alias("n_rel_total"),
+        )
+        .orderBy("segment")
+    )

@@ -19,6 +19,7 @@ Five strategies, each the idiomatic Spark shape for its scale regime:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.registry import register
@@ -972,4 +973,105 @@ def l_dedup_14(spark, sf):
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
         .orderBy("d1", "d2")
+    )
+
+
+_DEDUP15_DOCS = (
+    "(SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 400000, text || ' tail marker segment' "
+    "FROM documents WHERE doc_id < 40)"
+)
+
+_DEDUP15_SQL = f"""
+WITH segs AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+         array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ') AS seg
+  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        FROM {_DEDUP15_DOCS} d) t,
+       unnest(range(0, (len(w) + 7) // 8)) AS u(i)),
+keep AS (
+  SELECT doc_id, seg_idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS occ
+  FROM segs)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CASE WHEN SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) > 0
+            THEN md5(string_agg(CASE WHEN occ = 1 THEN seg END, ' '
+                                ORDER BY seg_idx))
+       END AS rebuilt_md5
+FROM keep GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("L-DEDUP-15", sql=_DEDUP15_SQL)
+def l_dedup_15(spark, sf):
+    """FIRST-OCCURRENCE-KEEP segment-level dedup with document
+    reconstruction — the RefinedWeb exact line-dedup rule, distinct
+    from L-DEDUP-10's C4 rule (which drops EVERY copy of a boilerplate
+    line past a document-frequency threshold): here the globally first
+    occurrence (min (doc_id, seg_idx)) of each segment SURVIVES and
+    only later copies are cut, then every document is re-assembled
+    from its surviving segments in original order. Segments are fixed
+    8-word blocks (the fixture soup has no newline/paragraph structure;
+    production passes split(text, '\\n') at the same grain). Clones
+    planted in-query (doc_id+400000, text plus a novel tail) mirror the
+    oracle exactly: a clone keeps only its tail segment, the original
+    keeps everything. Output is the reconstruction contract per doc:
+    segment counts and the md5 of the rebuilt text (NULL when nothing
+    survives, matching string_agg-over-empty semantics).
+
+    Scale shape: segment explode is map-side (bounded ×n_segs); ONE
+    shuffle on the segment string for the first-occurrence window
+    (partitioned by segment — never global); ONE shuffle back on
+    doc_id for reconstruction. Both keys are high-cardinality at
+    corpus scale; the segment string key can be md5'd to bound shuffle
+    width (same rows, narrower bytes)."""
+    base = load(spark, sf, "documents").select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker segment")).alias("text"),
+    )
+    docs = base.unionByName(planted).withColumn("w", F.split("text", " "))
+    segs = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.expr("CAST((size(w) + 7) div 8 AS INT) - 1"))
+        ).alias("i"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("seg_idx"),
+        F.array_join(F.expr("slice(w, i * 8 + 1, 8)"), " ").alias("seg"),
+    )
+    occ = F.row_number().over(
+        Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    )
+    keep = segs.withColumn("occ", occ)
+    kept_flag = F.when(F.col("occ") == 1, 1).otherwise(0)
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("occ") == 1, F.struct("seg_idx", "seg"))
+                )
+            ),
+            lambda s: s.seg,
+        ),
+        " ",
+    )
+    return (
+        keep.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum(kept_flag).cast("long").alias("n_kept"),
+            F.md5(rebuilt).alias("_rb"),
+        )
+        .select(
+            "doc_id",
+            "n_segs",
+            "n_kept",
+            F.when(F.col("n_kept") > 0, F.col("_rb")).alias("rebuilt_md5"),
+        )
+        .orderBy("doc_id")
     )

@@ -937,3 +937,156 @@ def l_sim_12(spark, sf):
         )
         .orderBy("qid", "rank")
     )
+
+
+_SIM13_SQL = """
+WITH base AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT))
+             AS qv
+    FROM embeddings
+),
+ev AS (SELECT vec_id, qv FROM base WHERE vec_id % 97 = 0),
+plants AS (
+    SELECT vec_id + 200000 AS vec_id,
+           list_prepend(qv[1] + 1, qv[2:64]) AS qv
+    FROM ev
+),
+corpus AS (
+    SELECT vec_id, qv FROM base WHERE vec_id % 97 <> 0
+    UNION ALL SELECT vec_id, qv FROM plants
+),
+cb AS (
+    SELECT vec_id, qv,
+           CAST(list_sum(list_transform(range(1, 13),
+               i -> CASE WHEN qv[i] >= 0 THEN 1 << (i - 1) ELSE 0 END))
+               AS BIGINT) AS bucket,
+           CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+    FROM corpus
+),
+eb AS (
+    SELECT vec_id, qv,
+           CAST(list_sum(list_transform(range(1, 13),
+               i -> CASE WHEN qv[i] >= 0 THEN 1 << (i - 1) ELSE 0 END))
+               AS BIGINT) AS bucket,
+           CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+    FROM ev
+),
+ep AS (
+    SELECT vec_id, qv, n2,
+           unnest(list_transform(range(0, 13),
+               j -> CASE WHEN j = 0 THEN bucket
+                    ELSE xor(bucket, CAST(1 << (j - 1) AS BIGINT)) END))
+             AS pbucket
+    FROM eb
+),
+pairs AS (
+    SELECT c.vec_id AS corpus_id, e.vec_id AS eval_id,
+           CAST(list_sum(list_transform(range(1, 65),
+               i -> c.qv[i] * e.qv[i])) AS BIGINT) AS dot,
+           c.n2 AS cn2, e.n2 AS en2
+    FROM cb c JOIN ep e ON c.bucket = e.pbucket
+)
+SELECT corpus_id, eval_id, dot
+FROM pairs
+WHERE dot > 0 AND 100 * dot * dot >= 81 * cn2 * en2
+ORDER BY corpus_id, eval_id
+"""
+
+
+@register("L-SIM-13", sql=_SIM13_SQL)
+def l_sim_13(spark, sf):
+    """EMBEDDING-SPACE decontamination (bipartite, multi-probe blocked)
+    — the semantic twin of L-DEDUP-08's word-overlap decontamination:
+    corpus vectors whose cosine to ANY held-out eval vector clears 0.9
+    are flagged before training. Everything is engine-exact integers:
+    vectors quantize to ×1024 BIGINT, the cosine test is
+    cross-multiplied (dot > 0 AND 100·dot² ≥ 81·|a|²·|b|², all inside
+    int64 at this magnitude), so no float division or sqrt crosses the
+    engines. Blocking is a 12-bit sign SimHash with ONE-FLIP
+    MULTI-PROBE on the eval side (13 probe buckets per eval vector:
+    exact + each single bit flipped) — any pair whose sign patterns
+    differ in ≤1 of the 12 leading dims is GUARANTEED a candidate (the
+    pigeonhole discipline of L-MM-04's dHash banding), which covers
+    the planted contamination (one quantization step on dim 1 flips at
+    most that one sign). Plants mirror the oracle: each eval vector
+    re-enters the corpus as vec_id+200000 nudged by one quant step.
+
+    Scale shape: probes explode the SMALL eval side ×13; the 100 TB
+    corpus side keeps exactly one bucket per vector — candidate volume
+    is Σ over probe buckets of |corpus bucket|, near-linear at 2¹²
+    buckets (production widens to 16-24 bits + R independent
+    rotations, L-DEDUP-02's banding). Exact verification touches
+    candidates only; brute force never."""
+    q = load(spark, sf, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT))"
+        ).alias("qv"),
+    )
+    ev = q.filter(F.col("vec_id") % 97 == 0)
+    plants = ev.select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.expr("concat(array(qv[0] + CAST(1 AS BIGINT)), slice(qv, 2, 63))").alias(
+            "qv"
+        ),
+    )
+    corpus = q.filter(F.col("vec_id") % 97 != 0).unionByName(plants)
+    bucket = F.expr(
+        "aggregate(transform(slice(qv, 1, 12), "
+        "(x, i) -> CASE WHEN x >= 0 THEN shiftleft(CAST(1 AS BIGINT), i) "
+        "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    n2 = F.expr(
+        "aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT), "
+        "(acc, v) -> acc + v)"
+    )
+    cb = corpus.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("qv").alias("cqv"),
+        bucket.alias("bucket"),
+        n2.alias("cn2"),
+    )
+    ep = (
+        ev.select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("qv").alias("eqv"),
+            bucket.alias("ebucket"),
+            n2.alias("en2"),
+        )
+        .select(
+            "eval_id",
+            "eqv",
+            "en2",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 12), j -> CASE WHEN j = 0 "
+                    "THEN ebucket ELSE CAST(ebucket AS BIGINT) ^ "
+                    "shiftleft(CAST(1 AS BIGINT), CAST(j AS INT) - 1) END)"
+                )
+            ).alias("bucket"),
+        )
+    )
+    pairs = cb.join(ep, "bucket").select(
+        "corpus_id",
+        "eval_id",
+        F.expr(
+            "aggregate(zip_with(cqv, eqv, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("dot"),
+        "cn2",
+        "en2",
+    )
+    return (
+        pairs.filter(
+            (F.col("dot") > 0)
+            & (
+                100 * F.col("dot") * F.col("dot")
+                >= 81 * F.col("cn2") * F.col("en2")
+            )
+        )
+        .select("corpus_id", "eval_id", "dot")
+        .orderBy("corpus_id", "eval_id")
+    )

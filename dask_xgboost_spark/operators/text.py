@@ -1308,3 +1308,78 @@ def l_text_21(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+_PIPE6_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         's' || substr(md5('s#' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         md5('o#' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       MIN(h) AS first_key, MAX(h) AS last_key
+FROM t GROUP BY shard ORDER BY shard
+"""
+
+
+@register("L-PIPE-06", sql=_PIPE6_SQL)
+def l_pipe_06(spark, sf):
+    """Deterministic pre-training corpus shuffle + resharding, as a
+    WRITE ROUND-TRIP (the L-PIPE-02 discipline): every training run
+    starts by breaking the corpus's crawl/source order — here each doc
+    gets an md5 shard (16 shards) and an md5 within-shard sort key, the
+    corpus is physically rewritten partitioned-by-shard with
+    sortWithinPartitions(order key), re-read, and the per-shard
+    manifest (doc/token counts, id checksum, first/last sort key) is
+    hash-checked against the oracle computed from the ORIGINAL table —
+    proving the shuffle is a permutation (nothing lost, nothing
+    duplicated) and bit-reproducible on any engine, rerun, or
+    partitioning (no seeded PRNG, the mixture.py discipline).
+
+    Scale shape: EXACTLY the production writer — one hash shuffle
+    (repartition on shard) + a per-partition sort, no global order
+    anywhere; hash uniformity is what makes every shard an unbiased
+    sample of the corpus. Shard count is the knob (here 16 = one hex
+    char; a 100 TB corpus widens the prefix so shards land near the
+    target file size) and maxRecordsPerFile bounds file size within a
+    shard."""
+    out_dir = scratch_dir("shard_shuffle")
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("s"),
+            F.substring(
+                F.md5(F.concat(F.lit("s#"), F.col("doc_id").cast("string"))), 1, 1
+            ),
+        ).alias("shard"),
+        F.md5(F.concat(F.lit("o#"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    (
+        docs.repartition("shard")
+        .sortWithinPartitions("h")
+        .write.partitionBy("shard")
+        .option("maxRecordsPerFile", 100000)
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    result = (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("n_toks"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.min("h").alias("first_key"),
+            F.max("h").alias("last_key"),
+        )
+        .orderBy("shard")
+        .localCheckpoint()  # materialize before the scratch dir is removed
+    )
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result
