@@ -51,15 +51,15 @@ def test_queries_and_oracles_consistent():
 def test_window_prefix_covers_every_family():
     """The first 50 entries (the driver's check window) must witness
     every top-level operator family so no family goes a round without a
-    driver-checked row. Q-TPCH is exempt for the round-7 rotation: all
-    22 TPC-H entries already carry driver-green rows (r1-r6, Q5/Q7
-    re-proved r6) and VERDICT r6 #1 dedicates the whole window to the
-    never-witnessed backlog — restore the requirement once the backlog
-    is drained (it contains no Q-TPCH entries)."""
+    driver-checked row. Q-TPCH is required again as of round 8 (the r7
+    exemption existed only because that window was dedicated to the
+    never-witnessed backlog; the backlog is now drained and the r7
+    Q-TPCH-11/17 keyset-prune rewrites need a driver re-proof)."""
     window = list(entrymod.queries())[:50]
     fams = {_family(n) for n in window}
-    for required in ("Q-SCAN", "Q-AGG", "Q-WIN", "Q-TS",
-                     "L-DEDUP", "L-MIX", "L-TEXT", "S", "M", "G"):
+    for required in ("Q-SCAN", "Q-AGG", "Q-WIN", "Q-TS", "Q-TPCH",
+                     "L-DEDUP", "L-MIX", "L-TEXT", "L-SIM", "L-PIPE",
+                     "S", "M", "G", "U"):
         assert required in fams, f"family {required} missing from window"
 
 
