@@ -42,8 +42,7 @@ ID_SHIFT = 10_000_000
 
 def build_scaled(spark, sf_dir: str, rep: int) -> str:
     out = tempfile.mkdtemp(prefix=f"dxs_ops_{rep}x_")
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "lineitem", "embeddings"):
+    for t in ("region", "nation", "supplier", "part", "lineitem"):
         src = f"{sf_dir}/{t}.parquet"
         if os.path.exists(src):
             os.symlink(src, f"{out}/{t}.parquet")
@@ -82,6 +81,30 @@ def build_scaled(spark, sf_dir: str, rep: int) -> str:
         .repartition(32)
         .write.mode("overwrite")
         .parquet(f"{out}/orders.parquet")
+    )
+    # customer: custkey shifted THE SAME WAY as orders.o_custkey, so
+    # fact→dimension joins keep referential integrity across replicas
+    # (r8: M-EVAL-11's segment rollup would otherwise drop 9/10 of the
+    # scaled fact rows at the dimension join and fake sublinearity)
+    (
+        load(spark, sf_dir, "customer")
+        .crossJoin(reps)
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("r") * ID_SHIFT)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/customer.parquet")
+    )
+    # embeddings: vec_id shifted (distinct vectors per replica; the
+    # in-query plant offsets are < ID_SHIFT so replica ids never collide)
+    (
+        load(spark, sf_dir, "embeddings")
+        .crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("r") * ID_SHIFT)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
     )
     return out
 
