@@ -35,6 +35,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "lakehouse_ops.py",
         "model_evaluation.py",
         "scale_diagnostics.py",
+        "retrieval_training_data.py",
     ],
 )
 def test_example_runs(script):
