@@ -55,6 +55,10 @@ SAMPLE = [
     "Q-JOIN-17", "L-DEDUP-14", "Q-JSON-06", "M-EVAL-09", "M-PREP-15",
     # round-7 second wave: skew profiler, confusion matrix, repetition gate
     "Q-PROF-02", "M-EVAL-10", "L-TEXT-21",
+    # round-8 additions: blocked negative sampling, ranking metrics,
+    # keep-first segment dedup, embedding decontamination (L-PIPE-06 is
+    # eager-write and covered by the oracle sweep + examples instead)
+    "M-PREP-16", "M-EVAL-11", "L-DEDUP-15", "L-SIM-13",
 ]
 
 
