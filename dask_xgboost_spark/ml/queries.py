@@ -1787,6 +1787,62 @@ FROM ranked WHERE rnk <= 5 ORDER BY u, rnk
 """
 
 
+def blocked_negatives(spark, inter, items, k: int = 5, probes: int = 4):
+    """Blocked deterministic negative sampling — the public API behind
+    M-PREP-16. ``inter`` is the positive/interaction frame (u, it),
+    ``items`` the item vocabulary (it). Items hash into 16 md5 buckets
+    (widen the bucket string for production B); each user draws from its
+    ``probes`` md5-ranked buckets, positives are anti-joined away, and
+    the top ``k`` candidates per user by md5(u|it) are returned as
+    (u, rnk, it) — bit-reproducible on any engine or partitioning."""
+    users = inter.select("u").distinct()
+    items = items.withColumn(
+        "bucket",
+        F.substring(
+            F.md5(F.concat(F.lit("b#"), F.col("it").cast("string"))), 1, 1
+        ),
+    )
+    spine = spark.range(16).select(
+        F.expr("substr('0123456789abcdef', CAST(id AS INT) + 1, 1)").alias(
+            "bucket"
+        )
+    )
+    wpr = Window.partitionBy("u").orderBy(
+        F.md5(
+            F.concat(
+                F.lit("p#"), F.col("u").cast("string"), F.lit("#"), F.col("bucket")
+            )
+        ),
+        "bucket",
+    )
+    probe_set = (
+        users.crossJoin(spine)
+        .withColumn("pr", F.row_number().over(wpr))
+        .filter(F.col("pr") <= probes)
+        .select("u", "bucket")
+    )
+    cand = (
+        probe_set.join(items, "bucket")
+        .join(inter, ["u", "it"], "left_anti")
+        .select(
+            "u",
+            "it",
+            F.md5(
+                F.concat(
+                    F.col("u").cast("string"), F.lit("|"), F.col("it").cast("string")
+                )
+            ).alias("h"),
+        )
+    )
+    w = Window.partitionBy("u").orderBy("h", "it")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("u", "rnk", "it")
+        .orderBy("u", "rnk")
+    )
+
+
 @register("M-PREP-16", sql=_PREP16_SQL)
 def m_prep_16(spark, sf):
     """BLOCKED negative sampling — the production path M-PREP-14's
@@ -1819,56 +1875,8 @@ def m_prep_16(spark, sf):
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it"))
         .distinct()
     )
-    users = inter.select("u").distinct()
-    items = (
-        li.select(F.col("l_partkey").alias("it"))
-        .distinct()
-        .withColumn(
-            "bucket",
-            F.substring(
-                F.md5(F.concat(F.lit("b#"), F.col("it").cast("string"))), 1, 1
-            ),
-        )
-    )
-    spine = spark.range(16).select(
-        F.expr("substr('0123456789abcdef', CAST(id AS INT) + 1, 1)").alias(
-            "bucket"
-        )
-    )
-    wpr = Window.partitionBy("u").orderBy(
-        F.md5(
-            F.concat(
-                F.lit("p#"), F.col("u").cast("string"), F.lit("#"), F.col("bucket")
-            )
-        ),
-        "bucket",
-    )
-    probes = (
-        users.crossJoin(spine)
-        .withColumn("pr", F.row_number().over(wpr))
-        .filter(F.col("pr") <= 4)
-        .select("u", "bucket")
-    )
-    cand = (
-        probes.join(items, "bucket")
-        .join(inter, ["u", "it"], "left_anti")
-        .select(
-            "u",
-            "it",
-            F.md5(
-                F.concat(
-                    F.col("u").cast("string"), F.lit("|"), F.col("it").cast("string")
-                )
-            ).alias("h"),
-        )
-    )
-    w = Window.partitionBy("u").orderBy("h", "it")
-    return (
-        cand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 5)
-        .select("u", "rnk", "it")
-        .orderBy("u", "rnk")
-    )
+    items = li.select(F.col("l_partkey").alias("it")).distinct()
+    return blocked_negatives(spark, inter, items)
 
 
 _EVAL11_SQL = """
@@ -1899,6 +1907,46 @@ SELECT c_mktsegment AS segment,
 FROM per_q JOIN customer ON c_custkey = u
 GROUP BY segment ORDER BY segment
 """
+
+
+def ranking_metrics(ranked, groups, k: int = 5):
+    """Distributed ranking-metric readout — the public API behind
+    M-EVAL-11. ``ranked`` is (u, rel, rnk): per query u, candidates with
+    a boolean relevance flag and a 1-based rank (a real model's score
+    column produces rnk via a row_number window). ``groups`` maps u to a
+    rollup segment. Returns exact integers per segment: n_queries,
+    n_hit (queries with any relevant), rr_ppm_sum (Σ 1000000 div
+    first_rank — floor parts-per-million, no float summation), hits@k,
+    and total relevant count; MRR and hit rates are driver-side
+    divisions."""
+    per_q = ranked.groupBy("u").agg(
+        F.min(F.when(F.col("rel"), F.col("rnk"))).alias("first_rank"),
+        F.sum(F.when(F.col("rel") & (F.col("rnk") <= k), 1).otherwise(0))
+        .cast("long")
+        .alias("hitsk"),
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("long").alias("n_rel"),
+    )
+    return (
+        per_q.join(groups, "u")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(F.when(F.col("first_rank").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+            F.sum(
+                F.when(
+                    F.col("first_rank").isNotNull(),
+                    F.expr("1000000 div first_rank"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rr_ppm_sum"),
+            F.sum("hitsk").cast("long").alias(f"hits_at_{k}"),
+            F.sum("n_rel").cast("long").alias("n_rel_total"),
+        )
+        .orderBy("segment")
+    )
 
 
 @register("M-EVAL-11", sql=_EVAL11_SQL)
@@ -1932,34 +1980,7 @@ def m_eval_11(spark, sf):
         )
         .alias("rnk"),
     )
-    per_q = r.groupBy("u").agg(
-        F.min(F.when(F.col("rel"), F.col("rnk"))).alias("first_rank"),
-        F.sum(F.when(F.col("rel") & (F.col("rnk") <= 5), 1).otherwise(0))
-        .cast("long")
-        .alias("hits5"),
-        F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("long").alias("n_rel"),
-    )
     cust = load(spark, sf, "customer").select(
         F.col("c_custkey").alias("u"), F.col("c_mktsegment").alias("segment")
     )
-    return (
-        per_q.join(cust, "u")
-        .groupBy("segment")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_queries"),
-            F.sum(F.when(F.col("first_rank").isNotNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_hit"),
-            F.sum(
-                F.when(
-                    F.col("first_rank").isNotNull(),
-                    F.expr("1000000 div first_rank"),
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("rr_ppm_sum"),
-            F.sum("hits5").cast("long").alias("hits_at_5"),
-            F.sum("n_rel").cast("long").alias("n_rel_total"),
-        )
-        .orderBy("segment")
-    )
+    return ranking_metrics(r, cust, k=5)

@@ -1004,45 +1004,31 @@ FROM keep GROUP BY doc_id ORDER BY doc_id
 """
 
 
-@register("L-DEDUP-15", sql=_DEDUP15_SQL)
-def l_dedup_15(spark, sf):
-    """FIRST-OCCURRENCE-KEEP segment-level dedup with document
-    reconstruction — the RefinedWeb exact line-dedup rule, distinct
-    from L-DEDUP-10's C4 rule (which drops EVERY copy of a boilerplate
-    line past a document-frequency threshold): here the globally first
-    occurrence (min (doc_id, seg_idx)) of each segment SURVIVES and
-    only later copies are cut, then every document is re-assembled
-    from its surviving segments in original order. Segments are fixed
-    8-word blocks (the fixture soup has no newline/paragraph structure;
-    production passes split(text, '\\n') at the same grain). Clones
-    planted in-query (doc_id+400000, text plus a novel tail) mirror the
-    oracle exactly: a clone keeps only its tail segment, the original
-    keeps everything. Output is the reconstruction contract per doc:
-    segment counts and the md5 of the rebuilt text (NULL when nothing
-    survives, matching string_agg-over-empty semantics).
-
-    Scale shape: segment explode is map-side (bounded ×n_segs); ONE
-    shuffle on the segment string for the first-occurrence window
-    (partitioned by segment — never global); ONE shuffle back on
-    doc_id for reconstruction. Both keys are high-cardinality at
-    corpus scale; the segment string key can be md5'd to bound shuffle
-    width (same rows, narrower bytes)."""
-    base = load(spark, sf, "documents").select("doc_id", "text")
-    planted = base.filter(F.col("doc_id") < 40).select(
-        (F.col("doc_id") + 400000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" tail marker segment")).alias("text"),
-    )
-    docs = base.unionByName(planted).withColumn("w", F.split("text", " "))
+def segment_dedup(docs, seg_words: int = 8):
+    """First-occurrence-keep segment dedup + reconstruction over a
+    ``(doc_id, text)`` frame — the public API behind L-DEDUP-15. Splits
+    each doc into fixed ``seg_words``-word segments (pass newline-split
+    text for true line/paragraph grain), keeps the globally first
+    occurrence of each segment (min (doc_id, seg_idx)), and rebuilds
+    every doc from its surviving segments in original order. Returns
+    one row per doc: n_segs, n_kept, rebuilt_md5 (NULL when nothing
+    survives)."""
+    docs = docs.withColumn("w", F.split("text", " "))
     segs = docs.select(
         "doc_id",
         F.explode(
-            F.sequence(F.lit(0), F.expr("CAST((size(w) + 7) div 8 AS INT) - 1"))
+            F.sequence(
+                F.lit(0),
+                F.expr(f"CAST((size(w) + {seg_words - 1}) div {seg_words} AS INT) - 1"),
+            )
         ).alias("i"),
         F.col("w"),
     ).select(
         "doc_id",
         F.col("i").cast("bigint").alias("seg_idx"),
-        F.array_join(F.expr("slice(w, i * 8 + 1, 8)"), " ").alias("seg"),
+        F.array_join(
+            F.expr(f"slice(w, i * {seg_words} + 1, {seg_words})"), " "
+        ).alias("seg"),
     )
     occ = F.row_number().over(
         Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
@@ -1075,3 +1061,34 @@ def l_dedup_15(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+@register("L-DEDUP-15", sql=_DEDUP15_SQL)
+def l_dedup_15(spark, sf):
+    """FIRST-OCCURRENCE-KEEP segment-level dedup with document
+    reconstruction — the RefinedWeb exact line-dedup rule, distinct
+    from L-DEDUP-10's C4 rule (which drops EVERY copy of a boilerplate
+    line past a document-frequency threshold): here the globally first
+    occurrence (min (doc_id, seg_idx)) of each segment SURVIVES and
+    only later copies are cut, then every document is re-assembled
+    from its surviving segments in original order. Segments are fixed
+    8-word blocks (the fixture soup has no newline/paragraph structure;
+    production passes split(text, '\\n') at the same grain). Clones
+    planted in-query (doc_id+400000, text plus a novel tail) mirror the
+    oracle exactly: a clone keeps only its tail segment, the original
+    keeps everything. Output is the reconstruction contract per doc:
+    segment counts and the md5 of the rebuilt text (NULL when nothing
+    survives, matching string_agg-over-empty semantics).
+
+    Scale shape: segment explode is map-side (bounded ×n_segs); ONE
+    shuffle on the segment string for the first-occurrence window
+    (partitioned by segment — never global); ONE shuffle back on
+    doc_id for reconstruction. Both keys are high-cardinality at
+    corpus scale; the segment string key can be md5'd to bound shuffle
+    width (same rows, narrower bytes)."""
+    base = load(spark, sf, "documents").select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker segment")).alias("text"),
+    )
+    return segment_dedup(base.unionByName(planted))

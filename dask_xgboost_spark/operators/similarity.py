@@ -995,6 +995,74 @@ ORDER BY corpus_id, eval_id
 """
 
 
+def decontaminate(corpus, eval_set, sign_bits: int = 12):
+    """Embedding-space decontamination — the public API behind L-SIM-13.
+    ``corpus`` and ``eval_set`` are frames of (id, qv) where qv is an
+    integer-quantized vector (array<bigint>, e.g. FLOOR(x*1024)); returns
+    (corpus_id, eval_id, dot) for every corpus vector whose cosine to an
+    eval vector clears 0.9, via cross-multiplied integer arithmetic.
+    Blocking: ``sign_bits``-bit sign SimHash with one-flip multi-probe on
+    the (small) eval side — any pair within Hamming 1 of the leading sign
+    pattern is guaranteed a candidate; the corpus side keeps exactly one
+    bucket per vector."""
+    bucket = F.expr(
+        f"aggregate(transform(slice(qv, 1, {sign_bits}), "
+        "(x, i) -> CASE WHEN x >= 0 THEN shiftleft(CAST(1 AS BIGINT), i) "
+        "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    n2 = F.expr(
+        "aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT), "
+        "(acc, v) -> acc + v)"
+    )
+    cb = corpus.select(
+        F.col("id").alias("corpus_id"),
+        F.col("qv").alias("cqv"),
+        bucket.alias("bucket"),
+        n2.alias("cn2"),
+    )
+    ep = (
+        eval_set.select(
+            F.col("id").alias("eval_id"),
+            F.col("qv").alias("eqv"),
+            bucket.alias("ebucket"),
+            n2.alias("en2"),
+        )
+        .select(
+            "eval_id",
+            "eqv",
+            "en2",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {sign_bits}), j -> CASE WHEN j = 0 "
+                    "THEN ebucket ELSE CAST(ebucket AS BIGINT) ^ "
+                    "shiftleft(CAST(1 AS BIGINT), CAST(j AS INT) - 1) END)"
+                )
+            ).alias("bucket"),
+        )
+    )
+    pairs = cb.join(ep, "bucket").select(
+        "corpus_id",
+        "eval_id",
+        F.expr(
+            "aggregate(zip_with(cqv, eqv, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("dot"),
+        "cn2",
+        "en2",
+    )
+    return (
+        pairs.filter(
+            (F.col("dot") > 0)
+            & (
+                100 * F.col("dot") * F.col("dot")
+                >= 81 * F.col("cn2") * F.col("en2")
+            )
+        )
+        .select("corpus_id", "eval_id", "dot")
+        .orderBy("corpus_id", "eval_id")
+    )
+
+
 @register("L-SIM-13", sql=_SIM13_SQL)
 def l_sim_13(spark, sf):
     """EMBEDDING-SPACE decontamination (bipartite, multi-probe blocked)
@@ -1034,59 +1102,7 @@ def l_sim_13(spark, sf):
         ),
     )
     corpus = q.filter(F.col("vec_id") % 97 != 0).unionByName(plants)
-    bucket = F.expr(
-        "aggregate(transform(slice(qv, 1, 12), "
-        "(x, i) -> CASE WHEN x >= 0 THEN shiftleft(CAST(1 AS BIGINT), i) "
-        "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
-    n2 = F.expr(
-        "aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT), "
-        "(acc, v) -> acc + v)"
-    )
-    cb = corpus.select(
-        F.col("vec_id").alias("corpus_id"),
-        F.col("qv").alias("cqv"),
-        bucket.alias("bucket"),
-        n2.alias("cn2"),
-    )
-    ep = (
-        ev.select(
-            F.col("vec_id").alias("eval_id"),
-            F.col("qv").alias("eqv"),
-            bucket.alias("ebucket"),
-            n2.alias("en2"),
-        )
-        .select(
-            "eval_id",
-            "eqv",
-            "en2",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, 12), j -> CASE WHEN j = 0 "
-                    "THEN ebucket ELSE CAST(ebucket AS BIGINT) ^ "
-                    "shiftleft(CAST(1 AS BIGINT), CAST(j AS INT) - 1) END)"
-                )
-            ).alias("bucket"),
-        )
-    )
-    pairs = cb.join(ep, "bucket").select(
-        "corpus_id",
-        "eval_id",
-        F.expr(
-            "aggregate(zip_with(cqv, eqv, (x, y) -> x * y), "
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-        ).alias("dot"),
-        "cn2",
-        "en2",
-    )
-    return (
-        pairs.filter(
-            (F.col("dot") > 0)
-            & (
-                100 * F.col("dot") * F.col("dot")
-                >= 81 * F.col("cn2") * F.col("en2")
-            )
-        )
-        .select("corpus_id", "eval_id", "dot")
-        .orderBy("corpus_id", "eval_id")
+    return decontaminate(
+        corpus.select(F.col("vec_id").alias("id"), "qv"),
+        ev.select(F.col("vec_id").alias("id"), "qv"),
     )
