@@ -1787,25 +1787,37 @@ FROM ranked WHERE rnk <= 5 ORDER BY u, rnk
 """
 
 
-def blocked_negatives(spark, inter, items, k: int = 5, probes: int = 4):
+def blocked_negatives(spark, inter, items, k: int = 5, probes: int = 4,
+                      bucket_chars: int = 1):
     """Blocked deterministic negative sampling — the public API behind
     M-PREP-16. ``inter`` is the positive/interaction frame (u, it),
-    ``items`` the item vocabulary (it). Items hash into 16 md5 buckets
-    (widen the bucket string for production B); each user draws from its
-    ``probes`` md5-ranked buckets, positives are anti-joined away, and
-    the top ``k`` candidates per user by md5(u|it) are returned as
-    (u, rnk, it) — bit-reproducible on any engine or partitioning."""
+    ``items`` the item vocabulary (it). Items hash into B = 16^
+    ``bucket_chars`` md5 buckets; each user draws from its ``probes``
+    md5-ranked buckets, positives are anti-joined away, and the top
+    ``k`` candidates per user by md5(u|it) are returned as (u, rnk, it)
+    — bit-reproducible on any engine or partitioning. ``bucket_chars``
+    is the production scale knob: size B so |items|/B stays a small
+    constant (3-4 chars = 4096-65536 buckets), which bounds candidate
+    volume at users·probes·(|items|/B) and keeps the bucket join
+    skew-free."""
     users = inter.select("u").distinct()
     items = items.withColumn(
         "bucket",
         F.substring(
-            F.md5(F.concat(F.lit("b#"), F.col("it").cast("string"))), 1, 1
+            F.md5(F.concat(F.lit("b#"), F.col("it").cast("string"))),
+            1,
+            bucket_chars,
         ),
     )
-    spine = spark.range(16).select(
-        F.expr("substr('0123456789abcdef', CAST(id AS INT) + 1, 1)").alias(
-            "bucket"
-        )
+    # enumerate all 16^bucket_chars lowercase-hex bucket strings from a
+    # Range (bounded literal build side — lint-downgraded by design)
+    hex_expr = " || ".join(
+        "substr('0123456789abcdef', "
+        f"CAST((id div {16 ** j}) % 16 AS INT) + 1, 1)"
+        for j in reversed(range(bucket_chars))
+    )
+    spine = spark.range(16 ** bucket_chars).select(
+        F.expr(hex_expr).alias("bucket")
     )
     wpr = Window.partitionBy("u").orderBy(
         F.md5(
@@ -1903,6 +1915,8 @@ SELECT c_mktsegment AS segment,
                      THEN 1000000 // first_rank ELSE 0 END) AS BIGINT)
          AS rr_ppm_sum,
        CAST(SUM(hits5) AS BIGINT) AS hits_at_5,
+       CAST(SUM(CASE WHEN hits5 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit_at_5,
        CAST(SUM(n_rel) AS BIGINT) AS n_rel_total
 FROM per_q JOIN customer ON c_custkey = u
 GROUP BY segment ORDER BY segment
@@ -1916,9 +1930,11 @@ def ranking_metrics(ranked, groups, k: int = 5):
     column produces rnk via a row_number window). ``groups`` maps u to a
     rollup segment. Returns exact integers per segment: n_queries,
     n_hit (queries with any relevant), rr_ppm_sum (Σ 1000000 div
-    first_rank — floor parts-per-million, no float summation), hits@k,
-    and total relevant count; MRR and hit rates are driver-side
-    divisions."""
+    first_rank — floor parts-per-million, no float summation), hits@k
+    (total top-k relevant), n_hit_at_k (queries with ANY top-k hit —
+    the hit-rate@k numerator), and total relevant count; MRR =
+    rr_ppm_sum/n_queries/1e6 and hit-rate@k = n_hit_at_k/n_queries are
+    driver-side divisions."""
     per_q = ranked.groupBy("u").agg(
         F.min(F.when(F.col("rel"), F.col("rnk"))).alias("first_rank"),
         F.sum(F.when(F.col("rel") & (F.col("rnk") <= k), 1).otherwise(0))
@@ -1943,6 +1959,9 @@ def ranking_metrics(ranked, groups, k: int = 5):
             .cast("long")
             .alias("rr_ppm_sum"),
             F.sum("hitsk").cast("long").alias(f"hits_at_{k}"),
+            F.sum(F.when(F.col("hitsk") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_hit_at_{k}"),
             F.sum("n_rel").cast("long").alias("n_rel_total"),
         )
         .orderBy("segment")
@@ -1957,12 +1976,13 @@ def m_eval_11(spark, sf):
     stand-in (a real model's score column plugs into the window
     unchanged; same discipline as M-EVAL-09/10), relevance is the
     order-priority flag, and the per-segment rollup reports exact
-    integers only: query counts, first-relevant hits, hits@5, and the
-    reciprocal-rank sum in FLOOR parts-per-million (1000000 div
-    first_rank — the repo's floor-per-mille discipline, avoiding any
-    cross-engine float summation). MRR = rr_ppm_sum / n_queries / 1e6
-    and hit-rate@5 = hits_at_5-bearing queries / n_queries are
-    driver-side divisions on these 5 rows.
+    integers only: query counts, first-relevant hits, hits@5 (total
+    top-5 relevant), n_hit_at_5 (queries with at least one top-5 hit),
+    and the reciprocal-rank sum in FLOOR parts-per-million (1000000
+    div first_rank — the repo's floor-per-mille discipline, avoiding
+    any cross-engine float summation). MRR = rr_ppm_sum / n_queries /
+    1e6 and hit-rate@5 = n_hit_at_5 / n_queries are driver-side
+    divisions on these 5 rows.
 
     Scale shape: one window partitioned by query key (never global),
     one query-grain rollup, one join to the dimension for the segment

@@ -378,7 +378,12 @@ def lint_oracle_types(con, sql: str) -> list[Finding]:
         # ORACLE's output type also gates the Spark side: any
         # window-eligible entry must final-project nested columns to a
         # canonical string (array_join / string_agg ORDER BY).
-        if "[]" in up or up.startswith(("MAP(", "STRUCT(", "UNION(")):
+        # `[\d*]` also catches DuckDB FIXED-SIZE arrays (INTEGER[3],
+        # DOUBLE[64] — e.g. array_value() or the embeddings fixture),
+        # which fetch as ndarray cells exactly like LIST types do
+        if re.search(r"\[\d*\]", up) or up.startswith(
+            ("MAP(", "STRUCT(", "UNION(")
+        ):
             findings.append(
                 Finding(
                     "error",

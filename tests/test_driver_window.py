@@ -109,6 +109,12 @@ def test_oracle_type_lint_catches_nested_output(duck):
     assert any(
         f.code == "ORACLE_NESTED" for f in lint_oracle_types(duck, bad_map)
     )
+    # DuckDB FIXED-SIZE arrays type as INTEGER[3] (no bare "[]") but
+    # fetch as ndarray cells all the same — the gate must catch them
+    bad_fixed = "SELECT array_value(1, 2, 3) AS a"
+    assert any(
+        f.code == "ORACLE_NESTED" for f in lint_oracle_types(duck, bad_fixed)
+    )
     good = (
         "SELECT c_mktsegment, string_agg(c_name, '|' ORDER BY c_name) "
         "AS names FROM customer GROUP BY 1"

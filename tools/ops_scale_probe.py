@@ -42,7 +42,7 @@ ID_SHIFT = 10_000_000
 
 def build_scaled(spark, sf_dir: str, rep: int) -> str:
     out = tempfile.mkdtemp(prefix=f"dxs_ops_{rep}x_")
-    for t in ("region", "nation", "supplier", "part", "lineitem"):
+    for t in ("region", "nation", "supplier", "part"):
         src = f"{sf_dir}/{t}.parquet"
         if os.path.exists(src):
             os.symlink(src, f"{out}/{t}.parquet")
@@ -81,6 +81,22 @@ def build_scaled(spark, sf_dir: str, rep: int) -> str:
         .repartition(32)
         .write.mode("overwrite")
         .parquet(f"{out}/orders.parquet")
+    )
+    # lineitem: l_orderkey shifted THE SAME WAY as orders.o_orderkey so
+    # the orders⋈lineitem join keeps referential integrity across
+    # replicas; l_partkey deliberately UNSHIFTED — the item vocabulary
+    # stays fixed while interactions/users grow, the realistic corpus
+    # shape (r8 review finding: with lineitem merely symlinked, the
+    # shifted orderkeys matched zero lineitem rows at r>=1 and the
+    # M-PREP-16 probe measured only the orders scan)
+    (
+        load(spark, sf_dir, "lineitem")
+        .crossJoin(reps)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("r") * ID_SHIFT)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
     )
     # customer: custkey shifted THE SAME WAY as orders.o_custkey, so
     # fact→dimension joins keep referential integrity across replicas
