@@ -34,13 +34,15 @@ from dask_xgboost_spark.registry import load_all  # noqa: E402
 # L-TEXT row; golden-mode, so the driver records rows-only for it), plus
 # the re-proof of Q-AGG-26 (r7's one red row, now string-projected), the
 # driver re-proof of the r7 Q-TPCH-11/17 keyset-prune rewrites, Q-TS-01/
-# L-MIX-01 family-coverage re-checks, rows-only witnesses for the two
-# tol-mode ANN entries (L-SIM-05 persisted IVF, L-SIM-07 PQ/ADC — their
-# recall gates run in the local suite), and the five round-8 additions
-# (M-PREP-16 blocked negative sampling — M-PREP-14's production path —
-# M-EVAL-11 ranking metrics, L-DEDUP-15 first-occurrence segment dedup,
-# L-SIM-13 embedding decontamination, L-PIPE-06 shard-shuffle writer).
-# 47/50 are hash-mode. Everything is green in the local sweep
+# L-MIX-01 family-coverage re-checks, a rows-only witness for the
+# tol-mode persisted-IVF entry (L-SIM-05 — its recall gate runs in the
+# local suite), and the six round-8 additions (M-PREP-16 blocked
+# negative sampling — M-PREP-14's production path — M-EVAL-11 ranking
+# metrics, L-DEDUP-15 first-occurrence segment dedup, L-SIM-13
+# embedding decontamination, L-PIPE-06 shard-shuffle writer, and
+# L-SIM-14 hash-mode IVF, which takes the slot a rows-only L-SIM-07
+# witness would have burned; L-SIM-07 is the first spillover entry).
+# 48/50 are hash-mode. Everything is green in the local sweep
 # (tests/test_oracle_parity.py) at BOTH sf0.01 and sf0.001.
 _DRIVER_PRIORITY = [
     "Q-SCAN-17", "Q-JOIN-17", "Q-SORT-03", "Q-WIN-12",
@@ -54,13 +56,13 @@ _DRIVER_PRIORITY = [
     "M-PREP-06", "M-PREP-07", "M-PREP-14", "M-PREP-15",
     "S-JOIN-06", "S-STATE-03", "U-SCALAR-04", "Q-TPCH-11",
     "Q-TPCH-17", "Q-TS-01", "L-MIX-01", "L-SIM-05",
-    "L-SIM-07", "M-PREP-16", "M-EVAL-11", "L-DEDUP-15",
-    "L-SIM-13", "L-PIPE-06",
+    "M-PREP-16", "M-EVAL-11", "L-DEDUP-15",
+    "L-SIM-13", "L-PIPE-06", "L-SIM-14",
     # ---- 50-window boundary ----
     # past-the-window spillover in case the driver checks deeper: the
     # remaining never-witnessed golden/tol entries first, then the
     # prior-round re-check pools in their r7 value order.
-    "Q-AGG-17", "Q-AGG-19", "U-GAPPLY-02", "L-DEDUP-02",
+    "L-SIM-07", "Q-AGG-17", "Q-AGG-19", "U-GAPPLY-02", "L-DEDUP-02",
     "Q-SAMPLE-01", "Q-WIN-16", "Q-GRAPH-03", "Q-TS-06",
     "M-EVAL-05", "M-PREP-11", "G-AUDIT-01", "G-BACKFILL-02",
     "Q-JOIN-15", "L-TEXT-20", "L-MIX-05", "U-TABLE-03",

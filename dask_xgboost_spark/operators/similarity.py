@@ -1106,3 +1106,145 @@ def l_sim_13(spark, sf):
         corpus.select(F.col("vec_id").alias("id"), "qv"),
         ev.select(F.col("vec_id").alias("id"), "qv"),
     )
+
+
+_SIM14_SQL = """
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT))
+             AS qv
+    FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id % 61 = 0),
+queries AS (SELECT vec_id AS qid, qv FROM q WHERE vec_id % 89 = 0),
+corpus AS (SELECT vec_id, qv FROM q WHERE vec_id % 89 <> 0),
+assign AS (
+    SELECT vec_id, qv, cid FROM (
+        SELECT v.vec_id, v.qv, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                   i -> (v.qv[i] - c.cqv[i]) * (v.qv[i] - c.cqv[i]))), c.cid
+               ) AS rn
+        FROM corpus v, cent c) a
+    WHERE rn = 1
+),
+probes AS (
+    SELECT qid, qv, cid FROM (
+        SELECT s.qid, s.qv, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.qid
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                   i -> (s.qv[i] - c.cqv[i]) * (s.qv[i] - c.cqv[i]))), c.cid
+               ) AS rn
+        FROM queries s, cent c) p
+    WHERE rn <= 2
+),
+cand AS (
+    SELECT p.qid, a.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(range(1, 65),
+             i -> (p.qv[i] - a.qv[i]) * (p.qv[i] - a.qv[i]))) AS BIGINT)
+             AS dist2
+    FROM probes p JOIN assign a ON a.cid = p.cid
+)
+SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, dist2
+FROM (
+    SELECT qid, neighbor_id, dist2,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY dist2, neighbor_id) AS rnk
+    FROM cand) r
+WHERE rnk <= 3 ORDER BY query_id, rnk
+"""
+
+
+@register("L-SIM-14", sql=_SIM14_SQL)
+def l_sim_14(spark, sf):
+    """HASH-MODE IVF nearest-neighbor search — the L-DEDUP-14 move
+    applied to ANN: where L-SIM-03/05 verify their MLlib-KMeans IVF by
+    recall tolerance (centroid training is engine-specific), this twin
+    makes the ENTIRE IVF mechanism oracle-checkable by using
+    deterministic centroids (every 61st vector — seeded-sample
+    centroids, the standard cheap IVF initialization) and exact integer
+    geometry: vectors quantize to ×1024 BIGINT, cell assignment is the
+    argmin of exact integer squared distance over the centroid set
+    (ties to the smallest centroid id), queries probe their P=2 nearest
+    cells, and top-k=3 candidates re-rank by exact distance (ties to
+    the smallest neighbor id). Every stage — assignment, probe choice,
+    candidate generation, re-ranking — is bit-reproducible on any
+    engine, which is what lets DuckDB pin the mechanism rather than
+    just sampling its recall.
+
+    Scale shape: the centroid set is C rows broadcast to every executor
+    (the assignment cross is a bounded broadcast nearest-centroid pass,
+    C ~ sqrt(n) by IVF convention — the intended BNLJ, same declared
+    shape as L-SIM-01's query broadcast); search touches probes ×
+    |cell| ≈ P·n/C candidates per query, never the corpus; the
+    persisted variant with partition-pruned cell reads is L-SIM-05."""
+    q = load(spark, sf, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT))"
+        ).alias("qv"),
+    )
+    cent = q.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
+    )
+    queries = q.filter(F.col("vec_id") % 89 == 0).select(
+        F.col("vec_id").alias("qid"), "qv"
+    )
+    corpus = q.filter(F.col("vec_id") % 89 != 0)
+
+    d2_cent = F.expr(
+        "aggregate(zip_with(qv, cqv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    assign = (
+        corpus.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(d2_cent, "cid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", "cid")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(d2_cent, "cid")
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("qid", "qv", "cid")
+    )
+    cand = probes.join(
+        assign.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qv").alias("nqv"),
+            "cid",
+        ),
+        "cid",
+    ).select(
+        "qid",
+        "neighbor_id",
+        F.expr(
+            "aggregate(zip_with(qv, nqv, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("dist2"),
+    )
+    return (
+        cand.withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.partitionBy("qid").orderBy("dist2", "neighbor_id"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("qid").alias("query_id"), "rnk", "neighbor_id", "dist2")
+        .orderBy("query_id", "rnk")
+    )

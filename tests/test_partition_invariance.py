@@ -58,7 +58,7 @@ SAMPLE = [
     # round-8 additions: blocked negative sampling, ranking metrics,
     # keep-first segment dedup, embedding decontamination (L-PIPE-06 is
     # eager-write and covered by the oracle sweep + examples instead)
-    "M-PREP-16", "M-EVAL-11", "L-DEDUP-15", "L-SIM-13",
+    "M-PREP-16", "M-EVAL-11", "L-DEDUP-15", "L-SIM-13", "L-SIM-14",
 ]
 
 
