@@ -1158,6 +1158,71 @@ WHERE rnk <= 3 ORDER BY query_id, rnk
 """
 
 
+def ivf_search(corpus, centroids, queries, probes: int = 2, k: int = 3):
+    """Deterministic IVF search — the public API behind L-SIM-14.
+    ``corpus``/(``queries``) are (vec_id|qid, qv) frames of integer-
+    quantized vectors, ``centroids`` is (cid, cqv). Every stage is
+    integer-exact with pinned tie-breaks: corpus vectors assign to the
+    argmin-distance cell (ties → smallest cid), each query probes its
+    ``probes`` nearest cells, candidates come only from probed cells,
+    and the top ``k`` re-rank by exact distance (ties → smallest
+    neighbor id). Returns (query_id, rnk, neighbor_id, dist2). The
+    centroid frame is broadcast (C rows, C ~ sqrt(n) by IVF
+    convention)."""
+    d2_cent = F.expr(
+        "aggregate(zip_with(qv, cqv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    assign = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(d2_cent, "cid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", "cid")
+    )
+    probe_set = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(d2_cent, "cid")
+            ),
+        )
+        .filter(F.col("rn") <= probes)
+        .select("qid", "qv", "cid")
+    )
+    cand = probe_set.join(
+        assign.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qv").alias("nqv"),
+            "cid",
+        ),
+        "cid",
+    ).select(
+        "qid",
+        "neighbor_id",
+        F.expr(
+            "aggregate(zip_with(qv, nqv, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("dist2"),
+    )
+    return (
+        cand.withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.partitionBy("qid").orderBy("dist2", "neighbor_id"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= k)
+        .select(F.col("qid").alias("query_id"), "rnk", "neighbor_id", "dist2")
+        .orderBy("query_id", "rnk")
+    )
+
+
 @register("L-SIM-14", sql=_SIM14_SQL)
 def l_sim_14(spark, sf):
     """HASH-MODE IVF nearest-neighbor search — the L-DEDUP-14 move
@@ -1195,56 +1260,5 @@ def l_sim_14(spark, sf):
         F.col("vec_id").alias("qid"), "qv"
     )
     corpus = q.filter(F.col("vec_id") % 89 != 0)
+    return ivf_search(corpus, cent, queries)
 
-    d2_cent = F.expr(
-        "aggregate(zip_with(qv, cqv, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
-    assign = (
-        corpus.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(d2_cent, "cid")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "qv", "cid")
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(d2_cent, "cid")
-            ),
-        )
-        .filter(F.col("rn") <= 2)
-        .select("qid", "qv", "cid")
-    )
-    cand = probes.join(
-        assign.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("qv").alias("nqv"),
-            "cid",
-        ),
-        "cid",
-    ).select(
-        "qid",
-        "neighbor_id",
-        F.expr(
-            "aggregate(zip_with(qv, nqv, (x, y) -> (x - y) * (x - y)), "
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-        ).alias("dist2"),
-    )
-    return (
-        cand.withColumn(
-            "rnk",
-            F.row_number()
-            .over(Window.partitionBy("qid").orderBy("dist2", "neighbor_id"))
-            .cast("bigint"),
-        )
-        .filter(F.col("rnk") <= 3)
-        .select(F.col("qid").alias("query_id"), "rnk", "neighbor_id", "dist2")
-        .orderBy("query_id", "rnk")
-    )
