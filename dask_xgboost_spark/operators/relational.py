@@ -2142,9 +2142,16 @@ def q_scan_15(spark, sf):
             # metadata, where codec actually lives (ADVICE r6 low)
             import pyarrow.parquet as _pq
 
-            md = _pq.ParquetFile(files[0]).metadata
+            # union over ALL part files: byte-range splits beyond the
+            # source's single row group produce EMPTY parts (0 row
+            # groups), and glob order can put one first — reading only
+            # files[0] asserted over an empty set under exactly that
+            # layout (r8 shuffle-audit session, maxPartitionBytes-
+            # dependent). Empty parts carry no codec and prove nothing.
             comps = {
                 md.row_group(g).column(i).compression
+                for f in files
+                for md in (_pq.ParquetFile(f).metadata,)
                 for g in range(md.num_row_groups)
                 for i in range(md.num_columns)
             }
