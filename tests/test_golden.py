@@ -822,3 +822,27 @@ def test_y4m_codec_round_trip_and_dispatch():
     c420 = vid.replace(b"Cmono", b"C420 ")
     with _pytest.raises(ValueError):
         decode_y4m_mono(c420)
+
+
+def test_compression_matrix_survives_empty_part_files(spark):
+    """Q-SCAN-15 regression (r8 shuffle-audit find): when
+    files.maxPartitionBytes splits the fixture's single-row-group file
+    into more tasks than row groups, the extra tasks write EMPTY part
+    files, and one of those can glob first — the uncompressed-codec
+    footer assert must union codecs across ALL parts, not read
+    files[0]."""
+    from dask_xgboost_spark.registry import load_all
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # force byte-range splits well beyond the row-group count
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        rows = load_all()["Q-SCAN-15"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(rows) == 4 and {r["codec"] for r in rows} == {
+            "none", "snappy", "gzip", "zstd"
+        }
+        assert len({r["qty_sum"] for r in rows}) == 1  # codecs agree
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
