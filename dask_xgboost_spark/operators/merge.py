@@ -1099,6 +1099,21 @@ def g_backfill_02(spark, sf):
     # alone — the carve must not assume event_id is globally unique
     # (ADVICE r7): a duplicate id at a later ts would otherwise be
     # silently dropped from the kept set.
+    #
+    # The remaining assumption — that (ts, event_id) is a TOTAL order,
+    # so the anti-join's pair-complement equals the oracle's
+    # row_number complement — is VERIFIED at run time instead of
+    # assumed (r8 review): if a duplicate pair ever straddled the cut,
+    # the semi-join below would match more than the 64 carved rows and
+    # this raises before a silently-divergent correction log ships.
+    # bounded: one scalar count driven by a broadcast 64-row semi-join.
+    n_match = ev.join(F.broadcast(late), ["ts", "event_id"], "left_semi").count()
+    if n_match != 64:
+        raise AssertionError(
+            f"(ts, event_id) is not a total order in this fixture: the 64 "
+            f"carved pairs match {n_match} rows — the anti-join carve and "
+            "the oracle's row_number carve would diverge"
+        )
     kept = ev.join(F.broadcast(late), ["ts", "event_id"], "left_anti")
 
     serving = kept.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(

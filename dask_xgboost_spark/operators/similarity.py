@@ -939,12 +939,17 @@ def l_sim_12(spark, sf):
     )
 
 
-_SIM13_SQL = """
+# Shared ×1024 integer quantization lambda body (dialect intersection:
+# the SAME text runs inside Spark `transform` and DuckDB
+# `list_transform`) — ONE definition so a scale change cannot silently
+# diverge one engine/entry from the others (r8 review).
+_Q1024 = "CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT)"
+
+
+_SIM13_SQL = f"""
 WITH base AS (
     SELECT vec_id,
-           list_transform(embedding,
-                          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT))
-             AS qv
+           list_transform(embedding, x -> {_Q1024}) AS qv
     FROM embeddings
 ),
 ev AS (SELECT vec_id, qv FROM base WHERE vec_id % 97 = 0),
@@ -1089,10 +1094,7 @@ def l_sim_13(spark, sf):
     candidates only; brute force never."""
     q = load(spark, sf, "embeddings").select(
         "vec_id",
-        F.expr(
-            "transform(embedding, x -> "
-            "CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT))"
-        ).alias("qv"),
+        F.expr(f"transform(embedding, x -> {_Q1024})").alias("qv"),
     )
     ev = q.filter(F.col("vec_id") % 97 == 0)
     plants = ev.select(
@@ -1108,12 +1110,10 @@ def l_sim_13(spark, sf):
     )
 
 
-_SIM14_SQL = """
+_SIM14_SQL = f"""
 WITH q AS (
     SELECT vec_id,
-           list_transform(embedding,
-                          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT))
-             AS qv
+           list_transform(embedding, x -> {_Q1024}) AS qv
     FROM embeddings
 ),
 cent AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id % 61 = 0),
@@ -1248,10 +1248,7 @@ def l_sim_14(spark, sf):
     persisted variant with partition-pruned cell reads is L-SIM-05."""
     q = load(spark, sf, "embeddings").select(
         "vec_id",
-        F.expr(
-            "transform(embedding, x -> "
-            "CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT))"
-        ).alias("qv"),
+        F.expr(f"transform(embedding, x -> {_Q1024})").alias("qv"),
     )
     cent = q.filter(F.col("vec_id") % 61 == 0).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")

@@ -288,8 +288,6 @@ def l_pipe_02(spark, sf):
     with an explicit schema and re-aggregated. Matching the oracle's
     counts, id checksum, and token totals computed from the ORIGINAL
     table proves content fidelity through the JSON encode/decode."""
-    import shutil
-
     out_dir = scratch_dir("jsonl_shard")
     docs = load(spark, sf, "documents").filter(F.col("lang").isin("en", "de", "es"))
     (
@@ -309,9 +307,12 @@ def l_pipe_02(spark, sf):
             F.sum(F.size(F.split("text", " "))).alias("total_toks"),
         )
         .orderBy("lang")
-        .localCheckpoint()  # materialize before the export dir is removed
+        # materialized so the round-trip read happens NOW; the export
+        # dir is NOT eagerly removed — localCheckpoint blocks are
+        # non-reliable (an executor loss would recompute lineage from
+        # the deleted files); scratch_dir wipes it on the next call
+        .localCheckpoint()
     )
-    shutil.rmtree(out_dir, ignore_errors=True)
     return result
 
 
@@ -1377,9 +1378,10 @@ def l_pipe_06(spark, sf):
             F.max("h").alias("last_key"),
         )
         .orderBy("shard")
-        .localCheckpoint()  # materialize before the scratch dir is removed
+        # materialized so the round-trip read happens NOW; the scratch
+        # dir is NOT eagerly removed — localCheckpoint blocks are
+        # non-reliable (an executor loss would recompute lineage from
+        # the deleted files); scratch_dir wipes it on the next call
+        .localCheckpoint()
     )
-    import shutil
-
-    shutil.rmtree(out_dir, ignore_errors=True)
     return result
