@@ -14,4 +14,5 @@ strategy; Python appears only at well-defined extension points (Pandas UDFs,
 
 __version__ = "0.1.0"
 
+from dask_xgboost_spark.caching import release_rollups  # noqa: F401
 from dask_xgboost_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,60 @@
+"""Session-scoped lifecycle for operator-internal persisted rollups.
+
+Several operators materialize a small multi-referenced intermediate
+(a part-grain rollup, a featurized self-join side, an oriented edge
+set) with ``.persist()`` because Catalyst's exchange reuse does not
+fire across differently-pruned references (the Q-TPCH-15 discipline,
+BASELINE.md §5). A DataFrame cannot unpersist itself after its consumer
+materializes — the operator returns a LAZY plan that still reads the
+cache — so the entries outlive the call and, in a long-lived session,
+accumulate (VERDICT r8: "any other consumer leaks the cached rollup for
+the session").
+
+This module makes that lifecycle explicit instead of contractual-only:
+operators route through :func:`persist_rollup`, which tracks every
+cache entry the package creates, and any consumer — metered benches,
+sweeps, or a user's long-lived session — calls :func:`release_rollups`
+after collecting results to drop exactly the package-created entries
+without nuking its own cached data (``spark.catalog.clearCache()``
+remains the blunt superset and is what bench.py / tools use between
+metered queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# Insertion-ordered registry of every DataFrame this package persisted.
+# Re-persisting an identical logical plan is a no-op in Spark's
+# CacheManager (one cache entry), so repeated operator calls grow this
+# list only by cheap references, never by duplicate storage.
+_ROLLUPS: list[DataFrame] = []
+
+
+def persist_rollup(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for later :func:`release_rollups`.
+
+    Use for operator-internal multi-referenced intermediates whose
+    lifetime must extend past the operator's return (the consumer's
+    collect still reads the cache) but should not silently span the
+    whole session."""
+    out = df.persist()
+    _ROLLUPS.append(out)
+    return out
+
+
+def release_rollups() -> int:
+    """Unpersist every rollup the package persisted; returns the count.
+
+    Safe to call at any time — entries whose cache was already dropped
+    (e.g. by ``clearCache``) unpersist as a no-op. Blocking=False: Spark
+    frees the blocks asynchronously."""
+    n = 0
+    while _ROLLUPS:
+        df = _ROLLUPS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — a stopped session is fine
+            pass
+    return n

@@ -1914,9 +1914,9 @@ SELECT c_mktsegment AS segment,
        CAST(SUM(CASE WHEN first_rank IS NOT NULL
                      THEN 1000000 // first_rank ELSE 0 END) AS BIGINT)
          AS rr_ppm_sum,
-       CAST(SUM(hits5) AS BIGINT) AS hits_at_5,
+       CAST(SUM(hits5) AS BIGINT) AS hits_at_k,
        CAST(SUM(CASE WHEN hits5 > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_hit_at_5,
+         AS n_hit_at_k,
        CAST(SUM(n_rel) AS BIGINT) AS n_rel_total
 FROM per_q JOIN customer ON c_custkey = u
 GROUP BY segment ORDER BY segment
@@ -1930,11 +1930,14 @@ def ranking_metrics(ranked, groups, k: int = 5):
     column produces rnk via a row_number window). ``groups`` maps u to a
     rollup segment. Returns exact integers per segment: n_queries,
     n_hit (queries with any relevant), rr_ppm_sum (Σ 1000000 div
-    first_rank — floor parts-per-million, no float summation), hits@k
-    (total top-k relevant), n_hit_at_k (queries with ANY top-k hit —
-    the hit-rate@k numerator), and total relevant count; MRR =
-    rr_ppm_sum/n_queries/1e6 and hit-rate@k = n_hit_at_k/n_queries are
-    driver-side divisions."""
+    first_rank — floor parts-per-million, no float summation),
+    hits_at_k (total top-k relevant), n_hit_at_k (queries with ANY
+    top-k hit — the hit-rate@k numerator), and total relevant count;
+    MRR = rr_ppm_sum/n_queries/1e6 and hit-rate@k =
+    n_hit_at_k/n_queries are driver-side divisions. The column names
+    are FIXED for every k — ``hits_at_k``/``n_hit_at_k`` do not embed
+    the k value, so the output schema is stable under the parameter
+    (callers track which k they asked for)."""
     per_q = ranked.groupBy("u").agg(
         F.min(F.when(F.col("rel"), F.col("rnk"))).alias("first_rank"),
         F.sum(F.when(F.col("rel") & (F.col("rnk") <= k), 1).otherwise(0))
@@ -1958,10 +1961,15 @@ def ranking_metrics(ranked, groups, k: int = 5):
             )
             .cast("long")
             .alias("rr_ppm_sum"),
-            F.sum("hitsk").cast("long").alias(f"hits_at_{k}"),
+            # FIXED column names regardless of k (ADVICE r8): a
+            # k-parameterized name (hits_at_{k}) changes the output
+            # schema with the argument, silently breaking callers and
+            # hash-mode oracles pinned to one spelling. k itself is a
+            # query parameter, not part of the schema contract.
+            F.sum("hitsk").cast("long").alias("hits_at_k"),
             F.sum(F.when(F.col("hitsk") > 0, 1).otherwise(0))
             .cast("long")
-            .alias(f"n_hit_at_{k}"),
+            .alias("n_hit_at_k"),
             F.sum("n_rel").cast("long").alias("n_rel_total"),
         )
         .orderBy("segment")
@@ -1977,12 +1985,14 @@ def m_eval_11(spark, sf):
     unchanged; same discipline as M-EVAL-09/10), relevance is the
     order-priority flag, and the per-segment rollup reports exact
     integers only: query counts, first-relevant hits, hits@5 (total
-    top-5 relevant), n_hit_at_5 (queries with at least one top-5 hit),
-    and the reciprocal-rank sum in FLOOR parts-per-million (1000000
-    div first_rank — the repo's floor-per-mille discipline, avoiding
-    any cross-engine float summation). MRR = rr_ppm_sum / n_queries /
-    1e6 and hit-rate@5 = n_hit_at_5 / n_queries are driver-side
-    divisions on these 5 rows.
+    top-5 relevant, emitted as the k-stable column ``hits_at_k``),
+    n_hit_at_k (queries with at least one top-5 hit), and the
+    reciprocal-rank sum in FLOOR parts-per-million (1000000 div
+    first_rank — the repo's floor-per-mille discipline, avoiding any
+    cross-engine float summation). MRR = rr_ppm_sum / n_queries / 1e6
+    and hit-rate@5 = n_hit_at_k / n_queries are driver-side divisions
+    on these 5 rows (this entry pins k=5; the column names do not
+    embed k, see ranking_metrics).
 
     Scale shape: one window partitioned by query key (never global),
     one query-grain rollup, one join to the dimension for the segment

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from dask_xgboost_spark.caching import persist_rollup
 from dask_xgboost_spark.functions import EVENTS_US, cents, sql_cents
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
@@ -542,7 +543,7 @@ def q_graph_02(spark, sf):
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
-    pairs = (
+    pairs = persist_rollup(
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
@@ -553,7 +554,6 @@ def q_graph_02(spark, sf):
         # join, and the edge-count leg — materialize the fact self-join
         # ONCE instead of re-running it per reference (multi-reference
         # idiom, see Q-TPCH-15)
-        .persist()
     )
     deg = (
         pairs.select(F.col("u").alias("node"))
@@ -567,10 +567,13 @@ def q_graph_02(spark, sf):
     )
     ku = F.col("du") * F.lit(1000000000) + F.col("u")
     kv = F.col("dv") * F.lit(1000000000) + F.col("v")
-    o = with_deg.select(
-        F.when(ku <= kv, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(ku <= kv, F.col("v")).otherwise(F.col("u")).alias("t"),
-    ).persist()  # oriented edges feed both wedge legs and the closing join
+    # oriented edges feed both wedge legs and the closing join
+    o = persist_rollup(
+        with_deg.select(
+            F.when(ku <= kv, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(ku <= kv, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
     e1 = o.select(F.col("s").alias("x"), F.col("t").alias("y"))
     e2 = o.select(F.col("s").alias("y"), F.col("t").alias("z"))
     wedges = e1.join(e2, "y")

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from dask_xgboost_spark.caching import persist_rollup
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -72,7 +73,7 @@ def minhash_candidates(docs, dist_threshold: float = 0.5, num_tables: int = 8):
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     # both sides of the self-similarity-join re-derive shingling +
     # hashing unless the featurized frame is materialized once
-    feat = tf.transform(shingled).persist()
+    feat = persist_rollup(tf.transform(shingled))
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42
     )

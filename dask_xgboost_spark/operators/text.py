@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from dask_xgboost_spark.caching import persist_rollup
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.scratch import scratch_dir
 from dask_xgboost_spark.sources import load
@@ -836,7 +837,9 @@ def lexical_scores(spark, sf, query_terms):
         load(spark, sf, "documents")
         .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
     )
-    dfreq = toks.groupBy("w").agg(F.count_distinct("doc_id").alias("df")).persist()
+    dfreq = persist_rollup(
+        toks.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    )
     n_docs = load(spark, sf, "documents").agg(F.count(F.lit(1)).alias("n"))
 
     def bitlen(c):

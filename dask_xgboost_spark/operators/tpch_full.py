@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from dask_xgboost_spark.caching import persist_rollup
 from dask_xgboost_spark.functions import cents, sql_cents
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
@@ -183,12 +184,13 @@ def q_tpch_11(spark, sf):
     Deterministic ORDER BY (value DESC, key).
 
     CALLER CONTRACT (storage): the part-grain rollup stays persist()ed
-    for the session — a DataFrame cannot unpersist itself after its
-    consumer materializes. Metered/batch callers must
-    ``spark.catalog.clearCache()`` after collecting the result (bench.py
-    and tools/shuffle_audit.py already do); a long-lived session that
-    calls this repeatedly without clearing retains one ~|parts|-row
-    cached rollup."""
+    past this call — a DataFrame cannot unpersist itself after its
+    consumer materializes. The entry is TRACKED
+    (``dask_xgboost_spark.caching.persist_rollup``): after collecting
+    the result, call ``dask_xgboost_spark.release_rollups()`` to drop
+    exactly the package-created cache entries, or
+    ``spark.catalog.clearCache()`` as the blunt superset (bench.py and
+    tools/shuffle_audit.py do the latter between metered queries)."""
     sup_f = (
         load(spark, sf, "supplier")
         .join(
@@ -200,7 +202,7 @@ def q_tpch_11(spark, sf):
         .select("s_suppkey")
     )
     val = cents("l_extendedprice") * F.col("l_quantity").cast("long")
-    per_part = (
+    per_part = persist_rollup(
         load(spark, sf, "lineitem")
         .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
         .join(F.broadcast(sup_f), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -210,7 +212,6 @@ def q_tpch_11(spark, sf):
         # pruning gives the branches different schemas so exchange
         # reuse does NOT fire — materialize the tiny part-grain rollup
         # once (the Q-TPCH-15 discipline, BASELINE.md §5)
-        .persist()
     )
     thr = per_part.agg(
         (
@@ -258,7 +259,7 @@ def q_tpch_15(spark, sf):
     max-equality compare is exact int64 cents², so ties are found
     identically in both engines."""
     li = load(spark, sf, "lineitem")
-    revenue = (
+    revenue = persist_rollup(
         li.filter(
             (F.col("l_shipdate") >= "1999-01-01")
             & (F.col("l_shipdate") < "1999-04-01")
@@ -269,7 +270,6 @@ def q_tpch_15(spark, sf):
             .cast("bigint")
             .alias("total_c")
         )
-        .persist()
     )
     best = revenue.agg(F.max("total_c").alias("max_c"))
     sup = load(spark, sf, "supplier")

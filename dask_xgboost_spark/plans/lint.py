@@ -228,7 +228,10 @@ def _limit_node_rows(line: str) -> float:
     m = re.search(r"\b(?:GlobalLimit|CollectLimit)\s+(\d+)", line)
     if m:
         return int(m.group(1))
-    m = re.search(r"\bRange \((\d+), (\d+), step=(\d+)", line)
+    # start/end/step may print as negative literals (spark.range(-5, 5)
+    # is a legitimate bounded spine — ADVICE r8); the ceil-division
+    # arithmetic below already handles any sign combination.
+    m = re.search(r"\bRange \((-?\d+), (-?\d+), step=(-?\d+)", line)
     if m:
         start, end, step = (int(g) for g in m.groups())
         return max(0, -(-(end - start) // step)) if step else float("inf")

@@ -109,12 +109,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     rows = specs["M-EVAL-11"].fn(spark, sf_dir).collect()
     for r in rows:
         mrr = r["rr_ppm_sum"] / r["n_queries"] / 1e6
-        hit5 = r["n_hit_at_5"] / r["n_queries"]
+        hit5 = r["n_hit_at_k"] / r["n_queries"]
         any_rel = r["n_hit"] / r["n_queries"]
         print(
             f"ranking[{r['segment']}]: n={r['n_queries']} "
             f"MRR={mrr:.4f} hit-rate@5={hit5:.3f} "
-            f"any-relevant-rate={any_rel:.3f} hits@5={r['hits_at_5']}"
+            f"any-relevant-rate={any_rel:.3f} hits@5={r['hits_at_k']}"
         )
     spark.stop()
 

@@ -135,6 +135,59 @@ def test_persist_eliminates_rescan(spark, sf_dir):
         df.unpersist()
 
 
+def test_rollup_cache_release(spark, sf_dir):
+    """Operator-internal persisted rollups are TRACKED and releasable:
+    q_tpch_11's part-grain rollup outlives the call by design (the
+    returned lazy plan reads the cache), and release_rollups() drops
+    exactly the package-created entries (VERDICT r8: the lifecycle must
+    be code-visible, not contract-only)."""
+    from dask_xgboost_spark import release_rollups
+    from dask_xgboost_spark.caching import _ROLLUPS
+    from dask_xgboost_spark.registry import load_all
+    from dask_xgboost_spark.sources import load
+
+    release_rollups()  # start from a clean ledger
+    specs = load_all()
+    specs["Q-TPCH-11"].fn(spark, sf_dir).collect()
+    assert _ROLLUPS, "q_tpch_11 must register its persisted rollup"
+    tracked = list(_ROLLUPS)
+    assert any(df.storageLevel.useMemory for df in tracked)
+    n = release_rollups()
+    assert n >= 1 and not _ROLLUPS
+    assert all(not df.storageLevel.useMemory for df in tracked)
+
+    # a user frame persisted OUTSIDE the package survives the release
+    mine = load(spark, sf_dir, "nation").persist()
+    try:
+        mine.count()
+        release_rollups()
+        assert mine.storageLevel.useMemory
+    finally:
+        mine.unpersist()
+
+
+def test_ranking_metrics_schema_stable_under_k(spark, sf_dir):
+    """ADVICE r8: the output schema must not change with k —
+    hits_at_k / n_hit_at_k are fixed spellings for every k."""
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.ml.queries import ranking_metrics
+    from dask_xgboost_spark.sources import load
+
+    r = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("u"),
+        (F.col("o_orderkey") % 3 == 0).alias("rel"),
+        (F.col("o_orderkey") % 7 + 1).cast("int").alias("rnk"),
+    )
+    g = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("u"), F.col("c_mktsegment").alias("segment")
+    )
+    cols3 = ranking_metrics(r, g, k=3).columns
+    cols9 = ranking_metrics(r, g, k=9).columns
+    assert cols3 == cols9
+    assert "hits_at_k" in cols3 and "n_hit_at_k" in cols3
+
+
 def test_tpch18_semi_join_and_topk(spark, sf_dir):
     # the IN (grouped HAVING) subquery must plan as a semi join against
     # the aggregate, and the bounded ORDER BY ... LIMIT as a top-k
@@ -310,6 +363,20 @@ def test_bnlj_downgrade_respects_limit_constant(spark, sf_dir):
     assert _limit_node_rows("+- GlobalLimit 64") == 64
     assert _limit_node_rows("   +- Range (0, 5000, step=1, splits=8)") == 5000
     assert _limit_node_rows("+- SomethingElse") == float("inf")
+    # negative Range literals parse too (ADVICE r8): spark.range(-5, 5)
+    # is a legitimate bounded spine and must not revert a downgraded
+    # BNLJ build to the CARTESIAN_BNLJ warn
+    assert _limit_node_rows("+- Range (-5, 5, step=1, splits=8)") == 10
+    assert _limit_node_rows("+- Range (5, -5, step=-2, splits=8)") == 5
+    assert _limit_node_rows("+- Range (0, 10, step=-1, splits=8)") == 0
+
+    # end-to-end: a negative-start range build side downgrades
+    neg_spine = (
+        spark.range(-5, 5)
+        .crossJoin(F2.broadcast(spark.range(-3, 3).selectExpr("id AS j")))
+    )
+    codes_neg = {f.code for f in lint_plan(neg_spine)}
+    assert "CARTESIAN_BNLJ" not in codes_neg, codes_neg
 
     # lint the UNCOLLECTED frames: lint_plan's designed input is the
     # pre-execution plan (initial AQE plan, where GlobalLimit prints
