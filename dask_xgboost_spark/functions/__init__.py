@@ -121,6 +121,38 @@ def sql_davg(x: str, count_sql: str, alias: str) -> str:
     return f"CAST(SUM({sql_dec(x)}) AS DOUBLE) / {count_sql} AS {alias}"
 
 
+def md5_poly(arg_sql: str, n_terms: int, *, descending: bool = False) -> str:
+    """THE dialect-neutral md5-polynomial hash fragment — the single
+    audited definition behind every deterministic engine-neutral hash
+    in the repo (MinHash permutations, calibration scores, class-flip
+    predictions, skew-profile buckets). Emits
+
+        (Σ_i CAST(ascii(substr(md5(arg), i+1, 1)) AS BIGINT) · 31^p_i)
+
+    over the first ``n_terms`` hex chars of ``md5(arg_sql)``, with
+    powers ascending (p_i = i, MinHash convention) or ``descending``
+    (p_i = n-1-i, Horner/score convention). The text runs UNCHANGED in
+    Spark SQL and DuckDB (md5/ascii/substr/|| agree across dialects);
+    any dialect-specific cast goes inside ``arg_sql`` (STRING vs
+    VARCHAR).
+
+    Overflow discipline (the reason this must live in ONE place,
+    VERDICT r8): every ascii() factor is cast to BIGINT *before* the
+    coefficient multiply — 31⁵·127 already overflows int32, which Spark
+    would silently wrap with ANSI off while DuckDB widens, diverging
+    the engines. Unit coefficients (31⁰) are omitted rather than
+    emitted as ``* 1``; the value is identical and the fragment stays
+    readable inside larger expressions."""
+    terms = []
+    for i in range(n_terms):
+        p = (n_terms - 1 - i) if descending else i
+        t = f"CAST(ascii(substr(md5({arg_sql}), {i + 1}, 1)) AS BIGINT)"
+        if p:
+            t += f" * {31 ** p}"
+        terms.append(t)
+    return "(" + " + ".join(terms) + ")"
+
+
 # DuckDB view of events with Spark's exact µs truncation applied (the
 # fixture parquet is ns; Spark reads µs — see sources/tables.py).
 EVENTS_US = (

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dask_xgboost_spark.functions import cents, sql_cents
+from dask_xgboost_spark.functions import cents, md5_poly, sql_cents
 from dask_xgboost_spark.ml.core import XGBClassifier, XGBRegressor, assemble_features
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
@@ -1501,14 +1501,11 @@ def m_eval_08(spark, sf):
 
 
 # shared md5-polynomial score fragment for M-EVAL-09 — dialect-specific
-# only in the string cast (Spark STRING vs DuckDB VARCHAR)
+# only in the string cast (Spark STRING vs DuckDB VARCHAR); the
+# polynomial is the shared functions.md5_poly definition (descending
+# powers: char1·961 + char2·31 + char3)
 def _cal_raw(cast_t: str) -> str:
-    h = f"md5(CAST(o_orderkey AS {cast_t}))"
-    return (
-        f"(CAST(ascii(substr({h}, 1, 1)) AS BIGINT) * 961"
-        f" + CAST(ascii(substr({h}, 2, 1)) AS BIGINT) * 31"
-        f" + CAST(ascii(substr({h}, 3, 1)) AS BIGINT))"
-    )
+    return md5_poly(f"CAST(o_orderkey AS {cast_t})", 3, descending=True)
 
 
 _EVAL9_SQL = f"""
@@ -1630,9 +1627,9 @@ def m_prep_15(spark, sf):
 # alphabetical ring for the ~1/5 of rows whose md5 first hex char lands
 # on a multiple of 5 (same determinism discipline as M-EVAL-09's score)
 def _conf_pred(cast_t: str) -> str:
-    h = f"md5(CAST(event_id AS {cast_t}))"
+    flip = md5_poly(f"CAST(event_id AS {cast_t})", 1)
     return (
-        f"CASE WHEN CAST(ascii(substr({h}, 1, 1)) AS BIGINT) % 5 = 0 "
+        f"CASE WHEN {flip} % 5 = 0 "
         "THEN CASE event_type WHEN 'click' THEN 'error' "
         "WHEN 'error' THEN 'purchase' WHEN 'purchase' THEN 'signup' "
         "WHEN 'signup' THEN 'view' ELSE 'click' END "

@@ -12,7 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.caching import persist_rollup
-from dask_xgboost_spark.functions import EVENTS_US, cents, sql_cents
+from dask_xgboost_spark.functions import EVENTS_US, cents, md5_poly, sql_cents
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -1659,12 +1659,11 @@ def q_qual_05(spark, sf):
     return out.orderBy("rel")
 
 
-_PROF2_SQL = """
+_PROF2_SQL = f"""
 WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
            FROM events GROUP BY user_id),
 t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
-b AS (SELECT (CAST(ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) * 31
-              + CAST(ascii(substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) AS BIGINT)) % 32
+b AS (SELECT {md5_poly("CAST(user_id AS VARCHAR)", 2, descending=True)} % 32
          AS bucket,
              SUM(cnt) AS n
       FROM c GROUP BY bucket),
@@ -1704,11 +1703,14 @@ def profile_key_skew(df, key_col: str, top_k: int = 10, num_buckets: int = 32):
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     total = c.agg(F.sum("cnt").cast("bigint").alias("total"))
-    h = F.md5(F.col(key_col).cast("string"))
+    # the SAME md5-polynomial fragment the SQL twin embeds (one audited
+    # definition, functions.md5_poly); key_col is interpolated into SQL
+    # text, so it must be a plain column name — which the groupBy above
+    # already requires
     bucket = (
-        F.ascii(F.substring(h, 1, 1)).cast("bigint") * 31
-        + F.ascii(F.substring(h, 2, 1)).cast("bigint")
-    ) % num_buckets
+        F.expr(md5_poly(f"CAST({key_col} AS STRING)", 2, descending=True))
+        % num_buckets
+    )
     bm = (
         c.groupBy(bucket.alias("bucket"))
         .agg(F.sum("cnt").alias("n"))

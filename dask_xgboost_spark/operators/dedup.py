@@ -23,6 +23,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.caching import persist_rollup
+from dask_xgboost_spark.functions import md5_poly
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -870,19 +871,12 @@ def l_dedup_13(spark, sf):
 
 def _mh_hash(p: int) -> str:
     """Permutation-p MinHash value of shingle column ``g`` — a 6-char
-    polynomial over md5 hex, written in the SQL dialect intersection so
-    the SAME text runs in Spark SQL and DuckDB (md5/ascii/substr/||
-    agree; the BIGINT cast keeps every product in int64 — 31^5·127
-    overflows int32, which Spark would silently wrap with ANSI off)."""
-    return (
-        "("
-        + " + ".join(
-            f"CAST(ascii(substr(md5('{p}|' || g), {i + 1}, 1)) AS BIGINT)"
-            f" * {31 ** i}"
-            for i in range(6)
-        )
-        + ")"
-    )
+    ascending md5 polynomial (one fragment per permutation, seeded by
+    prefixing the permutation index). The polynomial itself — including
+    the BIGINT-before-multiply int64 discipline — is the shared
+    functions.md5_poly definition (consolidated r9, VERDICT r8 §wrong
+    2); this wrapper only binds the seed and the shingle column."""
+    return md5_poly(f"'{p}|' || g", 6)
 
 
 _DEDUP14_DOCS = (
