@@ -424,6 +424,43 @@ def main() -> None:
         tpch_duck[key] = round(_median_timed(lambda: con.execute(sql).df()), 4)
         spark.catalog.clearCache()  # see BENCH_QUERIES loop note
 
+    # 10× shuffle tripwire (VERDICT r8 item 4): re-measure the shuffle
+    # volume of the headline + TPC-H tiers on 10×-replicated facts
+    # (same id-shifted replication as tools/suite_scale.py — shared so
+    # the methodologies can't drift). This is the one regression signal
+    # wall-clock noise can't fake AND sf0.1 alone can't see: a plan that
+    # silently flips strategy with input size (broadcast → shuffle join
+    # past a threshold, a lost keyset prune whose cost scales with the
+    # fact) shows as a rows jump HERE while the sf0.1 totals stay flat.
+    # Shuffle volume only (one execution per query, no timing tiers):
+    # the wall-clock scale curve lives in tools/suite_scale.py.
+    import importlib.util as _ilu
+    import shutil as _sh10
+
+    _ss_spec = _ilu.spec_from_file_location(
+        "suite_scale",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tools", "suite_scale.py"),
+    )
+    _ss = _ilu.module_from_spec(_ss_spec)
+    _ss_spec.loader.exec_module(_ss)
+    scaled10 = _ss.build_scaled_dir(spark, sf_dir, 10)
+    shuffle_headline_10x: dict[str, dict[str, int]] = {}
+    shuffle_tpch_10x: dict[str, dict[str, int]] = {}
+    try:
+        for tier, names, sink in (
+            ("hl", BENCH_QUERIES, shuffle_headline_10x),
+            ("tpch", tpch_names, shuffle_tpch_10x),
+        ):
+            for name in names:
+                key = name.lower().replace("-", "_")
+                df = specs[name].fn(spark, scaled10)
+                spark.catalog.clearCache()  # cache-cold, see headline loop
+                sink[key] = _shuffle_metrics(spark, df, f"shuf10_{tier}_{key}")
+                spark.catalog.clearCache()
+    finally:
+        _sh10.rmtree(scaled10, ignore_errors=True)
+
     # data-skipping lever: same 16 files, four clusterings; how many
     # files' footer stats overlap a selective (p95) predicate on EACH
     # column — the fraction of the table a filtered scan must read.
@@ -646,6 +683,8 @@ def main() -> None:
                 "tpch_suite_duckdb": tpch_duck,
                 "tpch_suite_duckdb_total": round(sum(tpch_duck.values()), 4),
                 "shuffle_tpch": shuffle_tpch,
+                "shuffle_headline_10x": shuffle_headline_10x,
+                "shuffle_tpch_10x": shuffle_tpch_10x,
                 "layout_file_skipping": layout_skipping,
                 "python_boundary_net_price_sum": python_boundary,
                 "scale_growth_q1": scale_growth,
@@ -699,6 +738,18 @@ def main() -> None:
                 ),
                 "tpch_shuffle_bytes_total": sum(
                     v["bytes"] for v in shuffle_tpch.values()
+                ),
+                # 10× tripwire totals (VERDICT r8 item 4): a plan
+                # regression that only manifests at scale shows as a
+                # rows jump here while the sf0.1 totals stay flat
+                "shuffle_rows_10x": {
+                    k: v["rows"] for k, v in shuffle_headline_10x.items()
+                },
+                "tpch_shuffle_rows_total_10x": sum(
+                    v["rows"] for v in shuffle_tpch_10x.values()
+                ),
+                "tpch_shuffle_bytes_total_10x": sum(
+                    v["bytes"] for v in shuffle_tpch_10x.values()
                 ),
                 "detail": "full blob printed on the preceding line",
             }
