@@ -434,23 +434,27 @@ def main() -> None:
     # fact) shows as a rows jump HERE while the sf0.1 totals stay flat.
     # Shuffle volume only (one execution per query, no timing tiers):
     # the wall-clock scale curve lives in tools/suite_scale.py.
-    import importlib.util as _ilu
     import shutil as _sh10
 
-    _ss_spec = _ilu.spec_from_file_location(
-        "suite_scale",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "tools", "suite_scale.py"),
-    )
-    _ss = _ilu.module_from_spec(_ss_spec)
-    _ss_spec.loader.exec_module(_ss)
     shuffle_headline_10x: dict[str, dict[str, int]] = {}
     shuffle_tpch_10x: dict[str, dict[str, int]] = {}
     scaled10 = None
     try:
         # degrade, don't die: the tripwire is an extra signal — a
-        # replica-build failure (e.g. scratch-disk pressure) must not
-        # cost the round its primary bench record
+        # failure anywhere in it (module load, replica build, one
+        # query) must not cost the round its primary bench record.
+        # Per-query failures record a rows=-1 sentinel and keep every
+        # measurement already taken; build/load failures leave both
+        # tiers empty (build_scaled_dir cleans its own partial dir).
+        import importlib.util as _ilu
+
+        _ss_spec = _ilu.spec_from_file_location(
+            "suite_scale",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "suite_scale.py"),
+        )
+        _ss = _ilu.module_from_spec(_ss_spec)
+        _ss_spec.loader.exec_module(_ss)
         scaled10 = _ss.build_scaled_dir(spark, sf_dir, 10)
         for tier, names, sink in (
             ("hl", BENCH_QUERIES, shuffle_headline_10x),
@@ -458,13 +462,21 @@ def main() -> None:
         ):
             for name in names:
                 key = name.lower().replace("-", "_")
-                df = specs[name].fn(spark, scaled10)
-                spark.catalog.clearCache()  # cache-cold, see headline loop
-                sink[key] = _shuffle_metrics(spark, df, f"shuf10_{tier}_{key}")
-                spark.catalog.clearCache()
-    except Exception as e:  # noqa: BLE001 — report in the JSON, keep the bench
-        shuffle_headline_10x = {}
-        shuffle_tpch_10x = {"error": {"rows": -1, "bytes": -1}}
+                try:
+                    df = specs[name].fn(spark, scaled10)
+                    spark.catalog.clearCache()  # cache-cold, headline loop
+                    sink[key] = _shuffle_metrics(
+                        spark, df, f"shuf10_{tier}_{key}"
+                    )
+                except Exception as e:  # noqa: BLE001 — keep the sweep
+                    sink[key] = {"rows": -1, "bytes": -1}
+                    print(
+                        f"10x tripwire: {name} failed: {e!r}",
+                        file=sys.stderr,
+                    )
+                finally:
+                    spark.catalog.clearCache()
+    except Exception as e:  # noqa: BLE001 — report, keep the bench
         print(f"10x shuffle tripwire failed (degrading): {e!r}", file=sys.stderr)
     finally:
         if scaled10:

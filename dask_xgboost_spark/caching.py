@@ -24,11 +24,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# Insertion-ordered registry of every DataFrame this package persisted.
-# Re-persisting an identical logical plan is a no-op in Spark's
-# CacheManager (one cache entry), so repeated operator calls grow this
-# list only by cheap references, never by duplicate storage.
-_ROLLUPS: list[DataFrame] = []
+# Insertion-ordered registry of (DataFrame, semanticHash) pairs this
+# package persisted. Re-persisting an identical logical plan is a no-op
+# in Spark's CacheManager (one cache entry); the ledger stays bounded
+# because every insert (a) prunes entries whose cache is gone (a
+# consumer's clearCache would otherwise leave dead driver-side
+# references forever) and (b) skips the append when a still-cached
+# entry with the same semantic hash is already tracked (a loop calling
+# the same operator would otherwise grow the list by one reference per
+# call). A semantic-hash collision at worst skips tracking one distinct
+# frame — its cache then lives until release/clearCache, which is the
+# pre-tracking status quo, never a correctness issue.
+_ROLLUPS: list[tuple[DataFrame, int | None]] = []
+
+
+def _alive(df: DataFrame) -> bool:
+    try:
+        lvl = df.storageLevel
+        return bool(lvl.useMemory or lvl.useDisk)
+    except Exception:  # noqa: BLE001 — a stopped session counts as dead
+        return False
 
 
 def persist_rollup(df: DataFrame) -> DataFrame:
@@ -39,7 +54,13 @@ def persist_rollup(df: DataFrame) -> DataFrame:
     collect still reads the cache) but should not silently span the
     whole session."""
     out = df.persist()
-    _ROLLUPS.append(out)
+    try:
+        h = out.semanticHash()
+    except Exception:  # noqa: BLE001 — hash is an optimization only
+        h = None
+    _ROLLUPS[:] = [(d, dh) for d, dh in _ROLLUPS if _alive(d)]
+    if h is None or all(dh != h for _, dh in _ROLLUPS):
+        _ROLLUPS.append((out, h))
     return out
 
 
@@ -51,7 +72,7 @@ def release_rollups() -> int:
     frees the blocks asynchronously."""
     n = 0
     while _ROLLUPS:
-        df = _ROLLUPS.pop()
+        df, _ = _ROLLUPS.pop()
         try:
             df.unpersist()
             n += 1

@@ -150,11 +150,24 @@ def test_rollup_cache_release(spark, sf_dir):
     specs = load_all()
     specs["Q-TPCH-11"].fn(spark, sf_dir).collect()
     assert _ROLLUPS, "q_tpch_11 must register its persisted rollup"
-    tracked = list(_ROLLUPS)
+    n_first = len(_ROLLUPS)
+    # the ledger is bounded: re-running the same operator re-persists
+    # the same canonical plan and must NOT grow the tracking list
+    specs["Q-TPCH-11"].fn(spark, sf_dir).collect()
+    assert len(_ROLLUPS) == n_first, "same-plan re-persist grew the ledger"
+    tracked = [df for df, _ in _ROLLUPS]
     assert any(df.storageLevel.useMemory for df in tracked)
     n = release_rollups()
     assert n >= 1 and not _ROLLUPS
     assert all(not df.storageLevel.useMemory for df in tracked)
+    # entries killed behind the ledger's back (clearCache) are pruned
+    # on the next insert instead of accumulating as dead references
+    specs["Q-TPCH-11"].fn(spark, sf_dir).collect()
+    spark.catalog.clearCache()
+    specs["Q-TPCH-15"].fn(spark, sf_dir).collect()
+    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk
+               for df, _ in _ROLLUPS), "dead entries must be pruned"
+    release_rollups()
 
     # a user frame persisted OUTSIDE the package survives the release
     mine = load(spark, sf_dir, "nation").persist()
