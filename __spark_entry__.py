@@ -28,41 +28,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dask_xgboost_spark.registry import load_all  # noqa: E402
 
-# Window rotation, round 9, per VERDICT.md r8 §next-round item 1
-# (evidence-freshness): the driver re-proves the OLDEST evidence first.
-# Slots 1-39: the entire remaining r1 cohort (their last driver row
-# predates five rounds of refactors; all re-green in every local sweep
-# since) minus Q-AGG-12, which yields its slot to family coverage.
-# Slots 40-46: the stalest entry of each family the window must touch
-# but r1 lacks (Q-WIN-01/L-DEDUP-01/L-TEXT-01/L-PIPE-01/S-WIN-01 from
-# r2, Q-TS-02 from r4, L-MIX-04 from r5). Slots 47-50: first-ever
-# rows-only driver witnesses for four never-witnessed golden/tol
-# entries, chosen so they also carry their families (M-PREP-01,
-# G-GEN-01, U-GAPPLY-02, L-SIM-07). 45/50 hash-mode (Q-AGG-08 is the
-# r1 cohort's one tol-mode sketch entry). Everything green in the
-# local window sim at BOTH sf0.01 and sf0.001.
+# Window rotation, round 10, emitted by tools/rotate_window.py (the
+# evidence-freshness policy institutionalized in r9; VERDICT r9 item 1).
+# Slot 1: Q-AGG-12, the last r1-latest entry (its only driver row ever
+# was a r1 no-oracle witness). Slots 2-44: the r2 cohort
+# oldest-evidence-first (43 of its 45 entries; U-SCALAR-01/U-TABLE-01
+# are the two the family quota squeezes out — 46 stale + 6 mandatory
+# family carriers = 52 > 50, so exactly two r2 entries spill to r11).
+# Slots 45-50: the stalest entry of each family the stale set lacks
+# (L-PIPE-02, L-TEXT-02, S-SINK-02, G-MV-01, Q-TS-03, L-MIX-02, all
+# r3). 48/50 hash-mode (>=40 quota; Q-AGG-12 tol + L-DEDUP-02 golden).
+# Spillover: the 10 never-witnessed golden/tol entries first (all
+# pre-timed green), then every witnessed entry oldest-first so a
+# deeper-than-50 driver check keeps draining staleness.
 _DRIVER_PRIORITY = [
-    "Q-AGG-02", "Q-AGG-03", "Q-AGG-04", "Q-AGG-06",
-    "Q-AGG-07", "Q-AGG-08", "Q-AGG-09", "Q-AGG-10",
-    "Q-AGG-11", "Q-DATE-01", "Q-DATE-02", "Q-FIL-02",
-    "Q-FIL-03", "Q-FIL-04", "Q-JOIN-01", "Q-JOIN-03",
-    "Q-JOIN-04", "Q-JOIN-05", "Q-JOIN-06", "Q-JOIN-07",
-    "Q-JOIN-08", "Q-JOIN-09", "Q-PROJ-01", "Q-SCAN-01",
-    "Q-SCAN-03", "Q-SCAN-04", "Q-SET-02", "Q-SET-03",
-    "Q-SET-04", "Q-SORT-01", "Q-STR-01", "Q-STR-02",
-    "Q-STR-03", "Q-STR-04", "Q-TPCH-04", "Q-TPCH-06",
-    "Q-TPCH-08", "Q-TPCH-10", "Q-TPCH-21", "Q-WIN-01",
-    "Q-TS-02", "L-DEDUP-01", "L-MIX-04", "L-TEXT-01",
-    "L-PIPE-01", "S-WIN-01", "M-PREP-01", "G-GEN-01",
-    "U-GAPPLY-02", "L-SIM-07",
-    # ---- 50-window boundary ----
-    # spillover in case the driver checks deeper: the remaining
-    # never-witnessed golden/tol entries first, then every witnessed
-    # entry ordered by staleness (oldest driver row first) so future
-    # rotations keep draining the oldest evidence.
-    "M-PRED-02", "M-PRED-03", "M-TRAIN-02", "M-TRAIN-03",
-    "M-TRAIN-04", "M-TRAIN-05", "M-TRAIN-06", "M-TRAIN-07",
-    "Q-AGG-17", "Q-AGG-19",
     "Q-AGG-12", "L-DEDUP-02", "L-DEDUP-03", "L-MM-01",
     "L-SIM-01", "M-PREP-02", "Q-AGG-01", "Q-AGG-05",
     "Q-ARR-01", "Q-ARR-02", "Q-ARR-03", "Q-ARR-04",
@@ -74,41 +53,45 @@ _DRIVER_PRIORITY = [
     "Q-SUBQ-03", "Q-TPCH-02", "Q-TPCH-03", "Q-WIN-02",
     "Q-WIN-03", "Q-WIN-04", "Q-WIN-05", "Q-WIN-06",
     "Q-WIN-07", "U-AGG-01", "U-GAPPLY-01", "U-MAP-01",
-    "U-SCALAR-01", "U-TABLE-01", "L-DEDUP-04", "L-DEDUP-05",
-    "L-DEDUP-06", "L-DEDUP-07", "L-MM-03", "L-PIPE-02",
-    "L-SIM-02", "L-SIM-03", "L-SIM-04", "L-TEXT-02",
+    "L-PIPE-02", "L-TEXT-02", "S-SINK-02", "G-MV-01",
+    "Q-TS-03", "L-MIX-02",
+    # ---- 50-window boundary ----
+    "M-PRED-02", "M-PRED-03", "M-TRAIN-02", "M-TRAIN-03",
+    "M-TRAIN-04", "M-TRAIN-05", "M-TRAIN-06", "M-TRAIN-07",
+    "Q-AGG-17", "Q-AGG-19", "U-SCALAR-01", "U-TABLE-01",
+    "L-DEDUP-04", "L-DEDUP-05", "L-DEDUP-06", "L-DEDUP-07",
+    "L-MM-03", "L-SIM-02", "L-SIM-03", "L-SIM-04",
     "L-TEXT-03", "L-TEXT-05", "L-TEXT-06", "L-TEXT-07",
     "L-TEXT-08", "L-TEXT-09", "L-TEXT-10", "M-PRED-01",
     "M-TRAIN-01", "Q-AGG-13", "Q-AGG-14", "Q-AGG-15",
     "Q-AGG-16", "Q-ARR-06", "Q-MAP-02", "Q-MERGE-01",
     "Q-PIVOT-02", "Q-SAMPLE-01", "Q-SET-05", "Q-TPCH-12",
-    "Q-TPCH-13", "Q-TPCH-14", "S-SINK-02", "S-STATE-01",
-    "U-SCALAR-02", "G-MV-01", "L-DEDUP-08", "L-TEXT-11",
-    "M-PRED-04", "M-PREP-03", "Q-AGG-18", "Q-AGG-20",
-    "Q-AGG-21", "Q-BASKET-01", "Q-COHORT-01", "Q-CTE-02",
-    "Q-DATE-05", "Q-DATE-06", "Q-FUNNEL-01", "Q-GRAPH-01",
-    "Q-GRAPH-02", "Q-JOIN-11", "Q-JSON-02", "Q-JSON-03",
-    "Q-PROF-01", "Q-QUAL-01", "Q-SCAN-05", "Q-SCAN-06",
-    "Q-SCAN-07", "Q-SCAN-10", "Q-SCAN-11", "Q-SCD-01",
-    "Q-SUBQ-04", "Q-TPCH-09", "Q-TPCH-15", "Q-TREND-01",
-    "Q-WIN-09", "Q-WIN-10", "Q-WIN-11", "S-GEN-01",
-    "S-JOIN-01", "S-JOIN-02", "S-JOIN-03", "S-SINK-01",
-    "S-STATE-02", "S-STATE-04", "S-WIN-02", "S-WIN-03",
-    "G-CDF-01", "G-DELETE-01", "L-DEDUP-11", "L-MM-05",
-    "L-TEXT-19", "M-EVAL-01", "M-EVAL-02", "M-PREP-08",
-    "Q-AGG-22", "Q-AGG-23", "Q-ARR-07", "Q-DATE-07",
-    "Q-DIFF-01", "Q-GEO-01", "Q-GEO-02", "Q-GEO-03",
-    "Q-GEO-04", "Q-JOIN-12", "Q-JSON-04", "Q-MATH-02",
-    "Q-MERGE-02", "Q-PIVOT-03", "Q-QUAL-02", "Q-SAMPLE-02",
-    "Q-SCAN-08", "Q-SCAN-09", "Q-SCAN-14", "Q-SCD-02",
-    "Q-SQL-01", "Q-STR-06", "Q-STR-07", "Q-STR-08",
-    "Q-SUBQ-05", "Q-SUBQ-06", "Q-TPCH-16", "Q-TPCH-18",
-    "Q-TPCH-19", "Q-TPCH-20", "Q-TPCH-22", "Q-TS-03",
-    "Q-TS-04", "Q-WIN-08", "Q-WIN-14", "S-GEN-02",
-    "S-SINK-04", "S-WIN-04", "U-MAP-02", "U-WIN-01",
-    "G-BACKFILL-01", "G-CLONE-01", "G-DELETE-02", "G-MASK-01",
-    "G-OBS-01", "G-SNAP-01", "G-SNAP-02", "L-DEDUP-09",
-    "L-DEDUP-10", "L-DEDUP-12", "L-MIX-02", "L-MIX-03",
+    "Q-TPCH-13", "Q-TPCH-14", "S-STATE-01", "U-SCALAR-02",
+    "L-DEDUP-08", "L-TEXT-11", "M-PRED-04", "M-PREP-03",
+    "Q-AGG-18", "Q-AGG-20", "Q-AGG-21", "Q-BASKET-01",
+    "Q-COHORT-01", "Q-CTE-02", "Q-DATE-05", "Q-DATE-06",
+    "Q-FUNNEL-01", "Q-GRAPH-01", "Q-GRAPH-02", "Q-JOIN-11",
+    "Q-JSON-02", "Q-JSON-03", "Q-PROF-01", "Q-QUAL-01",
+    "Q-SCAN-05", "Q-SCAN-06", "Q-SCAN-07", "Q-SCAN-10",
+    "Q-SCAN-11", "Q-SCD-01", "Q-SUBQ-04", "Q-TPCH-09",
+    "Q-TPCH-15", "Q-TREND-01", "Q-WIN-09", "Q-WIN-10",
+    "Q-WIN-11", "S-GEN-01", "S-JOIN-01", "S-JOIN-02",
+    "S-JOIN-03", "S-SINK-01", "S-STATE-02", "S-STATE-04",
+    "S-WIN-02", "S-WIN-03", "G-CDF-01", "G-DELETE-01",
+    "L-DEDUP-11", "L-MM-05", "L-TEXT-19", "M-EVAL-01",
+    "M-EVAL-02", "M-PREP-08", "Q-AGG-22", "Q-AGG-23",
+    "Q-ARR-07", "Q-DATE-07", "Q-DIFF-01", "Q-GEO-01",
+    "Q-GEO-02", "Q-GEO-03", "Q-GEO-04", "Q-JOIN-12",
+    "Q-JSON-04", "Q-MATH-02", "Q-MERGE-02", "Q-PIVOT-03",
+    "Q-QUAL-02", "Q-SAMPLE-02", "Q-SCAN-08", "Q-SCAN-09",
+    "Q-SCAN-14", "Q-SCD-02", "Q-SQL-01", "Q-STR-06",
+    "Q-STR-07", "Q-STR-08", "Q-SUBQ-05", "Q-SUBQ-06",
+    "Q-TPCH-16", "Q-TPCH-18", "Q-TPCH-19", "Q-TPCH-20",
+    "Q-TPCH-22", "Q-TS-04", "Q-WIN-08", "Q-WIN-14",
+    "S-GEN-02", "S-SINK-04", "S-WIN-04", "U-MAP-02",
+    "U-WIN-01", "G-BACKFILL-01", "G-CLONE-01", "G-DELETE-02",
+    "G-MASK-01", "G-OBS-01", "G-SNAP-01", "G-SNAP-02",
+    "L-DEDUP-09", "L-DEDUP-10", "L-DEDUP-12", "L-MIX-03",
     "L-MM-02", "L-MM-04", "L-MM-06", "L-SIM-06",
     "L-SIM-08", "L-SIM-09", "L-SIM-10", "L-TEXT-17",
     "L-TEXT-18", "M-EVAL-03", "M-EVAL-04", "M-PREP-09",
@@ -143,7 +126,19 @@ _DRIVER_PRIORITY = [
     "Q-JSON-06", "Q-PROF-02", "Q-SCAN-17", "Q-SORT-03",
     "Q-SQL-02", "Q-TPCH-11", "Q-TPCH-17", "Q-TS-01",
     "Q-WIN-12", "Q-WIN-19", "S-JOIN-06", "S-STATE-03",
-    "U-SCALAR-04",
+    "U-SCALAR-04", "G-GEN-01", "L-DEDUP-01", "L-MIX-04",
+    "L-PIPE-01", "L-SIM-07", "L-TEXT-01", "M-PREP-01",
+    "Q-AGG-02", "Q-AGG-03", "Q-AGG-04", "Q-AGG-06",
+    "Q-AGG-07", "Q-AGG-08", "Q-AGG-09", "Q-AGG-10",
+    "Q-AGG-11", "Q-DATE-01", "Q-DATE-02", "Q-FIL-02",
+    "Q-FIL-03", "Q-FIL-04", "Q-JOIN-01", "Q-JOIN-03",
+    "Q-JOIN-04", "Q-JOIN-05", "Q-JOIN-06", "Q-JOIN-07",
+    "Q-JOIN-08", "Q-JOIN-09", "Q-PROJ-01", "Q-SCAN-01",
+    "Q-SCAN-03", "Q-SCAN-04", "Q-SET-02", "Q-SET-03",
+    "Q-SET-04", "Q-SORT-01", "Q-STR-01", "Q-STR-02",
+    "Q-STR-03", "Q-STR-04", "Q-TPCH-04", "Q-TPCH-06",
+    "Q-TPCH-08", "Q-TPCH-10", "Q-TPCH-21", "Q-TS-02",
+    "Q-WIN-01", "S-WIN-01", "U-GAPPLY-02",
 ]
 
 

@@ -766,11 +766,25 @@ def main() -> None:
                 "shuffle_rows_10x": {
                     k: v["rows"] for k, v in shuffle_headline_10x.items()
                 },
+                # sum only successful queries: the rows=-1 failure
+                # sentinel must not DEFLATE the exact total the
+                # tripwire watches (a failing query would otherwise
+                # read as an improvement); failures are counted
+                # explicitly so a degraded run is visible here, not
+                # just on stderr
                 "tpch_shuffle_rows_total_10x": sum(
                     v["rows"] for v in shuffle_tpch_10x.values()
+                    if v["rows"] >= 0
                 ),
                 "tpch_shuffle_bytes_total_10x": sum(
                     v["bytes"] for v in shuffle_tpch_10x.values()
+                    if v["bytes"] >= 0
+                ),
+                "shuffle_10x_failed": sum(
+                    1
+                    for tier in (shuffle_headline_10x, shuffle_tpch_10x)
+                    for v in tier.values()
+                    if v["rows"] < 0
                 ),
                 "detail": "full blob printed on the preceding line",
             }

@@ -1705,10 +1705,13 @@ def profile_key_skew(df, key_col: str, top_k: int = 10, num_buckets: int = 32):
     total = c.agg(F.sum("cnt").cast("bigint").alias("total"))
     # the SAME md5-polynomial fragment the SQL twin embeds (one audited
     # definition, functions.md5_poly); key_col is interpolated into SQL
-    # text, so it must be a plain column name — which the groupBy above
-    # already requires
+    # text, so backtick-quote it — names needing quoting (spaces, dots,
+    # hyphens) worked on the old column-expression path and must keep
+    # working here (embedded backticks escape by doubling, Spark SQL's
+    # quoting rule)
+    quoted = "`" + key_col.replace("`", "``") + "`"
     bucket = (
-        F.expr(md5_poly(f"CAST({key_col} AS STRING)", 2, descending=True))
+        F.expr(md5_poly(f"CAST({quoted} AS STRING)", 2, descending=True))
         % num_buckets
     )
     bm = (

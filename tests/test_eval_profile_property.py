@@ -63,6 +63,21 @@ def test_profile_key_skew_matches_reference(spark, keys):
     assert got == _ref_skew(keys, top_k=5, num_buckets=8)
 
 
+def test_profile_key_skew_quotes_nonidentifier_names(spark):
+    # the md5_poly fragment interpolates the key column into SQL text;
+    # a name needing backtick quoting (space/hyphen) worked on the old
+    # column-expression path and must keep working (ADVICE r9)
+    keys = [1, 1, 2, 3, 3, 3]
+    df = spark.createDataFrame([(k,) for k in keys], ["my key"])
+    got = [
+        tuple(r)
+        for r in profile_key_skew(df, "my key", top_k=5, num_buckets=8)
+        .orderBy("rk")
+        .collect()
+    ]
+    assert got == _ref_skew(keys, top_k=5, num_buckets=8)
+
+
 def _ref_confusion(pairs: list[tuple[str, str]]):
     sup = Counter(a for a, _ in pairs)
     pred = Counter(p for _, p in pairs)

@@ -23,9 +23,14 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 import sys
 
-sys.path.insert(0, ".")
+# anchor to the repo root (parent of tools/), NOT the cwd: run from
+# anywhere else, a cwd-relative glob silently finds zero witness files
+# and emits a plausible-looking but staleness-meaningless window
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 REQUIRED_FAMILIES = (
     "Q-SCAN", "Q-AGG", "Q-WIN", "Q-TS", "Q-TPCH",
@@ -44,8 +49,14 @@ def family(name: str) -> str:
 
 def latest_witness() -> dict[str, int]:
     latest: dict[str, int] = {}
-    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = int(f.split("_r")[1].split(".")[0])
+    files = sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")))
+    if not files:
+        raise SystemExit(
+            f"no CORRECTNESS_r*.json found under {_REPO_ROOT} — "
+            "staleness cannot be computed; refusing to emit a window"
+        )
+    for f in files:
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
         for k in json.load(open(f)):
             latest[k] = max(latest.get(k, 0), rnd)
     return latest
