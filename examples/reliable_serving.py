@@ -13,10 +13,20 @@ not just fast, each step a registered oracle-checked operator:
                               exactly the touched windows (G-BACKFILL-02)
   5. audited publish        — the corrected rollup passes Write-Audit-
                               Publish before going live     (G-AUDIT-01)
+  6. session hygiene        — the long-lived session serves a rollup-
+                              backed leaderboard, then releases the
+                              package's persisted rollups (Q-TPCH-15 +
+                              dask_xgboost_spark.release_rollups)
 
 Steps 3→4 are one contract: the watermark makes streaming drops SILENT
 by design, the metric makes them OBSERVABLE, and the backfill makes
-them CORRECTED — the full loop a 100 TB pipeline runs daily.
+them CORRECTED — the full loop a 100 TB pipeline runs daily. Step 6 is
+the storage half of "long-lived": operators that materialize a
+multi-referenced rollup (caching.persist_rollup) cannot unpersist it
+themselves — the returned plan still reads the cache — so a serving
+session that never releases them accumulates executor memory it no
+longer needs. The tracked ledger makes the release exact: only the
+package's entries drop, never the consumer's own cached data.
 
 Run: python examples/reliable_serving.py [sf_dir]
 """
@@ -27,7 +37,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-from dask_xgboost_spark import get_spark
+from dask_xgboost_spark import get_spark, release_rollups
 from dask_xgboost_spark.registry import load_all
 
 
@@ -67,6 +77,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             + ("published" if r["published"] else "REJECTED")
             + f" ({r['published_rows_after']} rows live)"
         )
+
+    # 6. session hygiene: the session keeps serving — here a top-
+    #    supplier leaderboard whose operator materializes its revenue
+    #    view via caching.persist_rollup (the Q-TPCH-15 discipline) —
+    #    and after collection releases exactly the package's tracked
+    #    cache entries. A user's own persisted frames would survive;
+    #    nothing else in this script caches, so the JVM cache manager
+    #    must read empty afterwards.
+    top = specs["Q-TPCH-15"].fn(spark, sf_dir).collect()
+    released = release_rollups()
+    cache_empty = bool(
+        spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    )
+    print(
+        f"session hygiene: served {len(top)} leaderboard rows, "
+        f"{released} rollups released, cache empty: {cache_empty}"
+    )
+    assert released >= 1, "Q-TPCH-15 should have registered a rollup"
+    assert cache_empty, "package rollups must not outlive release_rollups()"
 
     spark.stop()
 

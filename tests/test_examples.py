@@ -18,6 +18,15 @@ from tests.conftest import SF_SMALL
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# script-specific stdout markers: lines a script must actually print
+# (a tour that silently skipped a step would otherwise still pass).
+# reliable_serving step 6 is the release_rollups() lifecycle demo
+# (VERDICT r9 item 6): the long-lived session must release the
+# package's persisted rollups and leave the JVM cache empty.
+EXPECT_STDOUT = {
+    "reliable_serving.py": ["rollups released, cache empty: True"],
+}
+
 
 @pytest.mark.parametrize(
     "script",
@@ -50,3 +59,8 @@ def test_example_runs(script):
         f"{script} failed\nstdout: {proc.stdout[-2000:]}\n"
         f"stderr: {proc.stderr[-2000:]}"
     )
+    for marker in EXPECT_STDOUT.get(script, []):
+        assert marker in proc.stdout, (
+            f"{script} did not print {marker!r}\n"
+            f"stdout: {proc.stdout[-2000:]}"
+        )
