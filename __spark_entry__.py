@@ -29,20 +29,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dask_xgboost_spark.registry import load_all  # noqa: E402
 
 # Window rotation, round 10, emitted by tools/rotate_window.py (the
-# evidence-freshness policy institutionalized in r9; VERDICT r9 item 1).
+# evidence-freshness policy of r9, extended in r10 with lifetime
+# coverage: a never-witnessed entry ranks just after the single
+# stalest witnessed cohort, capped by the non-hash budget).
 # Slot 1: Q-AGG-12, the last r1-latest entry (its only driver row ever
-# was a r1 no-oracle witness). Slots 2-44: the r2 cohort
-# oldest-evidence-first (43 of its 45 entries; U-SCALAR-01/U-TABLE-01
-# are the two the family quota squeezes out — 46 stale + 6 mandatory
-# family carriers = 52 > 50, so exactly two r2 entries spill to r11).
-# Slots 45-50: the stalest entry of each family the stale set lacks
+# was a r1 no-oracle witness). Slots 2-10: NINE of the ten
+# never-witnessed golden/tol entries get their first-ever driver rows
+# (M-PRED-02/03, M-TRAIN-02..07, Q-AGG-17); Q-AGG-19 is the one the
+# >=40 hash-mode quota excludes (ten non-hash slots total, Q-AGG-12
+# takes one) — it leads the spillover and zeroes the backlog in r11.
+# Slots 11-44: the r2 cohort oldest-evidence-first (34 of its 45
+# entries; the 11 the never-witnessed intake displaces spill to r11).
+# Slots 45-50: the stalest entry of each family the fill lacks
 # (L-PIPE-02, L-TEXT-02, S-SINK-02, G-MV-01, Q-TS-03, L-MIX-02, all
-# r3). 48/50 hash-mode (>=40 quota; Q-AGG-12 tol + L-DEDUP-02 golden).
-# Spillover: the 10 never-witnessed golden/tol entries first (all
-# pre-timed green), then every witnessed entry oldest-first so a
-# deeper-than-50 driver check keeps draining staleness.
+# r3). Exactly 40/50 hash-mode. Spillover: Q-AGG-19 first, then every
+# witnessed entry oldest-first so a deeper-than-50 driver check keeps
+# draining staleness.
 _DRIVER_PRIORITY = [
-    "Q-AGG-12", "L-DEDUP-02", "L-DEDUP-03", "L-MM-01",
+    "Q-AGG-12", "M-PRED-02", "M-PRED-03", "M-TRAIN-02",
+    "M-TRAIN-03", "M-TRAIN-04", "M-TRAIN-05", "M-TRAIN-06",
+    "M-TRAIN-07", "Q-AGG-17", "L-DEDUP-03", "L-MM-01",
     "L-SIM-01", "M-PREP-02", "Q-AGG-01", "Q-AGG-05",
     "Q-ARR-01", "Q-ARR-02", "Q-ARR-03", "Q-ARR-04",
     "Q-ARR-05", "Q-CAST-01", "Q-COND-01", "Q-CTE-01",
@@ -50,15 +56,13 @@ _DRIVER_PRIORITY = [
     "Q-JOIN-10", "Q-JSON-01", "Q-MAP-01", "Q-MATH-01",
     "Q-PIVOT-01", "Q-PROJ-02", "Q-SCAN-02", "Q-SET-01",
     "Q-SORT-02", "Q-STR-05", "Q-SUBQ-01", "Q-SUBQ-02",
-    "Q-SUBQ-03", "Q-TPCH-02", "Q-TPCH-03", "Q-WIN-02",
-    "Q-WIN-03", "Q-WIN-04", "Q-WIN-05", "Q-WIN-06",
-    "Q-WIN-07", "U-AGG-01", "U-GAPPLY-01", "U-MAP-01",
+    "Q-SUBQ-03", "Q-TPCH-02", "Q-WIN-02", "U-AGG-01",
     "L-PIPE-02", "L-TEXT-02", "S-SINK-02", "G-MV-01",
     "Q-TS-03", "L-MIX-02",
     # ---- 50-window boundary ----
-    "M-PRED-02", "M-PRED-03", "M-TRAIN-02", "M-TRAIN-03",
-    "M-TRAIN-04", "M-TRAIN-05", "M-TRAIN-06", "M-TRAIN-07",
-    "Q-AGG-17", "Q-AGG-19", "U-SCALAR-01", "U-TABLE-01",
+    "Q-AGG-19", "L-DEDUP-02", "Q-TPCH-03", "Q-WIN-03",
+    "Q-WIN-04", "Q-WIN-05", "Q-WIN-06", "Q-WIN-07",
+    "U-GAPPLY-01", "U-MAP-01", "U-SCALAR-01", "U-TABLE-01",
     "L-DEDUP-04", "L-DEDUP-05", "L-DEDUP-06", "L-DEDUP-07",
     "L-MM-03", "L-SIM-02", "L-SIM-03", "L-SIM-04",
     "L-TEXT-03", "L-TEXT-05", "L-TEXT-06", "L-TEXT-07",

@@ -42,3 +42,13 @@ def test_proposed_window_satisfies_driver_invariants():
     latest = rotate_window.latest_witness()
     oldest_all = min(latest.values())
     assert report["oldest_round_in_window"] == oldest_all
+    # lifetime coverage: no never-witnessed entry is left to spillover
+    # while the window still has non-hash headroom (never-witnessed are
+    # all golden/tol, so the hash quota is their only legitimate cap)
+    never = [n for n in specs if n not in latest]
+    spilled_never = [n for n in never if n not in window]
+    non_hash_budget = 50 - rotate_window.MIN_HASH_MODE
+    n_non_hash = sum(1 for n in window if specs[n].sql is None)
+    assert not (spilled_never and n_non_hash < non_hash_budget), (
+        spilled_never, n_non_hash
+    )

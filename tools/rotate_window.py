@@ -6,13 +6,14 @@ The correctness driver hash-checks the first 50 entries of
 ``__spark_entry__.queries()`` each round. This tool reads every
 ``CORRECTNESS_r*.json``, computes each entry's latest driver witness,
 and emits a 50-slot window that (a) re-proves the STALEST evidence
-first, (b) satisfies the family-coverage invariant
+first, where a NEVER-witnessed entry ranks just after the single
+stalest witnessed cohort (lifetime coverage outranks bulk staleness;
+intake capped by the non-hash budget since all never-witnessed are
+golden/tol), (b) satisfies the family-coverage invariant
 (tests/test_driver_window.py: all 14 top-level families must appear),
-(c) keeps >= 40 hash-mode entries (same test file), and (d) spends
-leftover family slots on never-witnessed golden/tol entries when one
-can carry its family. The spillover (everything else,
-never-witnessed-first then oldest-first) follows so a
-deeper-than-50 driver check still drains staleness.
+and (c) keeps >= 40 hash-mode entries (same test file). The spillover
+(everything else, never-witnessed-first then oldest-first) follows so
+a deeper-than-50 driver check still drains staleness.
 
 Output is the python-literal list body to paste into
 ``__spark_entry__._DRIVER_PRIORITY`` plus a constraint report.
@@ -68,12 +69,28 @@ def propose(window_size: int = 50) -> tuple[list[str], list[str], dict]:
     specs = load_all()
     latest = latest_witness()
     never = [n for n in specs if n not in latest]
-    # stalest first; ties by name for determinism
-    stale = sorted((n for n in specs if n in latest),
-                   key=lambda n: (latest[n], n))
+    min_round = min(latest.values())
+
+    def is_hash(n: str) -> bool:
+        return specs[n].sql is not None
+
+    # Lifetime coverage outranks bulk staleness: a never-witnessed
+    # entry (no driver row EVER) ranks just AFTER the single stalest
+    # witnessed cohort — that cohort is the previous rotation's
+    # unfinished promise — and ahead of everything else. All
+    # never-witnessed entries are golden/tol (non-hash) by policy, so
+    # their intake is naturally capped by the hash-mode quota's
+    # non-hash budget (window_size - MIN_HASH_MODE), enforced in the
+    # fill below rather than repaired after the fact.
+    def rank(n: str) -> float:
+        return latest.get(n, min_round + 0.5)
+
+    pool = sorted(specs, key=lambda n: (rank(n), n))
+    non_hash_budget = window_size - MIN_HASH_MODE
 
     window: list[str] = []
     covered: set[str] = set()
+    non_hash_used = 0
 
     def room() -> int:
         # slots that MUST stay free for still-uncovered families
@@ -81,43 +98,55 @@ def propose(window_size: int = 50) -> tuple[list[str], list[str], dict]:
             1 for f in REQUIRED_FAMILIES if f not in covered
         )
 
-    # pass 1: stalest evidence, while leaving room for family fillers
-    for n in stale:
+    # pass 1: global staleness order (never-witnessed = stalest-cohort
+    # + 0.5), leaving room for family fillers and skipping non-hash
+    # entries once the quota's non-hash budget is spent
+    for n in pool:
         if len(window) >= window_size:
             break
+        if not is_hash(n) and non_hash_used >= non_hash_budget:
+            continue
         f = family(n)
-        if f in REQUIRED_FAMILIES and f not in covered:
+        if (f in REQUIRED_FAMILIES and f not in covered) or room() > 0:
             window.append(n)
             covered.add(f)
-        elif room() > 0:
-            window.append(n)
+            if not is_hash(n):
+                non_hash_used += 1
     # pass 2: uncovered families — prefer a NEVER-witnessed entry that
-    # carries the family (converts backlog), else the family's stalest
+    # carries the family (converts backlog), else the family's stalest;
+    # budget-respecting candidates first, any candidate as a last
+    # resort (family coverage is the harder invariant)
     for f in REQUIRED_FAMILIES:
         if f in covered or len(window) >= window_size:
             continue
-        cand = sorted(n for n in never if family(n) == f and n not in window)
-        if not cand:
-            cand = [n for n in stale if family(n) == f and n not in window]
+        fam_pool = sorted(
+            (n for n in never if family(n) == f and n not in window)
+        ) + [n for n in pool
+             if n in latest and family(n) == f and n not in window]
+        cand = [n for n in fam_pool
+                if is_hash(n) or non_hash_used < non_hash_budget] or fam_pool
         if cand:
             window.append(cand[0])
             covered.add(f)
-    # pass 3: leftover slots -> never-witnessed, then next-stalest
-    for pool in (sorted(never), stale):
-        for n in pool:
-            if len(window) >= window_size:
-                break
-            if n not in window:
-                window.append(n)
+            if not is_hash(cand[0]):
+                non_hash_used += 1
+    # pass 3: leftover slots -> next in global staleness order
+    for n in pool:
+        if len(window) >= window_size:
+            break
+        if n not in window and (is_hash(n)
+                                or non_hash_used < non_hash_budget):
+            window.append(n)
+            if not is_hash(n):
+                non_hash_used += 1
 
-    # hash-mode quota: swap golden/tol non-family-carriers for the
+    # hash-mode quota backstop: the budgeted fill above keeps the quota
+    # by construction except when pass 2's last-resort family carrier
+    # overspends — swap golden/tol non-family-carriers for the
     # next-stalest hash entries until >= MIN_HASH_MODE
-    def is_hash(n: str) -> bool:
-        return specs[n].sql is not None
-
     n_hash = sum(1 for n in window if is_hash(n))
     if n_hash < MIN_HASH_MODE:
-        spare_hash = [n for n in stale if n not in window and is_hash(n)]
+        spare_hash = [n for n in pool if n not in window and is_hash(n)]
         for i in range(len(window) - 1, -1, -1):
             if n_hash >= MIN_HASH_MODE or not spare_hash:
                 break
@@ -128,7 +157,7 @@ def propose(window_size: int = 50) -> tuple[list[str], list[str], dict]:
                 n_hash += 1
 
     spill_never = [n for n in sorted(never) if n not in window]
-    spill_stale = [n for n in stale if n not in window]
+    spill_stale = [n for n in pool if n in latest and n not in window]
     spillover = spill_never + spill_stale
     report = {
         "window": len(window),
