@@ -199,19 +199,50 @@ _Q8_SQL = (
 def q_tpch_08(spark, sf):
     """Market-share shape (TPC-H Q8): conditional revenue over total
     revenue per year — the exact-int numerator/denominator makes the
-    double ratio cross-engine identical."""
-    li = load(spark, sf, "lineitem")
-    orders = load(spark, sf, "orders")
-    cust = load(spark, sf, "customer")
-    nation = F.broadcast(load(spark, sf, "nation"))
-    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
-    target = F.when(F.col("n_name") == "NATION_1", rev).otherwise(F.lit(0))
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+    double ratio cross-engine identical.
+
+    Join order is dims-first (the r10 audit of the worst 100x absolute,
+    BASELINE.md §5): resolve orders→customer→nation into a NARROW
+    order-grain map (o_orderkey, yr, is_target) BEFORE touching
+    lineitem, so the fact table is shuffled exactly once (on orderkey)
+    and only order-grain rows move on custkey. The former fact-first
+    order (lineitem⋈orders, then ⋈customer) re-shuffled the
+    fact-sized joined intermediate — wide rows carrying the revenue
+    columns — on custkey; Catalyst does not reorder joins without CBO
+    stats, so the declared order IS the plan. No keyset prune applies
+    here by construction: the denominator aggregates ALL revenue, so
+    every lineitem row participates. Customer is joined without an
+    explicit broadcast hint — AQE broadcasts it while it fits and
+    falls back to a shuffle at scale (customer grows with SF)."""
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nation = F.broadcast(
+        load(spark, sf, "nation").select("n_nationkey", "n_name")
+    )
+    omap = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
-        .groupBy(F.year("o_orderdate").alias("yr"))
-        .agg((F.sum(target) / F.sum(rev)).alias("mkt_share"))
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            (F.col("n_name") == "NATION_1").alias("is_target"),
+        )
+    )
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(omap, li.l_orderkey == omap.o_orderkey)
+        .groupBy("yr")
+        .agg(
+            (
+                F.sum(F.when(F.col("is_target"), rev).otherwise(F.lit(0)))
+                / F.sum(rev)
+            ).alias("mkt_share")
+        )
         .orderBy("yr")
     )
 

@@ -219,6 +219,26 @@ def test_tpch18_single_rollup_and_topk(spark, sf_dir):
     assert n_aggs == 2, f"expected one partial/final aggregate pair:\n{p}"
 
 
+def test_tpch08_dims_resolve_before_fact_join(spark, sf_dir):
+    # r10 rewrite (BASELINE.md §5): orders→customer→nation collapse to
+    # a narrow order-grain map (o_orderkey, yr, is_target) BEFORE the
+    # lineitem join, so the fact table shuffles exactly once (on
+    # orderkey) and no fact-sized intermediate ever moves on custkey.
+    # The is_target projection is the rewrite's signature — it exists
+    # only when nation resolves below the fact join; the fact-first
+    # order carries n_name up to the aggregate instead.
+    p = plan(spark, sf_dir, "Q-TPCH-08")
+    assert "is_target" in p, p
+    # the fact scan reads exactly its three needed columns
+    li_schema = next(
+        seg.split("\n", 1)[0]
+        for seg in p.split("ReadSchema: ")[1:]
+        if "l_orderkey" in seg
+    )
+    assert "l_extendedprice" in li_schema and "l_discount" in li_schema
+    assert "l_quantity" not in li_schema and "l_shipdate" not in li_schema
+
+
 def test_tpch19_disjunction_pushes_to_both_scans(spark, sf_dir):
     # from the 3-way OR mixing both sides' columns, Catalyst must derive
     # per-side filters and push them into BOTH parquet scans
