@@ -7,13 +7,16 @@ on the command line (e.g. ops added past the window boundary this
 round).
 
 Run: python tools/window_sim.py [N] [extra-entry ...]
-Defaults: N=50 (the driver's window size).
+Defaults: N=50 (the driver's window size); fixture dir from
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01 — run once per SF:
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python tools/window_sim.py).
 
 Exit code 0 = all green; 1 = at least one FAIL (printed).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -35,13 +38,14 @@ def main() -> int:
     from tests.oracle import compare, duck_con
 
     qs, osql = entry.queries(), entry.oracle_sql()
-    con = duck_con("/root/testdata/sf0.01")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    con = duck_con(sf_dir)
     targets = list(qs)[:n] + [e for e in extra if e not in list(qs)[:n]]
     fails: list[tuple[str, object]] = []
     t0 = time.time()
     for name in targets:
         try:
-            df = qs[name](spark, "/root/testdata/sf0.01")
+            df = qs[name](spark, sf_dir)
             if name in osql:
                 r = compare(df, con, osql[name])
                 if not r["match"]:
