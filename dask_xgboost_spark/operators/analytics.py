@@ -1699,17 +1699,19 @@ def profile_key_skew(df, key_col: str, top_k: int = 10, num_buckets: int = 32):
     TakeOrderedAndProject; rank/cumulative via a k x k broadcast
     triangle join (never a SinglePartition window); bucket histogram is
     a ``num_buckets``-group rollup of the key grain."""
-    c = df.groupBy(key_col).agg(
+    # key_col reaches name-PARSING sites (groupBy/F.col/F.asc/select
+    # strings and the md5_poly SQL fragment), all of which split on
+    # dots and reject spaces/hyphens — backtick-quote it once and use
+    # the quoted form at every such site, so any literal column name
+    # works (embedded backticks escape by doubling, Spark SQL's rule);
+    # output columns keep the ORIGINAL unquoted name
+    quoted = "`" + key_col.replace("`", "``") + "`"
+    c = df.groupBy(quoted).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     total = c.agg(F.sum("cnt").cast("bigint").alias("total"))
     # the SAME md5-polynomial fragment the SQL twin embeds (one audited
-    # definition, functions.md5_poly); key_col is interpolated into SQL
-    # text, so backtick-quote it — names needing quoting (spaces, dots,
-    # hyphens) worked on the old column-expression path and must keep
-    # working here (embedded backticks escape by doubling, Spark SQL's
-    # quoting rule)
-    quoted = "`" + key_col.replace("`", "``") + "`"
+    # definition, functions.md5_poly)
     bucket = (
         F.expr(md5_poly(f"CAST({quoted} AS STRING)", 2, descending=True))
         % num_buckets
@@ -1719,16 +1721,16 @@ def profile_key_skew(df, key_col: str, top_k: int = 10, num_buckets: int = 32):
         .agg(F.sum("cnt").alias("n"))
         .agg(F.max("n").cast("bigint").alias("bucket_max"))
     )
-    k = c.orderBy(F.desc("cnt"), F.asc(key_col)).limit(top_k)
+    k = c.orderBy(F.desc("cnt"), F.asc(quoted)).limit(top_k)
     a, b2 = k.alias("a"), k.alias("b")
     le = (F.col("b.cnt") > F.col("a.cnt")) | (
         (F.col("b.cnt") == F.col("a.cnt"))
-        & (F.col(f"b.{key_col}") <= F.col(f"a.{key_col}"))
+        & (F.col(f"b.{quoted}") <= F.col(f"a.{quoted}"))
     )
     r = (
         a.join(F.broadcast(b2), le)
         .groupBy(
-            F.col(f"a.{key_col}").alias(key_col),
+            F.col(f"a.{quoted}").alias(key_col),
             F.col("a.cnt").alias("cnt"),
         )
         .agg(
@@ -1742,7 +1744,7 @@ def profile_key_skew(df, key_col: str, top_k: int = 10, num_buckets: int = 32):
         .crossJoin(F.broadcast(bm))
         .select(
             "rk",
-            key_col,
+            quoted,
             "cnt",
             F.expr("cnt * 1000 div total").cast("bigint").alias("share_pm"),
             F.expr("cum * 1000 div total").cast("bigint").alias("cum_pm"),

@@ -64,18 +64,20 @@ def test_profile_key_skew_matches_reference(spark, keys):
 
 
 def test_profile_key_skew_quotes_nonidentifier_names(spark):
-    # the md5_poly fragment interpolates the key column into SQL text;
-    # a name needing backtick quoting (space/hyphen) worked on the old
-    # column-expression path and must keep working (ADVICE r9)
+    # every name-parsing site (groupBy/F.col/F.asc/select strings and
+    # the md5_poly SQL fragment) must take the backtick-quoted form, so
+    # names with spaces AND dots — which string resolution would split
+    # as struct/alias separators — keep working (ADVICE r9)
     keys = [1, 1, 2, 3, 3, 3]
-    df = spark.createDataFrame([(k,) for k in keys], ["my key"])
-    got = [
-        tuple(r)
-        for r in profile_key_skew(df, "my key", top_k=5, num_buckets=8)
-        .orderBy("rk")
-        .collect()
-    ]
-    assert got == _ref_skew(keys, top_k=5, num_buckets=8)
+    for name in ("my key", "user.id"):
+        df = spark.createDataFrame([(k,) for k in keys], [name])
+        got = [
+            tuple(r)
+            for r in profile_key_skew(df, name, top_k=5, num_buckets=8)
+            .orderBy("rk")
+            .collect()
+        ]
+        assert got == _ref_skew(keys, top_k=5, num_buckets=8), name
 
 
 def _ref_confusion(pairs: list[tuple[str, str]]):

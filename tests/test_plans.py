@@ -229,14 +229,17 @@ def test_tpch08_dims_resolve_before_fact_join(spark, sf_dir):
     # order carries n_name up to the aggregate instead.
     p = plan(spark, sf_dir, "Q-TPCH-08")
     assert "is_target" in p, p
-    # the fact scan reads exactly its three needed columns
-    li_schema = next(
-        seg.split("\n", 1)[0]
-        for seg in p.split("ReadSchema: ")[1:]
-        if "l_orderkey" in seg
-    )
-    assert "l_extendedprice" in li_schema and "l_discount" in li_schema
-    assert "l_quantity" not in li_schema and "l_shipdate" not in li_schema
+    # the fact scan reads exactly its three needed columns — match on
+    # the schema LINE only (the rest of a segment is arbitrary plan
+    # text that can mention lineitem columns from other nodes)
+    schema_lines = [
+        seg.split("\n", 1)[0] for seg in p.split("ReadSchema: ")[1:]
+    ]
+    li_schemas = [s for s in schema_lines if "l_orderkey" in s]
+    assert li_schemas, f"no lineitem ReadSchema in plan:\n{p}"
+    for li_schema in li_schemas:
+        assert "l_extendedprice" in li_schema and "l_discount" in li_schema
+        assert "l_quantity" not in li_schema and "l_shipdate" not in li_schema
 
 
 def test_tpch19_disjunction_pushes_to_both_scans(spark, sf_dir):
