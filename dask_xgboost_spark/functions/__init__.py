@@ -153,6 +153,51 @@ def md5_poly(arg_sql: str, n_terms: int, *, descending: bool = False) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def hex_nibbles(hex_sql: str, start: int, n_chars: int) -> str:
+    """Dialect-neutral UNIFORM integer from md5 hex characters — the
+    second audited hash fragment next to :func:`md5_poly`, added for the
+    hash-mode sketch twins (Q-AGG-27 HLL registers, Q-AGG-28 count-min).
+
+    ``md5_poly`` weights raw ascii codes by powers of 31, which is fine
+    for MinHash orderings and bucket checksums but NOT uniform modulo a
+    power of two — a sketch whose bucket/rank statistics feed an
+    estimator needs genuinely uniform bits. This fragment decodes each
+    hex char to its 4-bit value (``ascii - 48`` for ``'0'..'9'``,
+    ``ascii - 87`` for ``'a'..'f'``) and assembles a big-endian base-16
+    integer over ``n_chars`` chars starting at 1-based ``start``:
+
+        Σ_j (CAST(ascii(substr(hx, start+j, 1)) AS BIGINT)
+             - CASE ascii >= 97 THEN 87 ELSE 48) · 16^(n-1-j)
+
+    The result is EXACTLY uniform on [0, 16^n) given a uniform hex
+    string, so ``value % 2^k`` is exactly uniform for any ``k ≤ 4n``
+    (16^n is a multiple of every smaller power of two) — no division
+    needed, which matters because integer division is the one operator
+    Spark SQL (``DIV``) and DuckDB (``//``) spell differently. Only
+    ascii/substr/CASE/+/* appear, all dialect-identical.
+
+    Overflow discipline (same as md5_poly): each nibble is BIGINT-cast
+    before its coefficient multiply, and ``n_chars <= 15`` keeps the
+    maximum value under 2^60 < int64 max. Unit coefficients (16^0) are
+    omitted. ``hex_sql`` should reference a precomputed md5 column, not
+    inline ``md5(...)`` — the fragment repeats it 2·n times."""
+    assert 1 <= n_chars <= 15, n_chars
+    assert start >= 1, start
+    terms = []
+    for j in range(n_chars):
+        i = start + j
+        p = n_chars - 1 - j
+        a = f"ascii(substr({hex_sql}, {i}, 1))"
+        t = (
+            f"(CAST({a} AS BIGINT) - "
+            f"CASE WHEN {a} >= 97 THEN 87 ELSE 48 END)"
+        )
+        if p:
+            t += f" * {16 ** p}"
+        terms.append(t)
+    return "(" + " + ".join(terms) + ")"
+
+
 # DuckDB view of events with Spark's exact µs truncation applied (the
 # fixture parquet is ns; Spark reads µs — see sources/tables.py).
 EVENTS_US = (

@@ -28,6 +28,7 @@ from dask_xgboost_spark.functions import (
     cents,
     charge,
     dec,
+    hex_nibbles,
     sql_cents,
     sql_charge,
     sql_dec,
@@ -2363,6 +2364,237 @@ def q_agg_26(spark, sf):
             F.max("bal_c").cast("bigint").alias("best_bal_c"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+_A27_M = 64  # HLL register count (p = 6 index bits)
+_A27_W = 56  # rank-domain bits: 14 hex nibbles
+# bucket: 2 hex chars = 8 uniform bits, % 64 exactly uniform (256 ≡ 0
+# mod 64); rank domain: the NEXT 14 chars (disjoint bits — index and
+# rank must be independent), rank = (W - bitlen(w)) + 1 with w = 0
+# mapping to W + 1, computed exactly via LENGTH(BIN(w)) — both engines
+# render minimal binary with no leading zeros ('0' for 0, length 1,
+# which is why the zero case is split out).
+_A27_BUCKET = f"({hex_nibbles('hx', 1, 2)} % {_A27_M})"
+_A27_WBITS = hex_nibbles("hx", 3, 14)
+_A27_RANK = (
+    f"CASE WHEN w = 0 THEN {_A27_W + 1} "
+    f"ELSE {_A27_W + 1} - LENGTH(BIN(w)) END"
+)
+
+
+@register(
+    "Q-AGG-27",
+    sql="WITH h AS ("
+    "  SELECT o_orderpriority, md5(CAST(o_custkey AS VARCHAR)) AS hx"
+    "  FROM orders), "
+    "b AS ("
+    f"  SELECT o_orderpriority, {_A27_BUCKET} AS bucket, {_A27_WBITS} AS w"
+    "  FROM h), "
+    "r AS ("
+    f"  SELECT o_orderpriority, bucket, MAX({_A27_RANK}) AS reg"
+    "  FROM b GROUP BY o_orderpriority, bucket), "
+    "r2 AS ("
+    "  SELECT *, MAX(reg) OVER (PARTITION BY o_orderpriority) AS rmax"
+    "  FROM r), "
+    "g AS ("
+    "  SELECT o_orderpriority, "
+    "    CAST(COUNT(*) AS BIGINT) AS n_regs, "
+    "    CAST(SUM(reg) AS BIGINT) AS sum_reg, "
+    "    CAST(MAX(reg) AS BIGINT) AS max_reg, "
+    "    CAST(SUM((bucket + 1) * reg) AS BIGINT) AS reg_checksum, "
+    "    CAST(SUM(CAST(POWER(2, rmax - reg) AS BIGINT)) AS BIGINT) "
+    "      AS harm_present "
+    "  FROM r2 GROUP BY o_orderpriority), "
+    "e AS ("
+    "  SELECT o_orderpriority, "
+    "    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust "
+    "  FROM orders GROUP BY o_orderpriority) "
+    f"SELECT g.o_orderpriority, CAST({_A27_M} AS BIGINT) AS m, n_regs, "
+    f"  CAST({_A27_M} - n_regs AS BIGINT) AS zero_regs, sum_reg, max_reg, "
+    f"  harm_present + ({_A27_M} - n_regs) "
+    "    * CAST(POWER(2, max_reg) AS BIGINT) AS harm_num, "
+    "  reg_checksum, exact_cust "
+    "FROM g JOIN e ON g.o_orderpriority = e.o_orderpriority "
+    "ORDER BY g.o_orderpriority",
+)
+def q_agg_27(spark, sf):
+    """Hash-mode HLL twin (the L-DEDUP-14 / L-SIM-14 move applied to
+    Q-AGG-08/17's sketch tier): the HyperLogLog MECHANISM — uniform
+    hash → 6-bit register index → leading-zero rank of the disjoint
+    56-bit remainder → MAX-merge per register — materialized as an
+    explicit 64-register table per group and oracle-pinned to the row.
+    Spark's own hll_sketch_agg stays tol-checked (Q-AGG-17: its binary
+    sketch is engine-specific by nature); this twin proves the
+    engine-neutral construction end-to-end: register count, zero-
+    register count, Σreg, max rank, a position-weighted register
+    checksum (any single register diverging fails the hash), and the
+    harmonic-mean numerator Σ_j 2^(R−reg_j) carried as an EXACT int64
+    (R = max rank ≤ 57, 64·2^57 < 2^63) from which the estimator
+    α_m·m²·2^R/harm_num is pure post-arithmetic — accuracy vs
+    exact_cust is asserted in tests/test_golden.py.
+
+    Scale shape: registers are insensitive to duplicates (MAX of equal
+    ranks), so NO distinct pass is needed — one map-combined
+    groupBy(group, bucket) over the raw fact keeps partial state at
+    |groups|·64 rows per map task no matter the input size; the window
+    runs on the |groups|·64-row register table, never the fact. This
+    is the architecture that replaces exact-distinct shuffles at
+    100 TB, here with every intermediate checkable."""
+    orders = load(spark, sf, "orders").withColumn(
+        "hx", F.md5(F.col("o_custkey").cast("string"))
+    )
+    b = orders.select(
+        "o_orderpriority",
+        F.expr(_A27_BUCKET).alias("bucket"),
+        F.expr(_A27_WBITS).alias("w"),
+    )
+    r = b.groupBy("o_orderpriority", "bucket").agg(
+        F.max(F.expr(_A27_RANK)).alias("reg")
+    )
+    rmax = F.max("reg").over(Window.partitionBy("o_orderpriority"))
+    g = (
+        r.withColumn("rmax", rmax)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_regs"),
+            F.sum("reg").cast("bigint").alias("sum_reg"),
+            F.max("reg").cast("bigint").alias("max_reg"),
+            F.sum((F.col("bucket") + 1) * F.col("reg"))
+            .cast("bigint")
+            .alias("reg_checksum"),
+            F.sum(
+                F.pow(F.lit(2.0), F.col("rmax") - F.col("reg")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("harm_present"),
+        )
+    )
+    e = (
+        load(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").cast("bigint").alias("exact_cust"))
+    )
+    return (
+        g.join(e, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.lit(_A27_M).cast("bigint").alias("m"),
+            "n_regs",
+            (F.lit(_A27_M) - F.col("n_regs")).cast("bigint").alias("zero_regs"),
+            "sum_reg",
+            "max_reg",
+            (
+                F.col("harm_present")
+                + (F.lit(_A27_M) - F.col("n_regs"))
+                * F.pow(F.lit(2.0), F.col("max_reg")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("harm_num"),
+            "reg_checksum",
+            "exact_cust",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_A28_D = 4  # count-min rows (independent hash functions)
+_A28_W = 32  # counters per row: 8 hex chars = 32 uniform bits, % 32 uniform
+_A28_KEYS = 16  # point-query keys: custkey 0..15 (bounded by design)
+# per-row hash: md5 of "key#row" — one md5 per (key, row), uniform mod 32
+_A28_BUCKET = f"({hex_nibbles('hx2', 1, 8)} % {_A28_W})"
+
+
+@register(
+    "Q-AGG-28",
+    sql="WITH kc AS ("
+    "  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt"
+    "  FROM orders GROUP BY o_custkey), "
+    "rows_d AS (SELECT UNNEST([0, 1, 2, 3]) AS r), "
+    "counters AS ("
+    "  SELECT r, bucket, CAST(SUM(cnt) AS BIGINT) AS c FROM ("
+    f"    SELECT r, {_A28_BUCKET} AS bucket, cnt FROM ("
+    "      SELECT r, md5(CAST(k AS VARCHAR) || '#' || CAST(r AS VARCHAR))"
+    "        AS hx2, cnt FROM kc CROSS JOIN rows_d)) "
+    "  GROUP BY r, bucket), "
+    "q AS (SELECT UNNEST(range(16)) AS k), "
+    "qb AS ("
+    f"  SELECT k, r, {_A28_BUCKET} AS bucket FROM ("
+    "    SELECT k, r, md5(CAST(k AS VARCHAR) || '#' || CAST(r AS VARCHAR))"
+    "      AS hx2 FROM q CROSS JOIN rows_d)), "
+    "est AS ("
+    "  SELECT qb.k, CAST(MIN(c.c) AS BIGINT) AS est FROM qb "
+    "  JOIN counters c ON qb.r = c.r AND qb.bucket = c.bucket "
+    "  GROUP BY qb.k) "
+    "SELECT CAST(est.k AS BIGINT) AS k, "
+    "  CAST(COALESCE(kc.cnt, 0) AS BIGINT) AS exact, est.est, "
+    "  CAST(est.est - COALESCE(kc.cnt, 0) AS BIGINT) AS overcount "
+    "FROM est LEFT JOIN kc ON est.k = kc.k ORDER BY k",
+)
+def q_agg_28(spark, sf):
+    """Hash-mode count-min-sketch twin of Q-AGG-19 (completing the
+    sketch tier's mechanism proofs: HLL → Q-AGG-27, CMS → here): d=4
+    hash rows × w=32 counters built from md5-uniform bucket hashes,
+    point estimate = MIN over rows of the landed counter. With ~1.5k
+    distinct custkeys crammed into 32 buckets the collision mass is
+    real, so the one-sided error is LOAD-BEARING: every output row
+    carries overcount = est − exact ≥ 0, including keys with NO
+    orders at all (exact 0, est > 0 — the sketch never underestimates,
+    even for absent keys), and the hash check pins every counter-join
+    outcome exactly. Q-AGG-19's engine-native sketch keeps its tol
+    check; this is the engine-neutral construction.
+
+    Scale shape: counters build from the KEY-GRAIN aggregate (one
+    map-combined groupBy), not a ×d fact explosion — the d×w expansion
+    touches |keys| rows, and the counter table is d·w = 128 rows
+    regardless of scale. Point queries are a bounded 16-key literal
+    frame joined against the broadcast counter table; exact
+    counterparts come from a scan-pruned filter of the same key-grain
+    aggregate, never a second fact pass."""
+    kc = (
+        load(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    rows_d = F.explode(
+        F.array([F.lit(i) for i in range(_A28_D)])
+    ).alias("r")
+    hx2 = F.md5(
+        F.concat(
+            F.col("k").cast("string"), F.lit("#"), F.col("r").cast("string")
+        )
+    )
+    bucket_expr = F.expr(_A28_BUCKET)
+    counters = (
+        kc.select("k", "cnt", rows_d)
+        .withColumn("hx2", hx2)
+        .select("r", bucket_expr.alias("bucket"), "cnt")
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    q = spark.range(_A28_KEYS).select(F.col("id").alias("k"))
+    qb = (
+        q.select("k", rows_d)
+        .withColumn("hx2", hx2)
+        .select("k", "r", bucket_expr.alias("bucket"))
+    )
+    est = (
+        qb.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("k")
+        .agg(F.min("c").cast("bigint").alias("est"))
+    )
+    exact_q = kc.filter(F.col("k") < _A28_KEYS)
+    return (
+        est.join(F.broadcast(exact_q), "k", "left")
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("exact"),
+            "est",
+            (F.col("est") - F.coalesce("cnt", F.lit(0)))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+        .orderBy("k")
     )
 
 

@@ -7,7 +7,9 @@ operator-level oracle sweep."""
 
 from __future__ import annotations
 
-from dask_xgboost_spark.functions import md5_poly
+import pytest
+
+from dask_xgboost_spark.functions import hex_nibbles, md5_poly
 
 
 def test_md5_poly_emission_contract():
@@ -57,3 +59,46 @@ def test_md5_poly_cross_engine_values(spark, duck):
     spark_row = spark.sql(f"SELECT {sel}").collect()[0]
     duck_row = duck.execute(f"SELECT {sel}").fetchone()
     assert tuple(spark_row) == tuple(duck_row)
+
+
+def test_hex_nibbles_emission_contract():
+    # n=1: one nibble decode — BIGINT-cast ascii minus the hex-alpha
+    # offset CASE, parenthesized, no coefficient on the unit term
+    one = hex_nibbles("hx", 1, 1)
+    assert one == (
+        "((CAST(ascii(substr(hx, 1, 1)) AS BIGINT) - "
+        "CASE WHEN ascii(substr(hx, 1, 1)) >= 97 THEN 87 ELSE 48 END))"
+    )
+    # big-endian: char at `start` carries 16^(n-1); last char is unit
+    two = hex_nibbles("hx", 3, 2)
+    assert "substr(hx, 3, 1)" in two and "substr(hx, 4, 1)" in two
+    assert two.index("substr(hx, 3, 1)") < two.index("substr(hx, 4, 1)")
+    assert " * 16 + " in two  # 16^1 on the first term, unit on the last
+    assert not two.rstrip(")").endswith("* 1")
+    # int64 discipline: every nibble BIGINT-cast before its coefficient,
+    # and the 15-char bound (16^15 = 2^60 < 2^63) is enforced
+    full = hex_nibbles("hx", 1, 15)
+    assert full.count("AS BIGINT") == 15
+    assert f"* {16 ** 14}" in full
+    with pytest.raises(AssertionError):
+        hex_nibbles("hx", 1, 16)
+    with pytest.raises(AssertionError):
+        hex_nibbles("hx", 0, 4)
+
+
+def test_hex_nibbles_cross_engine_values(spark, duck):
+    """Same fragment text → same integers in both engines, and both
+    equal Python's int(hex_slice, 16) ground truth — the uniformity
+    claim (exact base-16 decode) verified at the value level."""
+    import hashlib
+
+    samples = ["", "0", "42", "a b|c", "12345"]
+    for s in samples:
+        hx = hashlib.md5(s.encode()).hexdigest()
+        for start, n in ((1, 2), (3, 14), (1, 8), (5, 1)):
+            frag = hex_nibbles("hx", start, n)
+            q = f"SELECT {frag} AS v FROM (SELECT md5('{s}') AS hx) AS t"
+            got_spark = spark.sql(q).collect()[0]["v"]
+            got_duck = duck.execute(q).fetchone()[0]
+            want = int(hx[start - 1 : start - 1 + n], 16)
+            assert got_spark == got_duck == want, (s, start, n)

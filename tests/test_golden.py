@@ -381,6 +381,45 @@ def test_count_min_sketch_bounds(spark, sf_dir):
         assert r["est"] <= r["exact"] + 0.001 * n_total
 
 
+def test_hash_mode_hll_estimator_accuracy(spark, sf_dir):
+    """Q-AGG-27: the register table is hash-pinned; this test closes
+    the loop by deriving the actual HLL estimate from the exact-int64
+    carrier columns (α_64·m²·2^R / harm_num, linear counting below
+    2.5m with zero registers) and checking it against exact_cust.
+    m=64 → standard error 1.04/√64 = 13%; the 35% gate is ~2.7σ."""
+    import math
+
+    rows = SPECS["Q-AGG-27"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    alpha = 0.7213 / (1 + 1.079 / 64)
+    for r in rows:
+        # internal consistency of the carrier columns
+        assert r["m"] == 64
+        assert r["n_regs"] + r["zero_regs"] == 64
+        assert r["harm_num"] >= r["n_regs"]  # every 2^(R-reg) term >= 1
+        est = alpha * 64 * 64 * (2.0 ** r["max_reg"]) / r["harm_num"]
+        if est <= 2.5 * 64 and r["zero_regs"] > 0:
+            est = 64 * math.log(64 / r["zero_regs"])
+        rel = abs(est - r["exact_cust"]) / r["exact_cust"]
+        assert rel <= 0.35, (r["o_orderpriority"], est, r["exact_cust"])
+
+
+def test_hash_mode_cms_one_sided(spark, sf_dir):
+    """Q-AGG-28: every counter-derived estimate must dominate the true
+    count (CMS never underestimates — the property that makes it safe
+    for heavy-hitter gating), and the estimate can never exceed the
+    total increment mass that landed in one counter row."""
+    from dask_xgboost_spark.sources import load
+
+    rows = SPECS["Q-AGG-28"].fn(spark, sf_dir).collect()
+    n_total = load(spark, sf_dir, "orders").count()
+    assert len(rows) == 16
+    for r in rows:
+        assert r["overcount"] == r["est"] - r["exact"]
+        assert r["overcount"] >= 0, r
+        assert r["est"] <= n_total
+
+
 def test_grouped_model_fit_matches_driver_ols(spark, sf_dir):
     # U-GAPPLY-02: the distributed per-group OLS must equal a driver-side
     # numpy fit on the same group's rows (and be deterministic)
