@@ -2548,9 +2548,13 @@ def q_agg_28(spark, sf):
     map-combined groupBy), not a ×d fact explosion — the d×w expansion
     touches |keys| rows, and the counter table is d·w = 128 rows
     regardless of scale. Point queries are a bounded 16-key literal
-    frame joined against the broadcast counter table; exact
-    counterparts come from a scan-pruned filter of the same key-grain
-    aggregate, never a second fact pass."""
+    frame joined against the broadcast counter table. The exact
+    counterparts re-derive from the same key-grain expression with the
+    key predicate applied: Catalyst pushes ``k < 16`` through the
+    groupBy to the scan (verified: DataFilters carries it), so the
+    second pass reads ONE column with footer-stats pruning under a
+    key-clustered layout — and its result is ≤16 rows into a
+    broadcast either way."""
     kc = (
         load(spark, sf, "orders")
         .groupBy(F.col("o_custkey").alias("k"))

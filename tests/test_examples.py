@@ -25,6 +25,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # package's persisted rollups and leave the JVM cache empty.
 EXPECT_STDOUT = {
     "reliable_serving.py": ["rollups released, cache empty: True"],
+    # sketch_rollups' whole point is the lossless-merge identity; a run
+    # that skipped the asserts would still exit 0 without these lines
+    "sketch_rollups.py": [
+        "HLL register merge exact: True",
+        "CMS counter merge exact: True",
+        "CMS one-sided after merge: True",
+    ],
 }
 
 
@@ -45,6 +52,7 @@ EXPECT_STDOUT = {
         "model_evaluation.py",
         "scale_diagnostics.py",
         "retrieval_training_data.py",
+        "sketch_rollups.py",
     ],
 )
 def test_example_runs(script):
