@@ -43,12 +43,18 @@ def test_proposed_window_satisfies_driver_invariants():
     oldest_all = min(latest.values())
     assert report["oldest_round_in_window"] == oldest_all
     # lifetime coverage: no never-witnessed entry is left to spillover
-    # while the window still has non-hash headroom (never-witnessed are
-    # all golden/tol, so the hash quota is their only legitimate cap)
+    # while the window still has headroom of its kind — golden/tol
+    # entries are capped only by the non-hash budget; hash-mode entries
+    # (ops added since the last driver round) are capped only by the
+    # window itself
     never = [n for n in specs if n not in latest]
     spilled_never = [n for n in never if n not in window]
     non_hash_budget = 50 - rotate_window.MIN_HASH_MODE
     n_non_hash = sum(1 for n in window if specs[n].sql is None)
-    assert not (spilled_never and n_non_hash < non_hash_budget), (
-        spilled_never, n_non_hash
+    spilled_never_nonhash = [n for n in spilled_never if specs[n].sql is None]
+    assert not (spilled_never_nonhash and n_non_hash < non_hash_budget), (
+        spilled_never_nonhash, n_non_hash
+    )
+    assert not [n for n in spilled_never if specs[n].sql is not None], (
+        "hash-mode never-witnessed entries must always be windowed"
     )

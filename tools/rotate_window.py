@@ -77,11 +77,13 @@ def propose(window_size: int = 50) -> tuple[list[str], list[str], dict]:
     # Lifetime coverage outranks bulk staleness: a never-witnessed
     # entry (no driver row EVER) ranks just AFTER the single stalest
     # witnessed cohort — that cohort is the previous rotation's
-    # unfinished promise — and ahead of everything else. All
-    # never-witnessed entries are golden/tol (non-hash) by policy, so
-    # their intake is naturally capped by the hash-mode quota's
-    # non-hash budget (window_size - MIN_HASH_MODE), enforced in the
-    # fill below rather than repaired after the fact.
+    # unfinished promise — and ahead of everything else. Non-hash
+    # (golden/tol) never-witnessed intake is capped by the hash-mode
+    # quota's non-hash budget (window_size - MIN_HASH_MODE), enforced
+    # in the fill below rather than repaired after the fact; a
+    # HASH-mode entry that is merely new (added after the last driver
+    # round, e.g. Q-AGG-27/28 in r10) enters freely — it strengthens
+    # the quota rather than spending it.
     def rank(n: str) -> float:
         return latest.get(n, min_round + 0.5)
 
