@@ -230,16 +230,29 @@ def m_pred_04(spark, sf):
     )
 
 
-@register("M-PREP-01", sql=None, mode="golden")
+@register(
+    "M-PREP-01",
+    # the observable contract of feature assembly — every id survives,
+    # every vector keeps its source dimensionality — IS SQL-expressible
+    # even though the VectorUDT itself is not; upgraded golden → hash
+    # in r10 (the driver's r9 row for this entry was rows-only)
+    sql="SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim "
+    "FROM embeddings ORDER BY vec_id",
+)
 def m_prep_01(spark, sf):
     """Feature assembly (replaces the reference's co-located triads,
-    SURVEY §1.1): array<float> → MLlib vector; emits the vector size as
-    the schema witness."""
+    SURVEY §1.1): array<float> → MLlib vector. The vector column itself
+    is engine-specific (VectorUDT), so the hash-checked witness is the
+    round-trip contract: per-id dimensionality after array→vector→array
+    equals the source array length for every row."""
     from pyspark.ml.functions import vector_to_array
 
     df = assemble_features(load(spark, sf, "embeddings"))
     return (
-        df.select("vec_id", F.size(vector_to_array("features")).alias("dim"))
+        df.select(
+            "vec_id",
+            F.size(vector_to_array("features")).cast("bigint").alias("dim"),
+        )
         .orderBy("vec_id")
     )
 
