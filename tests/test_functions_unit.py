@@ -86,6 +86,42 @@ def test_hex_nibbles_emission_contract():
         hex_nibbles("hx", 0, 4)
 
 
+def test_hex_nibbles_rank_math_matches_python(duck):
+    """Property check of the HLL rank construction built ON hex_nibbles
+    (Q-AGG-27's CASE/BIN/LENGTH fragment) against an independent pure-
+    Python reference: for arbitrary input strings, bucket = first-byte
+    mod 64 and rank = 57 - (56-bit remainder).bit_length(), with the
+    zero remainder mapping to the max rank 57. DuckDB-only (no JVM): the
+    Spark/DuckDB value identity is pinned by the cross-engine test
+    above; this one pins the MATH."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dask_xgboost_spark.operators.relational import (
+        _A27_BUCKET,
+        _A27_RANK,
+        _A27_WBITS,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.text(min_size=0, max_size=40))
+    def check(s):
+        row = duck.execute(
+            f"SELECT {_A27_BUCKET} AS bucket, {_A27_RANK} AS rank FROM "
+            f"(SELECT {_A27_WBITS} AS w, hx FROM (SELECT md5(?) AS hx))",
+            [s],
+        ).fetchone()
+        h = hashlib.md5(s.encode()).hexdigest()
+        want_bucket = int(h[:2], 16) % 64
+        w = int(h[2:16], 16)
+        want_rank = 57 - w.bit_length() if w else 57
+        assert (row[0], row[1]) == (want_bucket, want_rank), (s, row)
+
+    check()
+
+
 def test_hex_nibbles_cross_engine_values(spark, duck):
     """Same fragment text → same integers in both engines, and both
     equal Python's int(hex_slice, 16) ground truth — the uniformity
