@@ -2602,6 +2602,111 @@ def q_agg_28(spark, sf):
     )
 
 
+_A29_W = 2_097_152  # histogram bucket width in cents (2^21 ≈ $21k)
+_A29_CENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "Q-AGG-29",
+    sql="WITH c AS ("
+    f"  SELECT o_orderpriority AS g, {_A29_CENTS} AS cents FROM orders), "
+    "h AS ("
+    f"  SELECT g, cents // {_A29_W} AS b, CAST(COUNT(*) AS BIGINT) AS cnt"
+    f"  FROM c GROUP BY g, cents // {_A29_W}), "
+    "w AS ("
+    "  SELECT g, b, cnt, "
+    "    CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY b) AS BIGINT) AS cum, "
+    "    CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n, "
+    "    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n_buckets "
+    "  FROM h), "
+    "s AS ("
+    "  SELECT g, MIN(b) AS b FROM w WHERE cum >= (n + 1) // 2 GROUP BY g), "
+    "f AS ("
+    "  SELECT w.* FROM w JOIN s ON w.g = s.g AND w.b = s.b), "
+    "e AS ("
+    "  SELECT o_orderpriority AS g, "
+    f"    CAST(2 * quantile_cont({_A29_CENTS}, 0.5) AS BIGINT) AS exact_x2c"
+    "  FROM orders GROUP BY o_orderpriority) "
+    "SELECT f.g AS o_orderpriority, n, n_buckets, "
+    "  CAST(f.b AS BIGINT) AS bucket_p50, cnt AS cnt_p50, "
+    f"  CAST(f.b * {_A29_W} + "
+    f"    (((n + 1) // 2 - (cum - cnt)) * {_A29_W}) // cnt AS BIGINT) "
+    "    AS est_cents, "
+    "  exact_x2c "
+    "FROM f JOIN e ON f.g = e.g ORDER BY o_orderpriority",
+)
+def q_agg_29(spark, sf):
+    """Hash-mode QUANTILE sketch twin — completes the sketch tier's
+    mechanism proofs (cardinality → Q-AGG-27, frequency → Q-AGG-28,
+    quantile → here, each next to its tol-mode engine-native sibling,
+    Q-AGG-12 for this one): a mergeable equi-width histogram — fixed
+    bucket boundaries, so per-partition/per-increment count vectors
+    merge by plain addition — with the median read off the cumulative
+    counts and interpolated inside the landing bucket in EXACT int64
+    arithmetic (integer floor division, offset·width // count). Every
+    carrier is oracle-pinned: per-group row count, occupied-bucket
+    count, the landing bucket, its count, the interpolated estimate in
+    cents, and the exact continuous median alongside (×2 cents, a
+    half-integer carried losslessly per the Q-AGG-18 discipline). The
+    deterministic guarantee — the rank-⌈n/2⌉ value LIES IN bucket_p50,
+    so the discrete-median error is bounded by one bucket width, no
+    probability involved — plus estimate accuracy vs the continuous
+    median is asserted in tests/test_golden.py.
+
+    Scale shape: one map-combined groupBy at (group, bucket) grain —
+    partial state is |groups|·|buckets| per map task regardless of
+    input size (the same property that makes the histogram mergeable
+    across days or clusters); the cumulative window runs on the tiny
+    histogram, partitioned by group, never on the fact."""
+    orders = load(spark, sf, "orders")
+    cents_c = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    h = (
+        orders.select(
+            F.col("o_orderpriority").alias("g"), cents_c.alias("cents")
+        )
+        .withColumn("b", F.expr(f"cents DIV {_A29_W}"))
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    by_g = Window.partitionBy("g")
+    cum_w = by_g.orderBy("b")
+    w = h.select(
+        "g",
+        "b",
+        "cnt",
+        F.sum("cnt").over(cum_w).cast("bigint").alias("cum"),
+        F.sum("cnt").over(by_g).cast("bigint").alias("n"),
+        F.count(F.lit(1)).over(by_g).cast("bigint").alias("n_buckets"),
+    )
+    s = (
+        w.filter(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+        .groupBy("g")
+        .agg(F.min("b").alias("b"))
+    )
+    f = w.join(s, ["g", "b"])
+    e = orders.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        (2 * F.expr(f"percentile({_A29_CENTS}, 0.5)"))
+        .cast("bigint")
+        .alias("exact_x2c")
+    )
+    est = F.expr(
+        f"b * {_A29_W} + (((n + 1) DIV 2 - (cum - cnt)) * {_A29_W}) DIV cnt"
+    )
+    return (
+        f.join(e, "g")
+        .select(
+            F.col("g").alias("o_orderpriority"),
+            "n",
+            "n_buckets",
+            F.col("b").cast("bigint").alias("bucket_p50"),
+            F.col("cnt").alias("cnt_p50"),
+            est.cast("bigint").alias("est_cents"),
+            "exact_x2c",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 @register(
     "Q-SCAN-18",
     sql="SELECT doc_id, lang, md5(text) AS text_md5 "

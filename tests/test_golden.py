@@ -420,6 +420,25 @@ def test_hash_mode_cms_one_sided(spark, sf_dir):
         assert r["est"] <= n_total
 
 
+def test_hash_mode_histogram_quantile_bound(spark, sf_dir):
+    """Q-AGG-29: the carriers are hash-pinned; this closes the loop on
+    the estimator. Deterministic: the interpolated estimate lies inside
+    its landing bucket. Accuracy: |est − exact continuous median| is
+    within 1.5 bucket widths (the rank-⌈n/2⌉ value is IN the bucket —
+    a ≤1-width guarantee — and the continuous median adds at most the
+    upper-median's excursion, ≤0.5 width on data this dense)."""
+    from dask_xgboost_spark.operators.relational import _A29_W
+
+    rows = SPECS["Q-AGG-29"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        lo = r["bucket_p50"] * _A29_W
+        assert lo < r["est_cents"] <= lo + _A29_W, r
+        exact = r["exact_x2c"] / 2
+        assert abs(r["est_cents"] - exact) <= 1.5 * _A29_W, r
+        assert r["n_buckets"] >= 2  # histogram is non-degenerate
+
+
 def test_grouped_model_fit_matches_driver_ols(spark, sf_dir):
     # U-GAPPLY-02: the distributed per-group OLS must equal a driver-side
     # numpy fit on the same group's rows (and be deterministic)

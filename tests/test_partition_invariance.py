@@ -60,9 +60,10 @@ SAMPLE = [
     # eager-write and covered by the oracle sweep + examples instead)
     "M-PREP-16", "M-EVAL-11", "L-DEDUP-15", "L-SIM-13", "L-SIM-14",
     # round-10 additions: the sketch-tier hash twins — register MAX-merge
-    # (HLL) and counter MIN-over-rows (CMS) are exactly the aggregation
-    # shapes whose merge order varies with layout
-    "Q-AGG-27", "Q-AGG-28",
+    # (HLL), counter MIN-over-rows (CMS), and the histogram cumsum
+    # (quantile) are exactly the aggregation shapes whose merge order
+    # varies with layout
+    "Q-AGG-27", "Q-AGG-28", "Q-AGG-29",
 ]
 
 
