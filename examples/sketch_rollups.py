@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Mergeable-sketch rollups: the 100 TB distinct-count / frequency
-architecture that Q-AGG-27/28 pin per-query, demonstrated as the
-WORKFLOW it exists for — per-increment sketch tables that are
+"""Mergeable-sketch rollups: the 100 TB distinct-count / frequency /
+quantile architecture that Q-AGG-27/28/29 pin per-query, demonstrated
+as the WORKFLOW it exists for — per-increment sketch tables that are
 persisted once and merged forever after, so the fact data is never
 rescanned:
 
@@ -12,17 +12,20 @@ rescanned:
                   uniform hash, both one map-combined aggregate
   2. persist    — sketch tables land in parquet (|groups|·64 and
                   d·w = 128 rows per increment, regardless of scale)
-  3. merge      — HLL registers merge by MAX, CMS counters by SUM —
-                  both associative, so merging N increments equals
+  3. merge      — HLL registers merge by MAX, CMS counters and
+                  histogram buckets by SUM — all associative, so
+                  merging N increments equals
                   the one-pass build over the union EXACTLY (asserted
                   integer identity, not a tolerance): the property
                   that lets sketches roll up across days, partitions,
                   or clusters without touching the facts again
   4. estimate   — distinct customers per priority from merged
                   registers; point frequencies for a bounded key set
-                  from merged counters (one-sided: never under)
+                  from merged counters (one-sided: never under);
+                  per-group medians from the merged histogram
+                  (deterministic ≤1-bucket-width bound)
 
-The per-query oracle proofs live in the registry (Q-AGG-27/28,
+The per-query oracle proofs live in the registry (Q-AGG-27/28/29,
 hash-checked vs DuckDB); this example proves the MERGE is lossless —
 the step a warehouse runs nightly at 100 TB where "rebuild from raw"
 stopped being an option.
@@ -65,6 +68,20 @@ def hll_registers(df):
         )
         .groupBy("o_orderpriority", "bucket")
         .agg(F.max(F.expr(RANK)).cast("bigint").alias("reg"))
+    )
+
+
+HW = 2_097_152  # histogram bucket width in cents (Q-AGG-29's width)
+
+
+def histogram(df):
+    """Orders frame → (g, b, cnt) equi-width price histogram."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        df.select(F.col("o_orderpriority").alias("g"), cents.alias("cents"))
+        .withColumn("b", F.expr(f"cents DIV {HW}"))
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
 
 
@@ -113,6 +130,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         cms_counters(inc).write.mode("overwrite").parquet(
             os.path.join(base, f"cms_{name}")
         )
+        histogram(inc).write.mode("overwrite").parquet(
+            os.path.join(base, f"hist_{name}")
+        )
     n_reg_rows = spark.read.parquet(os.path.join(base, "hll_inc_a")).count()
     print(f"persisted per-increment sketches: {n_reg_rows} register rows, "
           f"{D * CW} counter cells max — constant-size state per increment")
@@ -148,6 +168,52 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     )
     print(f"CMS counter merge exact: {cms_exact}")
     assert cms_exact
+
+    merged_hist = (
+        spark.read.parquet(
+            os.path.join(base, "hist_inc_a"), os.path.join(base, "hist_inc_b")
+        )
+        .groupBy("g", "b")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    one_pass_hist = histogram(orders)
+    hist_exact = (
+        merged_hist.exceptAll(one_pass_hist).count() == 0
+        and one_pass_hist.exceptAll(merged_hist).count() == 0
+    )
+    print(f"histogram merge exact: {hist_exact}")
+    assert hist_exact
+
+    # median estimate from the MERGED histogram only, vs the exact
+    # per-group median from the raw data (error bound: 1 bucket width
+    # for the discrete median — Q-AGG-29's deterministic guarantee)
+    hist = {}
+    for row in merged_hist.collect():
+        hist.setdefault(row["g"], {})[row["b"]] = row["cnt"]
+    exact_med = {
+        r["g"]: r["med"]
+        for r in orders.groupBy(F.col("o_orderpriority").alias("g"))
+        .agg(
+            F.expr(
+                "percentile(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+                ", 0.5)"
+            ).alias("med")
+        )
+        .collect()
+    }
+    for g in sorted(exact_med):
+        buckets = hist[g]
+        n = sum(buckets.values())
+        need, cum = (n + 1) // 2, 0
+        for b in sorted(buckets):
+            if cum + buckets[b] >= need:
+                est = b * HW + (need - cum) * HW // buckets[b]
+                break
+            cum += buckets[b]
+        err = abs(est - exact_med[g])
+        print(f"  {g}: merged-histogram median ${est / 100:,.0f} vs exact "
+              f"${exact_med[g] / 100:,.0f} (err {err / HW:.2f} buckets)")
+        assert err <= 1.5 * HW, (g, est, exact_med[g])
 
     # 4a. estimate distincts per group from the MERGED registers only
     alpha = 0.7213 / (1 + 1.079 / M)

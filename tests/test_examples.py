@@ -30,6 +30,7 @@ EXPECT_STDOUT = {
     "sketch_rollups.py": [
         "HLL register merge exact: True",
         "CMS counter merge exact: True",
+        "histogram merge exact: True",
         "CMS one-sided after merge: True",
     ],
 }
