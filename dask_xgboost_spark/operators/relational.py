@@ -2430,7 +2430,11 @@ def q_agg_27(spark, sf):
     register count, Σreg, max rank, a position-weighted register
     checksum (any single register diverging fails the hash), and the
     harmonic-mean numerator Σ_j 2^(R−reg_j) carried as an EXACT int64
-    (R = max rank ≤ 57, 64·2^57 < 2^63) from which the estimator
+    (R = max rank ≤ 57; n_regs ≥ 1 so at most 63 zero registers
+    contribute 2^R ≤ 2^57 each, present registers contribute
+    2^(R−reg) ≤ 2^56 apiece since reg ≥ 1, and the register attaining
+    R contributes exactly 1 — harm_num ≤ (127 − n_regs)·2^56 + 1
+    ≤ 126·2^56 + 1 < 2^63) from which the estimator
     α_m·m²·2^R/harm_num is pure post-arithmetic — accuracy vs
     exact_cust is asserted in tests/test_golden.py.
 
@@ -2523,8 +2527,8 @@ _A28_BUCKET = f"({hex_nibbles('hx2', 1, 8)} % {_A28_W})"
     "    SELECT k, r, md5(CAST(k AS VARCHAR) || '#' || CAST(r AS VARCHAR))"
     "      AS hx2 FROM q CROSS JOIN rows_d)), "
     "est AS ("
-    "  SELECT qb.k, CAST(MIN(c.c) AS BIGINT) AS est FROM qb "
-    "  JOIN counters c ON qb.r = c.r AND qb.bucket = c.bucket "
+    "  SELECT qb.k, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est FROM qb "
+    "  LEFT JOIN counters c ON qb.r = c.r AND qb.bucket = c.bucket "
     "  GROUP BY qb.k) "
     "SELECT CAST(est.k AS BIGINT) AS k, "
     "  CAST(COALESCE(kc.cnt, 0) AS BIGINT) AS exact, est.est, "
@@ -2582,10 +2586,15 @@ def q_agg_28(spark, sf):
         .withColumn("hx2", hx2)
         .select("k", "r", bucket_expr.alias("bucket"))
     )
+    # LEFT join + COALESCE(c, 0): a queried key landing in a counter
+    # cell no key hashed into must see 0 (the textbook CMS estimate on
+    # sparse counter tables), not vanish from the MIN — at fixture SFs
+    # all d·w cells are occupied so results are unchanged, but the
+    # construction must hold for sparse data too.
     est = (
-        qb.join(F.broadcast(counters), ["r", "bucket"])
+        qb.join(F.broadcast(counters), ["r", "bucket"], "left")
         .groupBy("k")
-        .agg(F.min("c").cast("bigint").alias("est"))
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("bigint").alias("est"))
     )
     exact_q = kc.filter(F.col("k") < _A28_KEYS)
     return (

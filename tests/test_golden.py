@@ -433,7 +433,11 @@ def test_hash_mode_histogram_quantile_bound(spark, sf_dir):
     assert len(rows) == 5
     for r in rows:
         lo = r["bucket_p50"] * _A29_W
-        assert lo < r["est_cents"] <= lo + _A29_W, r
+        # lo <= (not <): the interpolation (offset*W) DIV cnt floors to
+        # 0 (est == lo) whenever a single bucket holds more rows than
+        # the bucket width — unreachable at fixture SFs but a legal
+        # outcome of the estimator at scale.
+        assert lo <= r["est_cents"] <= lo + _A29_W, r
         exact = r["exact_x2c"] / 2
         assert abs(r["est_cents"] - exact) <= 1.5 * _A29_W, r
         assert r["n_buckets"] >= 2  # histogram is non-degenerate
