@@ -1,10 +1,11 @@
 """Text-analysis operators for training-data pipelines (SURVEY.md §2G).
 
 Language-ID, quality scoring, token statistics, n-grams, TF-IDF and
-document fingerprinting over the ``documents`` table. Everything except
-TF-IDF is pure column algebra (whole-stage codegen, no UDFs) and
-hash-checked against DuckDB; TF-IDF uses MLlib's hashing vectorizer and
-is golden-checked.
+document fingerprinting over the ``documents`` table. Everything is
+pure column algebra (whole-stage codegen, no UDFs) and hash-checked
+against DuckDB — including TF-IDF, whose exact integer TF/DF core is
+oracle-pinned (L-TEXT-04; the float IDF weighting is post-arithmetic,
+cross-checked against MLlib in tests/test_golden.py).
 """
 
 from __future__ import annotations
@@ -90,27 +91,73 @@ def l_text_03(spark, sf):
     )
 
 
-@register("L-TEXT-04", sql=None, mode="golden")
+@register(
+    "L-TEXT-04",
+    sql="WITH tok AS ("
+    "  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term"
+    "  FROM documents), "
+    "tf AS ("
+    "  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok"
+    "  WHERE term <> '' GROUP BY doc_id, term), "
+    "dft AS ("
+    "  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term) "
+    "SELECT tf.doc_id, "
+    "  CAST(SUM(tf) AS BIGINT) AS n_tok, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_terms, "
+    "  CAST(MAX(tf) AS BIGINT) AS max_tf, "
+    "  CAST(SUM(tf * tf) AS BIGINT) AS tf_sq_sum, "
+    "  CAST(SUM(tf * df) AS BIGINT) AS df_checksum, "
+    "  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs "
+    "FROM tf JOIN dft ON tf.term = dft.term "
+    "GROUP BY tf.doc_id ORDER BY doc_id",
+)
 def l_text_04(spark, sf):
-    """TF-IDF features (HashingTF → IDF) + per-doc feature norm.
-    Golden-checked: deterministic across runs; hashing internals are
-    engine-specific so no SQL oracle."""
-    from pyspark.ml.feature import IDF, HashingTF
+    """TF-IDF, hash-mode (upgraded golden→hash r11, the M-PREP-01 /
+    sketch-trio move applied to the text tier): exact-vocabulary term
+    frequencies and document frequencies — the EXACT INTEGER CORE that
+    TF-IDF consumes — materialized per doc and oracle-pinned to the
+    row: total tokens, distinct terms, max TF, Σtf² (the raw-count
+    norm² carrier), a DF-weighted checksum Σ tf·df coupling every
+    doc's TF vector to the corpus-wide DF table (any single df
+    diverging anywhere in the vocabulary fails some doc's hash), and
+    the corpus size N. The float IDF weighting ln((N+1)/(df+1))+1 is
+    pure post-arithmetic on these carriers; tests/test_golden.py
+    closes that loop by fitting MLlib CountVectorizer+IDF on the same
+    tokens and asserting its per-term docFreq equals the dft table
+    here (so the pinned core is literally what MLlib's TF-IDF
+    consumes). The old HashingTF path is unpinnable by nature
+    (murmur3 bucketing is engine-specific) and added nothing but
+    collisions at this vocabulary size.
 
-    docs = load(spark, sf, "documents").withColumn("tokens", F.split("text", " "))
-    tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 16)
-    tfd = tf.transform(docs)
-    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
-    out = idf.transform(tfd)
-    from pyspark.ml.functions import vector_to_array
-
-    arr = vector_to_array("tfidf")
-    norm = F.expr(
-        "SQRT(aggregate(_tfidf_arr, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v))"
+    Scale shape: tf is one map-combined groupBy at (doc, term) grain;
+    dft reuses tf's output at term grain; the tf⋈dft join shuffles
+    both sides on term (vocabulary co-partitioning — the canonical
+    distributed TF-IDF shape); the corpus-size aggregate is a single
+    broadcast row (BNLJ_SCALAR-safe). Nothing touches the driver."""
+    tok = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = (
+        load(spark, sf, "documents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
     return (
-        out.withColumn("_tfidf_arr", arr)
-        .select("doc_id", norm.alias("tfidf_norm"))
+        tf.join(dft, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tok"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.max("tf").cast("bigint").alias("max_tf"),
+            F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("tf_sq_sum"),
+            F.sum(F.col("tf") * F.col("df")).cast("bigint").alias("df_checksum"),
+        )
+        .crossJoin(F.broadcast(n))
         .orderBy("doc_id")
     )
 

@@ -86,7 +86,46 @@ def test_tfidf_deterministic(spark, sf_dir):
     a = SPECS["L-TEXT-04"].fn(spark, sf_dir).toPandas()
     b = SPECS["L-TEXT-04"].fn(spark, sf_dir).toPandas()
     assert a.equals(b)
-    assert (a["tfidf_norm"] >= 0).all()
+    # carrier-consistency: every identity the integer core must obey
+    assert (a["n_tok"] >= a["n_terms"]).all()
+    assert (a["max_tf"] ** 2 <= a["tf_sq_sum"]).all()
+    assert (a["tf_sq_sum"] <= a["max_tf"] * a["n_tok"]).all()
+    # df >= 1 for every term the doc contains, df <= N for all
+    assert (a["df_checksum"] >= a["n_tok"]).all()
+    assert (a["df_checksum"] <= a["n_tok"] * a["n_docs"]).all()
+
+
+def test_tfidf_core_is_what_mllib_consumes(spark, sf_dir):
+    """L-TEXT-04 (hash-upgraded r11): the registry pins the exact
+    integer TF/DF core; this closes the float loop — MLlib's IDF model
+    fitted on the same exact-vocabulary counts must observe the SAME
+    per-term document frequencies (IDFModel.docFreq), so the pinned
+    core is literally the input of the standard TF-IDF weighting
+    ln((N+1)/(df+1))+1, which is pure post-arithmetic on it."""
+    from pyspark.ml.feature import IDF, CountVectorizer
+
+    from dask_xgboost_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "tokens",
+        F.filter(F.split(F.lower("text"), " "), lambda w: w != ""),
+    )
+    cv = CountVectorizer(inputCol="tokens", outputCol="tf_vec").fit(docs)
+    idf_model = IDF(inputCol="tf_vec", outputCol="tfidf").fit(cv.transform(docs))
+    mllib_df = dict(zip(cv.vocabulary, idf_model.docFreq))
+
+    tok = docs.select("doc_id", F.explode("tokens").alias("term"))
+    ours = {
+        r["term"]: r["df"]
+        for r in tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    assert set(ours) == set(mllib_df)
+    mismatches = {t for t in ours if ours[t] != mllib_df[t]}
+    assert not mismatches, sorted(mismatches)[:5]
 
 
 def test_multimodal_plumbing(spark, sf_dir):
