@@ -184,6 +184,76 @@ def q_tpch_06(spark, sf):
     )
 
 
+# Per-row budget for Q8's order-grain map inside a broadcast
+# HashedRelation: (bigint key, int yr, bool flag) rows plus the
+# LongHashedRelation index overhead — ~36 B/row is deliberately
+# conservative (measured UnsafeRow is ~24 B) so the hint NEVER fires
+# on a map whose true build size would exceed the user's threshold.
+_Q8_MAP_ROW_BYTES = 36
+
+
+def _size_conf_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('10485760b', '64MB', '-1')."""
+    s = v.strip().lower()
+    for suf, mult in (
+        ("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2), ("kb", 1024),
+        ("t", 1024**4), ("g", 1024**3), ("m", 1024**2), ("k", 1024),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(s[: -len(suf)]) * mult
+    return int(s)
+
+
+def _parquet_num_rows(path: str) -> int | None:
+    """Row count from parquet FOOTER metadata only — no Spark job, no
+    data pages read; handles both a single file and a directory of part
+    files (the 10×/100× replicas). Returns None on any surprise (missing
+    path, non-parquet layout) so callers default to the scale-safe
+    no-hint branch."""
+    import glob as _glob
+    import os as _os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if _os.path.isdir(path):
+            files = _glob.glob(_os.path.join(path, "*.parquet"))
+            if not files:
+                return None
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
+def _order_map_fits_broadcast(spark, sf: str) -> bool:
+    """Footer-stats broadcast gate for Q8's order-grain map (the r10
+    audit's open note, BASELINE.md §5): the map is a join OUTPUT, so
+    Catalyst has no scan stats for it and its propagated estimate
+    overshoots — under the default 10 MB threshold the custkey-side
+    join planned as SMJ even when the true map size fit. The map is
+    row-bounded by orders (FK join to customer is row-preserving, the
+    projection is 3 narrow columns), and the orders row count is free
+    from the parquet footers — so hint broadcast() exactly when
+    rows × _Q8_MAP_ROW_BYTES fits the session's own
+    autoBroadcastJoinThreshold. At 100 TB (orders ~15B rows → ~500 GB
+    estimate) the gate can never fire: the estimate grows linearly
+    with the footer row count, replacing scan-stats luck with an
+    explicit, conservative bound. Threshold -1 (user disabled
+    auto-broadcast) disables the hint too."""
+    try:
+        thr = _size_conf_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:
+        return False
+    if thr <= 0:
+        return False
+    rows = _parquet_num_rows(f"{sf}/orders.parquet")
+    return rows is not None and rows * _Q8_MAP_ROW_BYTES <= thr
+
+
 _Q8_SQL = (
     "SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, "
     f"CAST(SUM(CASE WHEN n_name = 'NATION_1' THEN {_REV} ELSE 0 END) AS BIGINT) "
@@ -213,7 +283,18 @@ def q_tpch_08(spark, sf):
     here by construction: the denominator aggregates ALL revenue, so
     every lineitem row participates. Customer is joined without an
     explicit broadcast hint — AQE broadcasts it while it fits and
-    falls back to a shuffle at scale (customer grows with SF)."""
+    falls back to a shuffle at scale (customer grows with SF).
+
+    The order-grain map carries a broadcast hint GATED on footer
+    stats (_order_map_fits_broadcast, closing the r10 audit's 10 MB-
+    threshold note): as a join output the map has no scan stats, so
+    Catalyst's estimate overshoots and mid-scale users on the default
+    threshold lost a broadcast whose true size fit. The gate bounds
+    the map's build size by orders' footer row count × 36 B and hints
+    only under the session's own threshold — measured: fires at
+    sf0.001/0.01/0.1 and (under the bench's 64 MB config) at 10×,
+    keeping the shuffle tripwire identical; never fires at 100× or
+    beyond, where the SMJ is the correct plan."""
     orders = load(spark, sf, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
@@ -230,6 +311,8 @@ def q_tpch_08(spark, sf):
             (F.col("n_name") == "NATION_1").alias("is_target"),
         )
     )
+    if _order_map_fits_broadcast(spark, sf):
+        omap = F.broadcast(omap)
     li = load(spark, sf, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )

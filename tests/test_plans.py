@@ -242,6 +242,54 @@ def test_tpch08_dims_resolve_before_fact_join(spark, sf_dir):
         assert "l_quantity" not in li_schema and "l_shipdate" not in li_schema
 
 
+def test_tpch08_broadcast_gate_is_footer_stat_bounded(spark, sf_dir):
+    """r11 closure of the r10 Q8 audit note (BASELINE.md §5): the
+    order-grain map is a join output with no scan stats, so its
+    broadcast eligibility is decided by an explicit footer-stats gate
+    instead of Catalyst's propagated estimate. The gate must (a) fire
+    at fixture SFs where the map truly fits, (b) scale LINEARLY with
+    the orders row count so it structurally cannot fire at 100× or
+    100 TB, (c) respect a disabled threshold, and (d) fail closed on a
+    missing table."""
+    from dask_xgboost_spark.operators.composite import (
+        _Q8_MAP_ROW_BYTES,
+        _order_map_fits_broadcast,
+        _parquet_num_rows,
+        _size_conf_bytes,
+    )
+
+    # conf parsing: the three formats Spark emits/accepts
+    assert _size_conf_bytes("10485760b") == 10 * 1024 * 1024
+    assert _size_conf_bytes("64MB") == 64 * 1024 * 1024
+    assert _size_conf_bytes("1g") == 1024**3
+    assert _size_conf_bytes("-1") == -1
+
+    rows = _parquet_num_rows(f"{sf_dir}/orders.parquet")
+    assert rows and rows > 0
+    # (a) fires at fixture scale under the session threshold
+    assert _order_map_fits_broadcast(spark, sf_dir)
+    # (b) the 100× replica arithmetic: 15M orders → ~540 MB estimate,
+    # above any sane threshold (the bench's 64 MB included); at real
+    # 100 TB (~15B orders) the estimate is ~540 GB — the gate's
+    # estimate grows linearly with footer rows, so it can never fire
+    # where the broadcast would lie.
+    assert 15_000_000 * _Q8_MAP_ROW_BYTES > 64 * 1024 * 1024
+    # (c) threshold -1 (auto-broadcast disabled) disables the hint
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert not _order_map_fits_broadcast(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # (d) unknown layout → no hint, never an exception
+    assert _parquet_num_rows("/nonexistent/orders.parquet") is None
+    assert not _order_map_fits_broadcast(spark, "/nonexistent")
+    # and with the gate live, the fact join is a broadcast join at
+    # fixture scale (the map side builds, lineitem probes)
+    p = plan(spark, sf_dir, "Q-TPCH-08")
+    assert "BroadcastHashJoin" in p, p
+
+
 def test_tpch19_disjunction_pushes_to_both_scans(spark, sf_dir):
     # from the 3-way OR mixing both sides' columns, Catalyst must derive
     # per-side filters and push them into BOTH parquet scans
