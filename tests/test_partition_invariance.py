@@ -64,6 +64,10 @@ SAMPLE = [
     # (quantile) are exactly the aggregation shapes whose merge order
     # varies with layout
     "Q-AGG-27", "Q-AGG-28", "Q-AGG-29",
+    # round-11: L-TEXT-04's hash rewrite — two chained aggregations at
+    # different grains (doc,term → term) plus a vocabulary join whose
+    # build order varies with layout
+    "L-TEXT-04",
 ]
 
 
