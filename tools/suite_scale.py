@@ -19,6 +19,12 @@ reads the identical parquet files.
 Run: python tools/suite_scale.py [sf_dir] [reps ...]
 Defaults: sf_dir=/root/testdata/sf0.1, reps = 10 100. The 100× point
 writes ~60M lineitem rows (~1.5 GB) to scratch and takes ~15 min.
+
+100× needs heap headroom: the single local JVM carries all 32 executor
+threads plus broadcast blocks, and the 8g default can OOM mid-suite
+(observed r11). Pin runs use SPARK_GRAFT_DRIVER_MEM=32g and a FRESH
+session per suite (wall variance at this scale is session-age noise —
+BASELINE.md §5).
 """
 
 from __future__ import annotations
