@@ -28,27 +28,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dask_xgboost_spark.registry import load_all  # noqa: E402
 
-# Window rotation, round 10, emitted by tools/rotate_window.py (the
-# evidence-freshness policy of r9, extended in r10 with lifetime
-# coverage: a never-witnessed entry ranks just after the single
-# stalest witnessed cohort; golden/tol intake is capped by the
-# non-hash budget, hash-mode never-witnessed entries enter freely).
-# Slot 1: Q-AGG-12, the last r1-latest entry (its only driver row ever
-# was a r1 no-oracle witness). Slots 2-10: NINE of the ten
-# never-witnessed golden/tol entries get their first-ever driver rows
-# (M-PRED-02/03, M-TRAIN-02..07, Q-AGG-17); Q-AGG-19 is the one the
-# >=40 hash-mode quota excludes (ten non-hash slots total, Q-AGG-12
-# takes one) — it leads the spillover and zeroes the golden backlog in
-# r11. Slots 11-13: the r10-new hash-mode sketch twins Q-AGG-27/28/29
-# (first-ever driver rows, hash-checked — they displace Q-SUBQ-01/02/03
-# of the r2 cohort into the r11 drain). Slots 14-44: the r2 cohort
-# oldest-evidence-first (31 of its 45 entries; the 14 the
-# never-witnessed intake displaces spill to r11). Slots 45-50: the
-# stalest entry of each family the fill lacks (L-PIPE-02, L-TEXT-02,
-# S-SINK-02, G-MV-01, Q-TS-03, L-MIX-02, all r3). Exactly 40/50
-# hash-mode. Spillover: Q-AGG-19 first, then every witnessed entry
-# oldest-first so a deeper-than-50 driver check keeps draining
-# staleness.
+# Window rotation, round 11, emitted by tools/rotate_window.py (the
+# evidence-freshness policy of r9: stalest-first with lifetime
+# coverage, >=40 hash-mode, every family present) plus two
+# verdict-directed swaps. Slots 1-14: the full r2-stale residue —
+# L-DEDUP-02, Q-SUBQ-01/02/03, Q-TPCH-03, Q-WIN-03..07, U-GAPPLY-01,
+# U-MAP-01, U-SCALAR-01, U-TABLE-01 — the r10 drain's unfinished
+# promise, so after this window no entry's latest witness is older
+# than r3. Slot 15: Q-AGG-19 (tol count-min), the LAST registry entry
+# with zero driver rows ever; this window zeroes the never-witnessed
+# backlog for good. Slot 16: M-PREP-01 (swapped in — its golden→hash
+# upgrade landed r10 AFTER its r9 rows-only witness; this is its
+# first driver hash row, completing oracle-checkable = oracle-proven).
+# Slot 21: L-TEXT-04 (swapped in — upgraded golden→hash THIS round:
+# exact integer TF/DF core). The swaps evict L-DEDUP-04/L-SIM-02
+# (no-oracle, r3-witnessed) to the spillover head. Remaining slots:
+# the r3 cohort oldest-first, with pass-2/3 family carriers
+# (S-STATE-01, Q-SCAN-05, G-CDF-01, Q-TS-04, L-MIX-03, L-PIPE-05).
+# 43/50 hash-mode. Spillover: never-witnessed none; evicted + r3/r4
+# residue first (Q-TPCH-14, U-SCALAR-02, L-DEDUP-08, L-TEXT-11,
+# M-PRED-04 lead the r12 drain), then oldest-first.
 _DRIVER_PRIORITY = [
     "L-DEDUP-02", "Q-SUBQ-01", "Q-SUBQ-02", "Q-SUBQ-03",
     "Q-TPCH-03", "Q-WIN-03", "Q-WIN-04", "Q-WIN-05",

@@ -185,11 +185,19 @@ def q_tpch_06(spark, sf):
 
 
 # Per-row budget for Q8's order-grain map inside a broadcast
-# HashedRelation: (bigint key, int yr, bool flag) rows plus the
-# LongHashedRelation index overhead — ~36 B/row is deliberately
-# conservative (measured UnsafeRow is ~24 B) so the hint NEVER fires
-# on a map whose true build size would exceed the user's threshold.
-_Q8_MAP_ROW_BYTES = 36
+# HashedRelation: a 3-field UnsafeRow (bigint, int, bool) is 32 B
+# (8 B null bitset + 3 fixed 8 B words) and LongToUnsafeRowMap adds
+# an 8-16 B/row long index on top (~40-48 B true) — 64 B/row keeps
+# the bound strictly ABOVE the real build size so the hint never
+# fires on a map whose build would exceed the user's threshold.
+_Q8_MAP_ROW_BYTES = 64
+
+# Footer row counts are immutable per path (fixtures never change;
+# replica dirs are unique mkdtemp names) — cache them so repeated
+# query construction (partition-invariance sweeps, multi-rep benches)
+# doesn't re-open every part-file footer serially on the driver, the
+# same reason sources/tables.py caches analyzed plans.
+_FOOTER_ROWS_CACHE: dict[str, int | None] = {}
 
 
 def _size_conf_bytes(v: str) -> int:
@@ -210,21 +218,28 @@ def _parquet_num_rows(path: str) -> int | None:
     data pages read; handles both a single file and a directory of part
     files (the 10×/100× replicas). Returns None on any surprise (missing
     path, non-parquet layout) so callers default to the scale-safe
-    no-hint branch."""
+    no-hint branch. Cached per path — footers are immutable here."""
     import glob as _glob
     import os as _os
 
+    if path in _FOOTER_ROWS_CACHE:
+        return _FOOTER_ROWS_CACHE[path]
     try:
         import pyarrow.parquet as pq
 
         if _os.path.isdir(path):
             files = _glob.glob(_os.path.join(path, "*.parquet"))
-            if not files:
-                return None
-            return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        return pq.ParquetFile(path).metadata.num_rows
+            rows = (
+                sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+                if files
+                else None
+            )
+        else:
+            rows = pq.ParquetFile(path).metadata.num_rows
     except Exception:
-        return None
+        rows = None
+    _FOOTER_ROWS_CACHE[path] = rows
+    return rows
 
 
 def _order_map_fits_broadcast(spark, sf: str) -> bool:
@@ -237,11 +252,15 @@ def _order_map_fits_broadcast(spark, sf: str) -> bool:
     projection is 3 narrow columns), and the orders row count is free
     from the parquet footers — so hint broadcast() exactly when
     rows × _Q8_MAP_ROW_BYTES fits the session's own
-    autoBroadcastJoinThreshold. At 100 TB (orders ~15B rows → ~500 GB
-    estimate) the gate can never fire: the estimate grows linearly
-    with the footer row count, replacing scan-stats luck with an
-    explicit, conservative bound. Threshold -1 (user disabled
-    auto-broadcast) disables the hint too."""
+    autoBroadcastJoinThreshold. The budget is an UPPER bound on the
+    true build size, so the hint can only ever fire where the user's
+    threshold genuinely admits the build; where the gate refuses,
+    Catalyst still broadcasts wherever its own estimates allow (the
+    hint is additive — refusal never regresses a plan). At 100 TB
+    (orders ~15B rows → ~1 TB estimate) the gate can never fire: the
+    estimate grows linearly with the footer row count, replacing
+    scan-stats luck with an explicit, conservative bound. Threshold
+    -1 (user disabled auto-broadcast) disables the hint too."""
     try:
         thr = _size_conf_bytes(
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -290,11 +309,14 @@ def q_tpch_08(spark, sf):
     threshold note): as a join output the map has no scan stats, so
     Catalyst's estimate overshoots and mid-scale users on the default
     threshold lost a broadcast whose true size fit. The gate bounds
-    the map's build size by orders' footer row count × 36 B and hints
-    only under the session's own threshold — measured: fires at
-    sf0.001/0.01/0.1 and (under the bench's 64 MB config) at 10×,
-    keeping the shuffle tripwire identical; never fires at 100× or
-    beyond, where the SMJ is the correct plan."""
+    the map's build size by orders' footer row count × 64 B (a strict
+    upper bound on the HashedRelation build) and hints only under the
+    session's own threshold — measured: fires at sf0.001/0.01/0.1
+    under the 10 MB default; refuses at 10× in BOTH regimes (96 MB
+    bound — under the bench's 64 MB config Catalyst's own estimate
+    still broadcasts there, so the tripwire plan is unchanged; under
+    the 10 MB default the SMJ is the threshold-respecting plan);
+    structurally cannot fire at 100× or beyond."""
     orders = load(spark, sf, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )

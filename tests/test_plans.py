@@ -268,12 +268,18 @@ def test_tpch08_broadcast_gate_is_footer_stat_bounded(spark, sf_dir):
     assert rows and rows > 0
     # (a) fires at fixture scale under the session threshold
     assert _order_map_fits_broadcast(spark, sf_dir)
-    # (b) the 100× replica arithmetic: 15M orders → ~540 MB estimate,
-    # above any sane threshold (the bench's 64 MB included); at real
-    # 100 TB (~15B orders) the estimate is ~540 GB — the gate's
-    # estimate grows linearly with footer rows, so it can never fire
-    # where the broadcast would lie.
+    # (b) the replica arithmetic: 1.5M orders (10×) → 96 MB bound,
+    # already above the bench's 64 MB config (Catalyst's own estimate
+    # still broadcasts there, so the hint is unneeded); 15M (100×) →
+    # 960 MB; at real 100 TB (~15B orders) ~1 TB — the estimate grows
+    # linearly with footer rows, so the gate can never fire where the
+    # broadcast would lie.
+    assert 1_500_000 * _Q8_MAP_ROW_BYTES > 64 * 1024 * 1024
     assert 15_000_000 * _Q8_MAP_ROW_BYTES > 64 * 1024 * 1024
+    # and the budget is a strict UPPER bound on the real build: a
+    # 3-field UnsafeRow (bigint, int, bool) is 32 B plus ≤16 B/row of
+    # LongToUnsafeRowMap index
+    assert _Q8_MAP_ROW_BYTES >= 32 + 16
     # (c) threshold -1 (auto-broadcast disabled) disables the hint
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
@@ -284,10 +290,14 @@ def test_tpch08_broadcast_gate_is_footer_stat_bounded(spark, sf_dir):
     # (d) unknown layout → no hint, never an exception
     assert _parquet_num_rows("/nonexistent/orders.parquet") is None
     assert not _order_map_fits_broadcast(spark, "/nonexistent")
-    # and with the gate live, the fact join is a broadcast join at
-    # fixture scale (the map side builds, lineitem probes)
+    # and with the gate live, EVERY join in the fixture plan is a
+    # broadcast join — "BroadcastHashJoin in p" alone would be vacuous
+    # (nation is always hint-broadcast), so assert the absence of any
+    # sort-merge fallback: a silently dead gate (e.g. footer reader
+    # returning None) could otherwise hide behind the dim joins
     p = plan(spark, sf_dir, "Q-TPCH-08")
     assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
 
 
 def test_tpch19_disjunction_pushes_to_both_scans(spark, sf_dir):
