@@ -65,11 +65,19 @@ def main(sf_dir: str = "/root/testdata/sf0.1", *reps: str) -> None:
             path = None
         else:
             path = tempfile.mkdtemp(prefix=f"dxs_curve_{rep}x_")
+            # repartition BEFORE the crossJoin: the replica multiplier is
+            # a broadcast range, so the expansion is map-side and each of
+            # the N writer tasks streams its slice xrep straight to
+            # parquet. The old order (expand, THEN repartition) shuffled
+            # rep x the fixture through the fixture's ~3 scan tasks —
+            # ~60 GB of uncompressed shuffle at 1000x, hours of skewed
+            # map work for zero measurement benefit (the write path is
+            # not what this tool times).
             (
-                li.crossJoin(spark.range(rep).select(F.col("id").alias("r")))
+                li.repartition(min(64, 32 * max(1, rep // 10)))
+                .crossJoin(spark.range(rep).select(F.col("id").alias("r")))
                 .withColumn("l_orderkey", F.col("l_orderkey") + F.col("r") * 10_000_000)
                 .drop("r")
-                .repartition(min(64, 32 * max(1, rep // 10)))
                 .write.mode("overwrite")
                 .parquet(path)
             )
