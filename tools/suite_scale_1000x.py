@@ -1,11 +1,27 @@
-"""One-off 1000x join-suite point: replica built map-side (repartition
-BEFORE the broadcast-range crossJoin, same keys/shifts as
-suite_scale.build_scaled_dir), measurement = suite_scale.run_suite and
-duck_con_for verbatim."""
-import os, shutil, sys, tempfile
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tools")
-os.chdir("/root/repo")
+#!/usr/bin/env python
+"""1000× join-suite point (BASELINE.md §5, measured r11): the full
+22-query TPC-H suite over 600M-row facts (lineitem/orders/events
+×1000, dims shared). The replica is built MAP-SIDE — repartition
+before the broadcast-range crossJoin, same key shifts as
+suite_scale.build_scaled_dir — because at 1000× the shared builder's
+expand-then-repartition order would push ~60 GB through the fixture's
+3 scan tasks; the measurement itself is suite_scale.run_suite and
+duck_con_for verbatim, so the number is methodology-identical to
+every pinned suite point.
+
+Run: SPARK_GRAFT_DRIVER_MEM=64g python tools/suite_scale_1000x.py
+(~13 GB scratch, ~25 min; the 64 GB single-JVM heap carries 32
+executor threads with multi-GB shuffles — see BASELINE §5's heap
+note)."""
+import os
+import shutil
+import sys
+import tempfile
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+sys.path.insert(0, os.path.join(_REPO_ROOT, "tools"))
+os.chdir(_REPO_ROOT)
 from pyspark.sql import functions as F
 from suite_scale import (KEY_SHIFT, SHARED, _REP_KEYS, duck_con_for, run_suite)
 from dask_xgboost_spark.registry import load_all
