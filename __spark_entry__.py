@@ -40,21 +40,23 @@ from dask_xgboost_spark.registry import load_all  # noqa: E402
 # backlog for good. Slot 16: M-PREP-01 (swapped in — its golden→hash
 # upgrade landed r10 AFTER its r9 rows-only witness; this is its
 # first driver hash row, completing oracle-checkable = oracle-proven).
-# Slot 21: L-TEXT-04 (swapped in — upgraded golden→hash THIS round:
-# exact integer TF/DF core). The swaps evict L-DEDUP-04/L-SIM-02
-# (no-oracle, r3-witnessed) to the spillover head. Remaining slots:
-# the r3 cohort oldest-first, with pass-2/3 family carriers
-# (S-STATE-01, Q-SCAN-05, G-CDF-01, Q-TS-04, L-MIX-03, L-PIPE-05).
-# 43/50 hash-mode. Spillover: never-witnessed none; evicted + r3/r4
-# residue first (Q-TPCH-14, U-SCALAR-02, L-DEDUP-08, L-TEXT-11,
-# M-PRED-04 lead the r12 drain), then oldest-first.
+# Slots 21-22: L-TEXT-04 and U-GAPPLY-02 (swapped in — both upgraded
+# golden→hash THIS round: exact integer TF/DF core; exact int64 OLS
+# moment carriers). The swaps evict L-DEDUP-04/L-SIM-02/L-SIM-03
+# (no-oracle, r3-witnessed; L-SIM stays carried by L-SIM-04) to the
+# spillover head. Remaining slots: the r3 cohort oldest-first, with
+# pass-2/3 family carriers (S-STATE-01, Q-SCAN-05, G-CDF-01, Q-TS-04,
+# L-MIX-03, L-PIPE-05). 44/50 hash-mode. Spillover: never-witnessed
+# none; evicted + r3/r4 residue first (Q-TPCH-14, U-SCALAR-02,
+# L-DEDUP-08, L-TEXT-11, M-PRED-04 lead the r12 drain), then
+# oldest-first.
 _DRIVER_PRIORITY = [
     "L-DEDUP-02", "Q-SUBQ-01", "Q-SUBQ-02", "Q-SUBQ-03",
     "Q-TPCH-03", "Q-WIN-03", "Q-WIN-04", "Q-WIN-05",
     "Q-WIN-06", "Q-WIN-07", "U-GAPPLY-01", "U-MAP-01",
     "U-SCALAR-01", "U-TABLE-01", "Q-AGG-19", "M-PREP-01",
     "L-DEDUP-05", "L-DEDUP-06", "L-DEDUP-07", "L-MM-03",
-    "L-TEXT-04", "L-SIM-03", "L-SIM-04", "L-TEXT-03",
+    "L-TEXT-04", "U-GAPPLY-02", "L-SIM-04", "L-TEXT-03",
     "L-TEXT-05", "L-TEXT-06", "L-TEXT-07", "L-TEXT-08",
     "L-TEXT-09", "L-TEXT-10", "M-PRED-01", "M-TRAIN-01",
     "Q-AGG-13", "Q-AGG-14", "Q-AGG-15", "Q-AGG-16",
@@ -63,7 +65,7 @@ _DRIVER_PRIORITY = [
     "S-STATE-01", "Q-SCAN-05", "G-CDF-01", "Q-TS-04",
     "L-MIX-03", "L-PIPE-05",
     # ---- 50-window boundary ----
-    "L-DEDUP-04", "L-SIM-02", "Q-TPCH-14", "U-SCALAR-02",
+    "L-DEDUP-04", "L-SIM-02", "L-SIM-03", "Q-TPCH-14", "U-SCALAR-02",
     "L-DEDUP-08", "L-TEXT-11", "M-PRED-04", "M-PREP-03",
     "Q-AGG-18", "Q-AGG-20", "Q-AGG-21", "Q-BASKET-01",
     "Q-COHORT-01", "Q-CTE-02", "Q-DATE-05", "Q-DATE-06",
@@ -133,7 +135,7 @@ _DRIVER_PRIORITY = [
     "Q-SET-03", "Q-SET-04", "Q-SORT-01", "Q-STR-01",
     "Q-STR-02", "Q-STR-03", "Q-STR-04", "Q-TPCH-04",
     "Q-TPCH-06", "Q-TPCH-08", "Q-TPCH-10", "Q-TPCH-21",
-    "Q-TS-02", "Q-WIN-01", "S-WIN-01", "U-GAPPLY-02",
+    "Q-TS-02", "Q-WIN-01", "S-WIN-01",
     "G-MV-01", "L-DEDUP-03", "L-MIX-02", "L-MM-01",
     "L-PIPE-02", "L-SIM-01", "L-TEXT-02", "M-PRED-02",
     "M-PRED-03", "M-PREP-02", "M-TRAIN-02", "M-TRAIN-03",

@@ -253,39 +253,98 @@ def u_scalar_02(spark, sf):
     )
 
 
-@register("U-GAPPLY-02", sql=None, mode="golden")
+@register(
+    "U-GAPPLY-02",
+    sql="WITH m AS ("
+    "  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "    CAST(SUM(x) AS BIGINT) AS sx, "
+    "    CAST(SUM(yc) AS BIGINT) AS syc, "
+    "    CAST(SUM(x * yc) AS BIGINT) AS sxy, "
+    "    CAST(SUM(x * x) AS BIGINT) AS sxx "
+    "  FROM (SELECT event_type, "
+    "          CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS x, "
+    "          CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS yc "
+    f"        FROM {EVENTS_US} e) t "
+    "  GROUP BY event_type) "
+    "SELECT event_type, n, sx, syc, sxy, sxx, "
+    "  CAST(n * sxy - sx * syc AS BIGINT) AS slope_num, "
+    "  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den, "
+    "  CAST(syc * sxx - sx * sxy AS BIGINT) AS icept_num, "
+    "  CAST(n * sxy - sx * syc AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) "
+    "    AS slope_c, "
+    "  CAST(syc * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) "
+    "    AS icept_c "
+    "FROM m ORDER BY event_type",
+)
 def u_gapply_02(spark, sf):
     """Per-group model fitting via applyInPandas — the grouped-ML escape
-    hatch: one OLS fit (numpy lstsq) per event_type, value regressed on
-    hour-of-day. Each group's rows land in one Arrow batch inside one
-    task, the fit runs vectorized in-process, and only the d-sized
-    coefficient rows come back — the pattern for per-key models
-    (per-store forecasts, per-segment calibration) at scale: N models
-    train in parallel with NO driver involvement. Golden: lstsq is
-    deterministic; tests re-fit one group driver-side and compare."""
+    hatch: one OLS fit per event_type, value regressed on hour-of-day.
+    Each group's rows land in one Arrow batch inside one task, the fit
+    runs vectorized in-process (numpy), and only the d-sized coefficient
+    rows come back — the pattern for per-key models (per-store
+    forecasts, per-segment calibration) at scale: N models train in
+    parallel with NO driver involvement.
+
+    Upgraded golden→hash (r11, the L-TEXT-04 move applied to the UDF
+    tier): the fit is the CLOSED-FORM normal-equation solution over
+    exact int64 moments — n, Σx, Σy_cents, Σxy, Σx² — computed
+    vectorized inside the UDF and emitted alongside the rational
+    coefficient carriers slope_num/slope_den (= n·Σxy − Σx·Σy over
+    n·Σx² − (Σx)², the Q-AGG-16 moment discipline) and icept_num over
+    the same denominator. Every carrier is oracle-pinned to the row;
+    the double coefficients are one int64→double conversion + one IEEE
+    division on identical integers in both engines, so they
+    hash-identically too. Carriers stay int64-exact while
+    n_g²·23·max_cents < 2^63 (~84M rows/group at the fixture's ≤$561
+    values); beyond that move the moments to DECIMAL(38) per the
+    Q-AGG-14 discipline. Degenerate groups (all rows in one hour →
+    slope_den 0) are out of contract — the fixture spans 24 hours per
+    group, and a real per-key model needs ≥2 x-levels anyway.
+    tests/test_golden.py closes the loop: a driver-side numpy lstsq on
+    the same cents-rounded data reproduces the derived coefficients to
+    float precision."""
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf["hour"].to_numpy(dtype="float64")
-        y = pdf["value"].to_numpy(dtype="float64")
-        A = np.stack([np.ones_like(x), x], axis=1)
-        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+        x = pdf["x"].to_numpy(dtype="int64")
+        yc = pdf["yc"].to_numpy(dtype="int64")
+        # python ints below: the cross products (n·Σxy, Σy·Σx²) exceed
+        # what a careless int32 path would hold; numpy int64 suffices
+        # for the elementwise sums, exact python ints for the carriers
+        n = len(pdf)
+        sx = int(x.sum())
+        syc = int(yc.sum())
+        sxy = int((x * yc).sum())
+        sxx = int((x * x).sum())
+        slope_num = n * sxy - sx * syc
+        slope_den = n * sxx - sx * sx
+        icept_num = syc * sxx - sx * sxy
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
-                "n": [len(pdf)],
-                "intercept6": [int(np.floor(coef[0] * 1e6 + 0.5))],
-                "slope6": [int(np.floor(coef[1] * 1e6 + 0.5))],
+                "n": [n],
+                "sx": [sx],
+                "syc": [syc],
+                "sxy": [sxy],
+                "sxx": [sxx],
+                "slope_num": [slope_num],
+                "slope_den": [slope_den],
+                "icept_num": [icept_num],
+                "slope_c": [slope_num / slope_den],
+                "icept_c": [icept_num / slope_den],
             }
         )
 
     ev = load(spark, sf, "events").select(
-        "event_type", F.hour("ts").cast("double").alias("hour"), "value"
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("yc"),
     )
-    return (
-        ev.groupBy("event_type")
-        .applyInPandas(fit, "event_type string, n bigint, intercept6 bigint, slope6 bigint")
-        .orderBy("event_type")
+    schema = (
+        "event_type string, n bigint, sx bigint, syc bigint, sxy bigint, "
+        "sxx bigint, slope_num bigint, slope_den bigint, icept_num bigint, "
+        "slope_c double, icept_c double"
     )
+    return ev.groupBy("event_type").applyInPandas(fit, schema).orderBy("event_type")
 
 
 @register(

@@ -483,8 +483,12 @@ def test_hash_mode_histogram_quantile_bound(spark, sf_dir):
 
 
 def test_grouped_model_fit_matches_driver_ols(spark, sf_dir):
-    # U-GAPPLY-02: the distributed per-group OLS must equal a driver-side
-    # numpy fit on the same group's rows (and be deterministic)
+    """U-GAPPLY-02 (hash-upgraded r11): the registry pins the exact
+    int64 moments and rational coefficient carriers; this closes the
+    model-fit loop — a driver-side numpy lstsq on the SAME cents-rounded
+    data must reproduce the derived closed-form coefficients to float
+    precision (lstsq solves the identical normal equations via SVD), and
+    the carriers must obey the rational identity."""
     import numpy as np
 
     from dask_xgboost_spark.registry import load_all
@@ -497,14 +501,23 @@ def test_grouped_model_fit_matches_driver_ols(spark, sf_dir):
     pdf = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type") == "click")
-        .selectExpr("CAST(hour(ts) AS DOUBLE) AS hour", "value")
+        .selectExpr(
+            "CAST(hour(ts) AS DOUBLE) AS x",
+            "CAST(FLOOR(value * 100 + 0.5) AS DOUBLE) AS yc",
+        )
         .toPandas()
     )
-    A = np.stack([np.ones(len(pdf)), pdf["hour"].to_numpy()], axis=1)
-    coef, *_ = np.linalg.lstsq(A, pdf["value"].to_numpy(), rcond=None)
-    assert got["click"]["n"] == len(pdf)
-    assert got["click"]["intercept6"] == int(np.floor(coef[0] * 1e6 + 0.5))
-    assert got["click"]["slope6"] == int(np.floor(coef[1] * 1e6 + 0.5))
+    A = np.stack([np.ones(len(pdf)), pdf["x"].to_numpy()], axis=1)
+    coef, *_ = np.linalg.lstsq(A, pdf["yc"].to_numpy(), rcond=None)
+    r = got["click"]
+    assert r["n"] == len(pdf)
+    # rational identity between the carriers
+    assert r["slope_num"] == r["n"] * r["sxy"] - r["sx"] * r["syc"]
+    assert r["slope_den"] == r["n"] * r["sxx"] - r["sx"] * r["sx"]
+    assert r["icept_num"] == r["syc"] * r["sxx"] - r["sx"] * r["sxy"]
+    # SVD fit == closed form on identical inputs
+    np.testing.assert_allclose(r["slope_c"], coef[1], rtol=1e-9)
+    np.testing.assert_allclose(r["icept_c"], coef[0], rtol=1e-9)
     assert fn(spark, sf_dir).collect() == fn(spark, sf_dir).collect()
 
 

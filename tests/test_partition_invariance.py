@@ -66,8 +66,10 @@ SAMPLE = [
     "Q-AGG-27", "Q-AGG-28", "Q-AGG-29",
     # round-11: L-TEXT-04's hash rewrite — two chained aggregations at
     # different grains (doc,term → term) plus a vocabulary join whose
-    # build order varies with layout
-    "L-TEXT-04",
+    # build order varies with layout; U-GAPPLY-02's hash rewrite —
+    # exact int64 moment sums inside applyInPandas, whose Arrow batch
+    # assembly order varies with layout
+    "L-TEXT-04", "U-GAPPLY-02",
 ]
 
 
