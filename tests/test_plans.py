@@ -319,6 +319,29 @@ def test_tpch17_correlated_avg_decorrelated(spark, sf_dir):
     assert p.count("Scan parquet") >= 2  # lineitem read for both sides
 
 
+def test_tpch21_single_grouped_pass_no_self_joins(spark, sf_dir):
+    # r12 rewrite (VERDICT r11 item 2): the EXISTS/NOT-EXISTS pair must
+    # NOT decorrelate into fact-fact semi/anti self-joins — the plan
+    # carries exactly ONE aggregate over lineitem (the per-order line
+    # digest, an ObjectHashAggregate pair around one exchange) plus the
+    # final numwait aggregate, and joins the returnflag-filtered fact to
+    # the digest once on orderkey
+    import re as _re
+
+    p = plan(spark, sf_dir, "Q-TPCH-21")
+    assert "LeftSemi" not in p, p
+    assert "LeftAnti" not in p, p
+    # the fact table is scanned exactly twice (l1 + digest), never a
+    # third time for the NOT EXISTS side
+    assert p.count("lineitem.parquet") == 2, p
+    # one partial/final ObjectHashAggregate pair builds the digest
+    n_obj = len(_re.findall(r"- ObjectHashAggregate \(", p))
+    assert n_obj == 2, f"expected one digest aggregate pair:\n{p}"
+    # the returnflag predicate must reach the l1 scan
+    assert "EqualTo(l_returnflag,R)" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     # 100 TB lever: when the dim side of a shuffled join is selectively
     # filtered, Spark injects a bloom filter built from the dim keys into
