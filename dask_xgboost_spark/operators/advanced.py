@@ -140,22 +140,55 @@ def q_pivot_01(spark, sf):
     ).orderBy("user_id")
 
 
-@register("Q-SAMPLE-01", sql=None, mode="golden")
+@register(
+    "Q-SAMPLE-01",
+    # r12 golden→hash upgrade (VERDICT r11 item 5, the L-MIX-01/Q-SAMPLE-02
+    # md5-threshold discipline): membership = first hex byte of
+    # md5("okey|lnum") < 0x1a (26/256 ≈ 10.2%) — identical UTF-8 input and
+    # lowercase-hex compare in both engines, so the SAMPLE ITSELF is
+    # oracle-pinned, not just its size. The xxhash64 variant it replaces
+    # was deterministic but Spark-only (DuckDB has no xxhash64), hence
+    # permanently golden; Bernoulli .sample(seed) API coverage moved to
+    # tests/test_golden.py (partitioning-dependent by nature, never
+    # oracle-checkable).
+    sql="SELECT CAST(COUNT(*) AS BIGINT) AS sample_rows, "
+    f"CAST(SUM({sql_cents('l_quantity')}) AS BIGINT) AS sample_qty_c, "
+    "CAST(MIN(l_orderkey) AS BIGINT) AS min_okey, "
+    "CAST(MAX(l_orderkey) AS BIGINT) AS max_okey, "
+    "CAST(SUM(l_orderkey) AS BIGINT) AS okey_sum "
+    "FROM lineitem WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '|' "
+    "|| CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'",
+)
 def q_sample_01(spark, sf):
-    """Deterministic sampling. Two variants in one result: (a) hash-bucket
-    sampling — stable under any partitioning (the production-grade
-    deterministic sample at 100 TB); (b) Bernoulli .sample(seed) count —
-    partitioning-dependent, shown for API coverage. Golden-checked by
-    tests, rows-only for the driver."""
+    """Deterministic ~10% sample of lineitem via content-hash threshold —
+    stable under any partitioning, retry, or incremental re-run (the
+    production-grade deterministic sample at 100 TB, unlike seeded
+    Bernoulli sampling, which is partitioning-dependent). Map-only
+    filter + one no-group aggregate to witness the sampled set exactly
+    (count, exact-cents quantity mass, key extrema/sum)."""
     li = load(spark, sf, "lineitem")
-    hash_sample = li.filter(
-        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) == 0
+    member = (
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            2,
+        )
+        < "1a"
     )
-    return hash_sample.agg(
-        F.count(F.lit(1)).alias("hash_sample_rows"),
-        F.sum(F.col("l_quantity").cast("bigint")).alias("hash_sample_qty"),
-    ).crossJoin(
-        li.sample(fraction=0.1, seed=42).agg(F.count(F.lit(1)).alias("bernoulli_rows"))
+    from dask_xgboost_spark.functions import cents
+
+    return li.filter(member).agg(
+        F.count(F.lit(1)).alias("sample_rows"),
+        F.sum(cents("l_quantity")).alias("sample_qty_c"),
+        F.min("l_orderkey").alias("min_okey"),
+        F.max("l_orderkey").alias("max_okey"),
+        F.sum("l_orderkey").alias("okey_sum"),
     )
 
 

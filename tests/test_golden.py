@@ -25,11 +25,25 @@ def test_approx_percentile_tolerance(spark, sf_dir):
 def test_sample_deterministic(spark, sf_dir):
     a = SPECS["Q-SAMPLE-01"].fn(spark, sf_dir).toPandas()
     b = SPECS["Q-SAMPLE-01"].fn(spark, sf_dir).toPandas()
-    # hash-bucket sampling is partitioning-independent → exactly stable
-    assert a["hash_sample_rows"][0] == b["hash_sample_rows"][0]
-    assert a["hash_sample_qty"][0] == b["hash_sample_qty"][0]
-    n = a["hash_sample_rows"][0]
-    assert 0.05 <= n / 60000 <= 0.15, "â‰ˆ10% of sf0.01 lineitem"
+    # content-hash sampling is partitioning-independent → exactly stable
+    assert a["sample_rows"][0] == b["sample_rows"][0]
+    assert a["sample_qty_c"][0] == b["sample_qty_c"][0]
+    n = a["sample_rows"][0]
+    assert 0.05 <= n / 60000 <= 0.15, "≈10% of sf0.01 lineitem"
+
+
+def test_bernoulli_sample_api(spark, sf_dir):
+    # .sample(seed) API coverage lives here since the r12 Q-SAMPLE-01
+    # golden→hash upgrade: seeded Bernoulli is deterministic only for a
+    # FIXED partitioning (never oracle-checkable), so pin within-session
+    # stability and the rate, not values
+    from dask_xgboost_spark.sources import load
+
+    li = load(spark, sf_dir, "lineitem")
+    n1 = li.sample(fraction=0.1, seed=42).count()
+    n2 = li.sample(fraction=0.1, seed=42).count()
+    assert n1 == n2, "same seed + same partitioning must be stable"
+    assert 0.05 <= n1 / 60000 <= 0.15, "≈10% of sf0.01 lineitem"
 
 
 def test_minhash_lsh_recall_on_planted_dups(spark, sf_dir):
