@@ -8,6 +8,8 @@ Monetary math uses the fixed-point int64 contract (functions/ notes).
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.functions import cents, sql_cents
@@ -192,14 +194,6 @@ def q_tpch_06(spark, sf):
 # fires on a map whose build would exceed the user's threshold.
 _Q8_MAP_ROW_BYTES = 64
 
-# Footer row counts are immutable per path (fixtures never change;
-# replica dirs are unique mkdtemp names) — cache them so repeated
-# query construction (partition-invariance sweeps, multi-rep benches)
-# doesn't re-open every part-file footer serially on the driver, the
-# same reason sources/tables.py caches analyzed plans.
-_FOOTER_ROWS_CACHE: dict[str, int | None] = {}
-
-
 def _size_conf_bytes(v: str) -> int:
     """Parse a Spark size conf value ('10485760b', '64MB', '-1')."""
     s = v.strip().lower()
@@ -213,33 +207,35 @@ def _size_conf_bytes(v: str) -> int:
     return int(s)
 
 
+@_functools.lru_cache(maxsize=256)
 def _parquet_num_rows(path: str) -> int | None:
     """Row count from parquet FOOTER metadata only — no Spark job, no
     data pages read; handles both a single file and a directory of part
     files (the 10×/100× replicas). Returns None on any surprise (missing
     path, non-parquet layout) so callers default to the scale-safe
-    no-hint branch. Cached per path — footers are immutable here."""
+    no-hint branch. lru-cached: footer counts are immutable per path
+    (fixtures never change; replica dirs are unique mkdtemp names) so
+    repeated query construction doesn't re-open part-file footers
+    serially on the driver — and the BOUND matters because those
+    throwaway replica dirs would otherwise accumulate keys forever in a
+    long-lived driver running repeated scale sweeps (advisor finding,
+    r11)."""
     import glob as _glob
     import os as _os
 
-    if path in _FOOTER_ROWS_CACHE:
-        return _FOOTER_ROWS_CACHE[path]
     try:
         import pyarrow.parquet as pq
 
         if _os.path.isdir(path):
             files = _glob.glob(_os.path.join(path, "*.parquet"))
-            rows = (
+            return (
                 sum(pq.ParquetFile(f).metadata.num_rows for f in files)
                 if files
                 else None
             )
-        else:
-            rows = pq.ParquetFile(path).metadata.num_rows
+        return pq.ParquetFile(path).metadata.num_rows
     except Exception:
-        rows = None
-    _FOOTER_ROWS_CACHE[path] = rows
-    return rows
+        return None
 
 
 def _order_map_fits_broadcast(spark, sf: str) -> bool:
@@ -260,7 +256,11 @@ def _order_map_fits_broadcast(spark, sf: str) -> bool:
     (orders ~15B rows → ~1 TB estimate) the gate can never fire: the
     estimate grows linearly with the footer row count, replacing
     scan-stats luck with an explicit, conservative bound. Threshold
-    -1 (user disabled auto-broadcast) disables the hint too."""
+    -1 (user disabled auto-broadcast) disables the hint too. The gate
+    binds at DataFrame-CONSTRUCTION time: lowering the threshold after
+    building the Q8 plan does not un-bake an already-granted hint
+    (queries here are constructed per run, so this is acceptable —
+    advisor note, r11)."""
     try:
         thr = _size_conf_bytes(
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -293,8 +293,11 @@ def u_gapply_02(spark, sf):
     n·Σx² − (Σx)², the Q-AGG-16 moment discipline) and icept_num over
     the same denominator. Every carrier is oracle-pinned to the row;
     the double coefficients are one int64→double conversion + one IEEE
-    division on identical integers in both engines, so they
-    hash-identically too. Carriers stay int64-exact while
+    division on identical integers in both engines — the UDF converts
+    each carrier to double BEFORE dividing, mirroring the SQL's
+    convert-then-divide, so they hash-identically across the whole
+    int64-exact window (exact-rational int/int division would drift by
+    1 ulp once a carrier exceeds 2^53). Carriers stay int64-exact while
     n_g²·23·max_cents < 2^63 (~84M rows/group at the fixture's ≤$561
     values); beyond that move the moments to DECIMAL(38) per the
     Q-AGG-14 discipline. Degenerate groups (all rows in one hour →
@@ -329,8 +332,13 @@ def u_gapply_02(spark, sf):
                 "slope_num": [slope_num],
                 "slope_den": [slope_den],
                 "icept_num": [icept_num],
-                "slope_c": [slope_num / slope_den],
-                "icept_c": [icept_num / slope_den],
+                # convert-then-divide, mirroring the SQL's CAST(... AS
+                # DOUBLE)/CAST(... AS DOUBLE): python int/int true
+                # division is the correctly-rounded EXACT-rational
+                # quotient, which differs by 1 ulp from the SQL once a
+                # carrier exceeds 2^53 (advisor finding, r11)
+                "slope_c": [float(slope_num) / float(slope_den)],
+                "icept_c": [float(icept_num) / float(slope_den)],
             }
         )
 

@@ -21,10 +21,11 @@ Defaults: sf_dir=/root/testdata/sf0.1, reps = 10 100. The 100× point
 writes ~60M lineitem rows (~1.5 GB) to scratch and takes ~15 min.
 
 100× needs heap headroom: the single local JVM carries all 32 executor
-threads plus broadcast blocks, and the 8g default can OOM mid-suite
-(observed r11). Pin runs use SPARK_GRAFT_DRIVER_MEM=32g and a FRESH
-session per suite (wall variance at this scale is session-age noise —
-BASELINE.md §5).
+threads plus broadcast blocks, and the session's 8g default can OOM
+mid-suite (observed r11) — so this tool DEFAULTS the heap to 32g
+(r12; an explicit SPARK_GRAFT_DRIVER_MEM still wins). Pin runs use a
+FRESH session per suite (wall variance at this scale is session-age
+noise — BASELINE.md §5).
 """
 
 from __future__ import annotations
@@ -129,6 +130,10 @@ def run_suite(spark, con, specs, sf_dir: str, runs: int) -> tuple[float, float, 
 
 def main(sf_dir: str = "/root/testdata/sf0.1", *reps: str) -> None:
     rep_list = [int(r) for r in reps] or [10, 100]
+    # 100× on the 8g session default OOMs mid-suite (observed r11;
+    # VERDICT r11 item 6): default THIS tool to the documented 32g pin
+    # heap. An explicit SPARK_GRAFT_DRIVER_MEM still wins.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     spark = get_spark(app_name="suite-scale")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()

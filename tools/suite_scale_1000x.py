@@ -9,10 +9,10 @@ expand-then-repartition order would push ~60 GB through the fixture's
 duck_con_for verbatim, so the number is methodology-identical to
 every pinned suite point.
 
-Run: SPARK_GRAFT_DRIVER_MEM=64g python tools/suite_scale_1000x.py
-(~13 GB scratch, ~25 min; the 64 GB single-JVM heap carries 32
-executor threads with multi-GB shuffles — see BASELINE §5's heap
-note)."""
+Run: python tools/suite_scale_1000x.py — the heap defaults to 64g
+here (r12; an explicit SPARK_GRAFT_DRIVER_MEM wins). ~13 GB scratch,
+~25 min; the 64 GB single-JVM heap carries 32 executor threads with
+multi-GB shuffles — see BASELINE §5's heap note."""
 import os
 import shutil
 import sys
@@ -30,6 +30,9 @@ from dask_xgboost_spark.sources import load
 
 REP = 1000
 sf_dir = "/root/testdata/sf0.1"
+# multi-GB shuffles across 32 executor threads in ONE JVM: default to
+# the documented 64g pin heap (an explicit SPARK_GRAFT_DRIVER_MEM wins)
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
 spark = get_spark(app_name="suite-scale-1000x")
 spark.sparkContext.setLogLevel("ERROR")
 out = tempfile.mkdtemp(prefix="dxs_suite_1000x_")
