@@ -367,107 +367,41 @@ _Q21_SQL = (
 
 @register("Q-TPCH-21", sql=_Q21_SQL)
 def q_tpch_21(spark, sf):
-    """Suppliers-who-kept-orders-waiting shape (TPC-H Q21) as ONE grouped
-    fact pass (r12 rewrite; VERDICT r11 item 2).
+    """Suppliers-who-kept-orders-waiting shape (TPC-H Q21): the hardest
+    decorrelation pattern — EXISTS and NOT EXISTS over the same fact
+    table correlated to the outer row — becomes a semi-join and an
+    anti-join of lineitem against itself under Catalyst, all inside
+    whole-stage codegen.
 
-    The declared SQL's EXISTS + NOT EXISTS pair — both correlated to the
-    same fact table — decorrelates under Catalyst into a semi-join AND an
-    anti-join of lineitem against itself: the fact table shuffles as a
-    join side four times, and at 1000× (600M rows) that plan was the
-    suite's worst absolute (96.5 s). But both predicates are functions of
-    a per-order digest: a row l1 of supplier s qualifies iff the order
-    has ≥2 distinct suppliers (EXISTS) and no OTHER supplier shipped
-    after l1 (NOT EXISTS), i.e. l1.shipdate ≥ max shipdate over suppliers
-    ≠ s. With max1 = the order's max shipdate:
+    DELIBERATELY kept in the declarative EXISTS form (r12): the r11
+    review hypothesized that one grouped fact pass (per-order digest of
+    supplier count / max shipdate / tie info) would beat the two
+    decorrelated self-joins at scale. Three alternative plans were
+    built, hash-verified, and measured fresh-session on identical
+    100x replicas (60M-row facts, BASELINE.md §5):
 
-    - ≥2 distinct suppliers achieve max1 → for every s some OTHER
-      supplier achieves max1, so only rows AT max1 qualify (any supplier
-      achieving it);
-    - exactly one supplier s* achieves max1 → rows of s ≠ s* can never
-      reach max1, and rows of s* qualify iff shipdate ≥ max_other, the
-      max shipdate among suppliers ≠ s*.
+    - decorrelated EXISTS form (this one):            7.6 s
+    - windowed per-order stats, one fact exchange:   20.6 s
+    - collect_list digest + join-back:               24.5 s
 
-    So: ONE groupBy(l_orderkey) over lineitem collecting the (shipdate,
-    suppkey) line digest — group size is bounded by lines-per-order (≤7
-    in TPC-H; a data-model bound, not a scale bound) — then higher-order
-    functions (filter/transform/array_distinct, all JVM-side) derive
-    (n_supp, max1, n_at_max, s_top, max_other) at order grain, and the
-    returnflag-filtered fact joins that digest and status-'F' orders once
-    on orderkey. One fact-grain aggregate + one fact-grain join replaces
-    two fact-fact self-joins; hash-identical to the EXISTS form (oracle
-    unchanged). NULL shipdates are out of contract (TPC-H has none; the
-    EXISTS form's three-valued logic would drop them differently).
-    tests/test_plans.py pins the no-self-join shape."""
-    li = load(spark, sf, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate", "l_returnflag"
-    )
-    # per-order line digest: the ONE fact-grain shuffle (on l_orderkey);
-    # sort desc by (shipdate, suppkey) so element 1 is the max-shipdate
-    # line with the greatest suppkey among ties
-    digest = (
-        li.groupBy("l_orderkey")
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("l_shipdate").alias("d"),
-                        F.col("l_suppkey").alias("s"),
-                    )
-                ),
-                asc=False,
-            ).alias("lines")
-        )
-        .select(
-            "l_orderkey",
-            "lines",
-            F.element_at("lines", 1)["d"].alias("max1"),
-            F.size(F.array_distinct(F.col("lines").getField("s"))).alias("n_supp"),
-        )
-        .select(
-            "l_orderkey",
-            "n_supp",
-            "max1",
-            F.size(
-                F.array_distinct(
-                    F.expr("transform(filter(lines, x -> x.d = max1), x -> x.s)")
-                )
-            ).alias("n_at_max"),
-            F.element_at("lines", 1)["s"].alias("s_top"),
-            # max shipdate among suppliers OTHER than the top achiever —
-            # only consulted when n_at_max = 1 (s_top is then the unique
-            # s*); null when the order has a single supplier, but those
-            # orders fail n_supp >= 2 before this is read
-            F.expr(
-                "array_max(transform("
-                "filter(lines, x -> x.s != element_at(lines, 1).s), x -> x.d))"
-            ).alias("max_other"),
-        )
-    )
-    l1 = li.filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    ord_f = load(spark, sf, "orders").filter(
-        F.col("o_orderstatus") == "F"
-    ).select("o_orderkey")
-    qualifies = (F.col("n_supp") >= 2) & (
-        ((F.col("n_at_max") >= 2) & (F.col("l_shipdate") == F.col("max1")))
-        | (
-            (F.col("n_at_max") == 1)
-            & (F.col("l_suppkey") == F.col("s_top"))
-            & (F.col("l_shipdate") >= F.col("max_other"))
-        )
-    )
-    supp = load(spark, sf, "supplier").select("s_suppkey", "s_name")
-    return (
-        l1.join(ord_f, l1.l_orderkey == ord_f.o_orderkey)
-        .join(digest, "l_orderkey")
-        .filter(qualifies)
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.desc("numwait"), "s_name")
-        .limit(25)
-    )
+    The decorrelated plan shuffles MORE rows (l1 + l2 + l3 = ~2.3 fact
+    volumes vs 1 for the window form) but every operator in it — sort,
+    SortMergeJoin LeftSemi/LeftAnti, filters — runs inside whole-stage
+    codegen, while the alternatives funnel the fact table through
+    WindowExec or ObjectHashAggregate (collect_list), whose per-row
+    interpreted constants cost ~3x more than the extra codegen
+    shuffles. The correct per-row predicate also needs max-shipdate-
+    among-OTHER-suppliers (not just the order max: a unique-top
+    supplier's earlier rows qualify whenever they beat every other
+    supplier's max), which no algebraic single-pass aggregate
+    expresses — so the "simple grouped pass" has no cheap correct
+    form. Catalyst's decorrelation IS the scale-optimal plan here; at
+    fixture SFs it additionally broadcasts the semi/anti build sides
+    (sf0.1 shuffle: 1,000 rows vs 148,236 for the digest form).
+    tests/test_plans.py pins the decorrelated shape."""
+    for t in ("supplier", "lineitem", "orders"):
+        load(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_Q21_SQL)
 
 
 @register(

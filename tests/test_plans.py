@@ -319,24 +319,25 @@ def test_tpch17_correlated_avg_decorrelated(spark, sf_dir):
     assert p.count("Scan parquet") >= 2  # lineitem read for both sides
 
 
-def test_tpch21_single_grouped_pass_no_self_joins(spark, sf_dir):
-    # r12 rewrite (VERDICT r11 item 2): the EXISTS/NOT-EXISTS pair must
-    # NOT decorrelate into fact-fact semi/anti self-joins — the plan
-    # carries exactly ONE aggregate over lineitem (the per-order line
-    # digest, an ObjectHashAggregate pair around one exchange) plus the
-    # final numwait aggregate, and joins the returnflag-filtered fact to
-    # the digest once on orderkey
-    import re as _re
-
+def test_tpch21_decorrelates_to_codegen_self_joins(spark, sf_dir):
+    # r12 MEASURED decision (VERDICT r11 item 2 investigated and
+    # refuted, BASELINE.md §5): the EXISTS/NOT-EXISTS pair must
+    # decorrelate into a semi-join + anti-join of lineitem against
+    # itself — fresh-session 100x A/B showed this whole-stage-codegen
+    # shape (7.6 s) beats both hand rewrites (windowed per-order stats
+    # 20.6 s, collect_list digest + join-back 24.5 s): the rewrites
+    # shuffle fewer rows but pay WindowExec / ObjectHashAggregate
+    # interpreted per-row constants on the whole fact table. Pin the
+    # decorrelated shape so a Catalyst regression to nested-loop or a
+    # silent re-plan shows here.
     p = plan(spark, sf_dir, "Q-TPCH-21")
-    assert "LeftSemi" not in p, p
-    assert "LeftAnti" not in p, p
-    # the fact table is scanned exactly twice (l1 + digest), never a
-    # third time for the NOT EXISTS side
-    assert p.count("lineitem.parquet") == 2, p
-    # one partial/final ObjectHashAggregate pair builds the digest
-    n_obj = len(_re.findall(r"- ObjectHashAggregate \(", p))
-    assert n_obj == 2, f"expected one digest aggregate pair:\n{p}"
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+    # the digest/window alternatives must NOT creep back in
+    assert "ObjectHashAggregate" not in p, p
+    assert "Window" not in p, p
+    # l1 + EXISTS side + NOT EXISTS side = exactly three fact scans
+    assert p.count("lineitem.parquet") == 3, p
     # the returnflag predicate must reach the l1 scan
     assert "EqualTo(l_returnflag,R)" in p, p
     assert "TakeOrderedAndProject" in p, p
