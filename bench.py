@@ -735,6 +735,19 @@ def main() -> None:
                 "sf": float(sf),
                 "duckdb_total": duck_total,
                 "ratio_vs_duckdb": round(total / duck_total, 3) if duck_total else None,
+                # per-headline-query SAME-RUN DuckDB walls (r12, VERDICT
+                # r11 item 3): the r11 wall noise showed pinned-baseline
+                # ratios mix boxes — box speed moved both engines ~±40%
+                # round-over-round while same-run ratios barely moved.
+                # Round-over-round comparison should use these, not
+                # BASELINE.md's pinned walls; previously they lived only
+                # in the detail blob, which the driver's tail capture
+                # can truncate
+                "duckdb_same_run": duck,
+                "ratio_same_run": {
+                    k: round(results[k] / duck[k], 2) if duck.get(k) else None
+                    for k in results
+                },
                 "tpch_suite_total": tpch_total,
                 "tpch_suite_duckdb_total": tpch_duck_total,
                 "tpch_ratio": round(tpch_total / tpch_duck_total, 3)
