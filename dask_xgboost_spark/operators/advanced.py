@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dask_xgboost_spark.functions import sql_cents, sql_dec
+from dask_xgboost_spark.functions import cents, sql_cents, sql_dec
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -181,7 +181,6 @@ def q_sample_01(spark, sf):
         )
         < "1a"
     )
-    from dask_xgboost_spark.functions import cents
 
     return li.filter(member).agg(
         F.count(F.lit(1)).alias("sample_rows"),
@@ -250,7 +249,6 @@ def q_subq_04(spark, sf):
     naive lateral nested-loop would not."""
     from pyspark.sql import Window
 
-    from dask_xgboost_spark.functions import cents
 
     o = load(spark, sf, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice", cents("o_totalprice").alias("price_c")
@@ -392,7 +390,6 @@ def q_pivot_03(spark, sf):
     Scale shape: Expand multiplies rows by the measure count map-side —
     output-bound, shuffle-free; the upstream aggregate is the only
     shuffle."""
-    from dask_xgboost_spark.functions import cents
 
     li = load(spark, sf, "lineitem")
     wide = li.groupBy("l_returnflag").agg(

@@ -35,6 +35,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    driver_mem_default: str = "8g",
 ) -> SparkSession:
     cpus = default_parallelism()
     if master is None:
@@ -49,7 +50,11 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.ui.enabled": "false",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # callers that KNOW their scale pass a larger default (the scale
+        # tools: 32g/64g); an explicit SPARK_GRAFT_DRIVER_MEM always wins
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", driver_mem_default
+        ),
     }
     if extra_conf:
         conf.update(extra_conf)

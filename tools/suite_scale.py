@@ -133,8 +133,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", *reps: str) -> None:
     # 100× on the 8g session default OOMs mid-suite (observed r11;
     # VERDICT r11 item 6): default THIS tool to the documented 32g pin
     # heap. An explicit SPARK_GRAFT_DRIVER_MEM still wins.
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
-    spark = get_spark(app_name="suite-scale")
+    spark = get_spark(app_name="suite-scale", driver_mem_default="32g")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
     for rep in rep_list:

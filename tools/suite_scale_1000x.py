@@ -32,8 +32,7 @@ REP = 1000
 sf_dir = "/root/testdata/sf0.1"
 # multi-GB shuffles across 32 executor threads in ONE JVM: default to
 # the documented 64g pin heap (an explicit SPARK_GRAFT_DRIVER_MEM wins)
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
-spark = get_spark(app_name="suite-scale-1000x")
+spark = get_spark(app_name="suite-scale-1000x", driver_mem_default="64g")
 spark.sparkContext.setLogLevel("ERROR")
 out = tempfile.mkdtemp(prefix="dxs_suite_1000x_")
 try:
