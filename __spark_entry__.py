@@ -45,7 +45,8 @@ from dask_xgboost_spark.registry import load_all  # noqa: E402
 # r4 residue this window cannot fit. Q-TPCH-21 needs no slot: the
 # r12 rewrite experiment was REVERTED on measurement (BASELINE.md §5
 # — the decorrelated plan won the 100x A/B), so its declared form is
-# unchanged since its r9 witness. 47/50 hash-mode. Spillover:
+# unchanged since its r9 witness. 48/50 hash-mode (L-DEDUP-04, slot
+# 1, upgraded golden→hash mid-round). Spillover:
 # eviction first, then oldest-first.
 _DRIVER_PRIORITY = [
     "L-DEDUP-04", "L-SIM-02", "L-SIM-03", "Q-TPCH-14",

@@ -11,8 +11,10 @@ Five strategies, each the idiomatic Spark shape for its scale regime:
   similarity for verification; the token join is the textbook
   posting-list self-join. At 100 TB this needs the LSH variant above or
   rare-token blocking (the hot-token skew is the known failure mode).
-- L-DEDUP-04 SimHash: 64-bit fingerprint from per-token xxhash64 bit
-  votes — pure column algebra + one groupBy, linear and shuffle-light.
+- L-DEDUP-04 SimHash: 64-bit fingerprint from per-token md5-nibble bit
+  votes — pure column algebra + one groupBy, linear and shuffle-light
+  (upgraded golden→hash r12: every bit of every fingerprint
+  oracle-pinned).
 - L-DEDUP-05 embedding near-dup: exact cosine over all pairs (small-n
   verification twin of L-SIM-02's LSH path).
 """
@@ -341,39 +343,86 @@ def l_dedup_07(spark, sf):
     )
 
 
-@register("L-DEDUP-04", sql=None, mode="golden")
+_HEX = "0123456789abcdef"
+_DEDUP04_SQL = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+    "FROM documents), nib AS (SELECT doc_id, "
+    + ", ".join(
+        f"strpos('{_HEX}', substr(m, {k + 1}, 1)) - 1 AS n{k}" for k in range(16)
+    )
+    + " FROM (SELECT doc_id, md5(w) AS m FROM tok) h), "
+    "votes AS (SELECT doc_id, "
+    + ", ".join(
+        f"SUM(CASE WHEN ((n{i // 4} >> {i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(64)
+    )
+    + " FROM nib GROUP BY doc_id) "
+    "SELECT doc_id, CAST((CASE WHEN s63 > 0 THEN -9223372036854775808 ELSE 0 END) + "
+    + " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(63))
+    + " AS BIGINT) AS simhash FROM votes ORDER BY doc_id"
+)
+
+
+@register("L-DEDUP-04", sql=_DEDUP04_SQL)
 def l_dedup_04(spark, sf):
     """SimHash-64 document fingerprint, pure column algebra:
 
-    token → xxhash64 → per-bit ±1 votes → per-doc vote sums → sign bits →
-    64-bit fingerprint. One explode + one groupBy — linear at any scale.
-    Golden-checked (xxhash64 has no DuckDB twin): determinism + Hamming
-    closeness of planted near-dups is asserted in tests.
-    """
+    token → md5 → 16 hex nibbles → per-bit ±1 votes → per-doc vote sums →
+    sign bits → 64-bit fingerprint. One explode + one groupBy — linear at
+    any scale.
+
+    Upgraded golden→hash (r12, the L-DEDUP-14/L-SIM-14 discipline applied
+    to the SimHash tier): the original per-token hash was xxhash64, which
+    has no DuckDB twin, so the entry was permanently golden. Replacing it
+    with md5 hex nibbles — bit i of the fingerprint comes from bit (i%4)
+    of nibble (i//4), each nibble decoded with the portable
+    instr('0123456789abcdef', hex_char)-1 idiom — makes EVERY bit of
+    EVERY fingerprint oracle-pinned (bit extraction, vote tally, sign,
+    and the final int64 assembly, where bit 63 lands as an explicit
+    -2^63 term so neither engine's signed arithmetic overflows). Hash
+    quality is equivalent for near-dup voting (md5 bits are as uniform
+    as xxhash64's); the fingerprint VALUES change, which is fine — the
+    contract is the mechanism, not a frozen hash. tests/test_golden.py
+    keeps the semantic pins (determinism, equal text ⇒ equal simhash)."""
     docs = load(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    hashed = tok.select("doc_id", F.xxhash64("w").alias("h"))
-    # votes[i] = +1 if bit i set else -1; summed per doc via aggregate drop
-    votes = hashed.select(
+    nib = tok.select(
         "doc_id",
         *[
-            (F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
-                f"b{i}"
+            (F.expr(f"instr('{_HEX}', substr(md5(w), {k + 1}, 1))") - 1).alias(
+                f"n{k}"
             )
-            for i in range(64)
+            for k in range(16)
         ],
     )
-    sums = votes.groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)])
-    fp = sums.select(
-        "doc_id",
-        sum(
-            [
+    # votes: +1 if bit i of the token hash is set else -1, summed per doc
+    votes = nib.groupBy("doc_id").agg(
+        *[
+            F.sum(
                 F.when(
-                    F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
-                ).otherwise(F.lit(0).cast("bigint"))
-                for i in range(64)
-            ],
-            F.lit(0).cast("bigint"),
+                    F.shiftright(F.col(f"n{i // 4}"), i % 4).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(64)
+        ]
+    )
+    fp = votes.select(
+        "doc_id",
+        (
+            F.when(F.col("s63") > 0, F.lit(-(1 << 63)).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            + sum(
+                [
+                    F.when(
+                        F.col(f"s{i}") > 0, F.lit(1 << i).cast("bigint")
+                    ).otherwise(F.lit(0).cast("bigint"))
+                    for i in range(63)
+                ],
+                F.lit(0).cast("bigint"),
+            )
         ).alias("simhash"),
     )
     return fp.orderBy("doc_id")
