@@ -204,3 +204,28 @@ EVENTS_US = (
     "(SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, "
     "event_type, value, props FROM events)"
 )
+
+# --- Fixed-point vector templates (array<float> columns) -----------------
+# Spark-SQL dot/norm with each elementwise product floored at 1e-12 so the
+# sum — and the derived cosine — is the identical IEEE double in Spark and
+# DuckDB (the L-SIM-01 discipline). The DUCK_* strings are the DuckDB
+# mirrors (1-based list indexing; range(n) is 0..n-1). Shared by
+# operators/similarity.py and the L-DEDUP-05 oracle.
+DOT12 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12) AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v) / 1e12"
+)
+NORM12 = (
+    "SQRT(aggregate(transform({a}, x -> "
+    "CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v) / 1e12)"
+)
+DUCK_DOT12 = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> "
+    "FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e12))) / 1e12"
+)
+DUCK_NORM12 = (
+    "SQRT(list_sum(list_transform({a}, x -> "
+    "FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12))) / 1e12)"
+)

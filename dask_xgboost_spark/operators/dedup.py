@@ -428,7 +428,28 @@ def l_dedup_04(spark, sf):
     return fp.orderBy("doc_id")
 
 
-@register("L-DEDUP-05", sql=None, mode="golden")
+from dask_xgboost_spark.functions import DUCK_DOT12, DUCK_NORM12  # noqa: E402
+
+_DEDUP05_COS = (
+    f"({DUCK_DOT12.format(a='a.embedding', b='b.embedding')}) / (a.nrm * b.nrm)"
+)
+_DEDUP05_SQL = (
+    "WITH planted AS (SELECT vec_id + 100000 AS vec_id, "
+    "list_transform(range(1, len(embedding) + 1), i -> "
+    "CASE WHEN i = 1 THEN CAST(CAST(embedding[1] AS DOUBLE) * 1.05 AS FLOAT) "
+    "ELSE embedding[i] END) AS embedding "
+    "FROM embeddings WHERE vec_id < 20), "
+    "u AS (SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL SELECT vec_id, embedding FROM planted), "
+    f"n AS (SELECT vec_id, embedding, {DUCK_NORM12.format(a='embedding')} AS nrm "
+    "FROM u) "
+    f"SELECT * FROM (SELECT a.vec_id AS v1, b.vec_id AS v2, {_DEDUP05_COS} "
+    "AS cosine FROM n a JOIN n b ON a.vec_id < b.vec_id) s "
+    "WHERE cosine >= 0.95 ORDER BY v1, v2"
+)
+
+
+@register("L-DEDUP-05", sql=_DEDUP05_SQL)
 def l_dedup_05(spark, sf):
     """Embedding cosine near-duplicate pairs (exact, brute force).
 
@@ -437,10 +458,19 @@ def l_dedup_05(spark, sf):
     vectors re-appear under shifted ids with one coordinate scaled 5%.
     Every planted pair must be found (golden check in tests).
 
+    Upgraded golden→hash (r12, third upgrade of the round): the cosine
+    already used the fixed-point FLOOR(x*y*1e12) anchor that makes the
+    double identical in both engines (the L-SIM-01 discipline), and the
+    in-query perturbation is one IEEE float multiply both engines
+    reproduce bitwise — so the full pair set AND each pair's cosine are
+    oracle-pinned. Both sides precompute each vector's norm once (the
+    oracle's n CTE mirrors cosine_pairs' per-row norm), so cosine =
+    dot/(na*nb) is the same expression tree in both engines.
+
     Declared for verification scale; the 100 TB path is L-SIM-02/03's
-    LSH/IVF pruning. Cosine via the fixed-point dot trick from
-    operators/similarity.py.
-    """
+    LSH/IVF pruning. Cosine via cosine_pairs (similarity.py), which
+    r12 also fixed to parallelize the pair join and stop recomputing
+    norms per pair (215 s → seconds at sf0.1, bitwise-identical)."""
     from dask_xgboost_spark.operators.similarity import cosine_pairs
 
     emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
