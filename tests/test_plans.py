@@ -570,6 +570,13 @@ def test_lint_sweep_headline_families(spark, sf_dir):
         # bounded, so they carry explicit allowances instead.)
         "L-SIM-01": {"CARTESIAN_BNLJ"},
         "L-DEDUP-05": {"CARTESIAN_BNLJ"},
+        # r12 bitmap Jaccard path (small-vocab gate in jaccard_pairs):
+        # the mask-pair BNLJ runs over DISTINCT masks (m ≤ n docs, and
+        # the declared semantic is all-pairs exact anyway — the bitmap
+        # gate strictly SHRINKS the quadratic input vs the posting join
+        # it replaces); 07 inherits 03's edges
+        "L-DEDUP-03": {"CARTESIAN_BNLJ"},
+        "L-DEDUP-07": {"CARTESIAN_BNLJ"},
         # containment join against a 6-row broadcast zone table — BNLJ is
         # the intended physical plan for a tiny geometry set (geo.py)
         "Q-GEO-02": {"CARTESIAN_BNLJ"},
