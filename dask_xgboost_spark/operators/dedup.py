@@ -25,7 +25,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.caching import persist_rollup
-from dask_xgboost_spark.functions import md5_poly
+from dask_xgboost_spark.functions import DUCK_DOT12, DUCK_NORM12, md5_poly
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -171,15 +171,35 @@ def _jaccard_pairs_bitmap(tok, cnt, vocab: list, threshold: float):
             for x in (F.lit(word), F.lit((1 << k) if k < 63 else -(1 << 63)))
         ]
     )
+    # STRICT lookup: the vocab was probed in a separate job, so a token
+    # unseen at probe time (non-deterministic input, a source appended
+    # between the two jobs, a 65th token appearing at evaluation) must
+    # fail LOUDLY — a plain map access would yield NULL, F.sum would
+    # silently drop it, and the masks (hence jaccard) would be wrong
+    strict_power = F.coalesce(
+        power[F.col("w")],
+        F.raise_error(
+            F.concat(
+                F.lit("jaccard_pairs bitmap gate: token not in the probed "
+                      "vocabulary (input changed between probe and "
+                      "evaluation?): "),
+                F.col("w"),
+            )
+        ).cast("bigint"),
+    )
     docmask = (
         tok.groupBy("doc_id")
         .agg(
             # distinct (doc_id, w) input → distinct bits, so SUM of the
             # per-bit powers IS the bitwise OR
-            F.sum(power[F.col("w")]).alias("mask")
+            F.sum(strict_power).alias("mask")
         )
         .join(cnt, "doc_id")
     )
+    # referenced ~5× downstream (mask table twice, doc expansion twice,
+    # intra self-join twice) — persist the per-doc row once instead of
+    # re-running tokenize+distinct+groupBy per reference
+    docmask = persist_rollup(docmask)
     masks = docmask.groupBy("mask").agg(
         F.min("n").alias("n")  # n = popcount(mask), constant per mask
     )
@@ -272,14 +292,27 @@ def jaccard_pairs(docs, threshold: float = _JACCARD_THRESHOLD, max_token_df: int
         # shared-token count; jaccard is the same double division). Open
         # vocabularies (> 64 tokens — any real corpus) take the posting
         # join below, whose hot-token failure mode max_token_df handles.
-        # bounded: the gate probe reads AT MOST 65 distinct tokens (the
-        # LIMIT is the bound) — one tiny job decides the plan, and its
-        # rows double as the bit assignment when the bitmap path fires
-        vocab_probe = [
-            r.w for r in tok.select("w").distinct().limit(65).collect()
-        ]
-        if len(vocab_probe) <= 64:
-            return _jaccard_pairs_bitmap(tok, cnt, sorted(vocab_probe), threshold)
+        # Two-stage probe so the open-vocab case pays only a PARTIAL
+        # scan: stage 1 looks at a bounded token sample — ≥65 distinct
+        # there already proves open-vocab (sound: distinct-of-sample ⊆
+        # distinct-of-corpus) and skips stage 2, which is the full
+        # tokenize+distinct that both DECIDES the plan and supplies the
+        # bit assignment. The gate needs threshold > 0: at ≤ 0 the
+        # bitmap form would emit zero-overlap pairs the posting join
+        # structurally cannot produce (a pair row needs a shared token).
+        # bounded: both probes read AT MOST 65 rows (the LIMIT)
+        sample_probe = (
+            tok.select("w").limit(100_000).distinct().limit(65).collect()
+        )
+        if threshold > 0 and len(sample_probe) <= 64:
+            # bounded: full-vocab probe, ≤ 65 rows by the same LIMIT
+            vocab_probe = [
+                r.w for r in tok.select("w").distinct().limit(65).collect()
+            ]
+            if 1 <= len(vocab_probe) <= 64:
+                return _jaccard_pairs_bitmap(
+                    tok, cnt, sorted(vocab_probe), threshold
+                )
         a, b = tok.alias("a"), tok.alias("b")
         pair = (
             a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -535,8 +568,6 @@ def l_dedup_04(spark, sf):
     )
     return fp.orderBy("doc_id")
 
-
-from dask_xgboost_spark.functions import DUCK_DOT12, DUCK_NORM12  # noqa: E402
 
 _DEDUP05_COS = (
     f"({DUCK_DOT12.format(a='a.embedding', b='b.embedding')}) / (a.nrm * b.nrm)"
