@@ -208,32 +208,41 @@ def _size_conf_bytes(v: str) -> int:
 
 
 @_functools.lru_cache(maxsize=256)
+def _parquet_num_rows_ok(path: str) -> int:
+    """Success path of :func:`_parquet_num_rows` — RAISES on any surprise
+    so failures are never cached (advisor, r12: caching None for a
+    transient failure — e.g. probing a replica dir while it is still
+    being written — silently disabled the Q8 broadcast gate for that
+    path for the process lifetime). lru-cached: footer counts are
+    immutable per path (fixtures never change; replica dirs are unique
+    mkdtemp names) so repeated query construction doesn't re-open
+    part-file footers serially on the driver — and the BOUND matters
+    because those throwaway replica dirs would otherwise accumulate keys
+    forever in a long-lived driver running repeated scale sweeps
+    (advisor finding, r11)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    if _os.path.isdir(path):
+        files = _glob.glob(_os.path.join(path, "*.parquet"))
+        if not files:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _parquet_num_rows(path: str) -> int | None:
     """Row count from parquet FOOTER metadata only — no Spark job, no
     data pages read; handles both a single file and a directory of part
     files (the 10×/100× replicas). Returns None on any surprise (missing
     path, non-parquet layout) so callers default to the scale-safe
-    no-hint branch. lru-cached: footer counts are immutable per path
-    (fixtures never change; replica dirs are unique mkdtemp names) so
-    repeated query construction doesn't re-open part-file footers
-    serially on the driver — and the BOUND matters because those
-    throwaway replica dirs would otherwise accumulate keys forever in a
-    long-lived driver running repeated scale sweeps (advisor finding,
-    r11)."""
-    import glob as _glob
-    import os as _os
-
+    no-hint branch; only SUCCESSFUL counts are cached (see
+    :func:`_parquet_num_rows_ok`), so a transient failure is re-probed
+    on the next call instead of pinning None forever."""
     try:
-        import pyarrow.parquet as pq
-
-        if _os.path.isdir(path):
-            files = _glob.glob(_os.path.join(path, "*.parquet"))
-            return (
-                sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-                if files
-                else None
-            )
-        return pq.ParquetFile(path).metadata.num_rows
+        return _parquet_num_rows_ok(path)
     except Exception:
         return None
 

@@ -152,16 +152,19 @@ WHERE jaccard >= {_JACCARD_THRESHOLD} ORDER BY d1, d2
 """
 
 
-def _jaccard_pairs_bitmap(tok, cnt, vocab: list, threshold: float):
-    """Exact set-Jaccard pairs when the distinct-token universe fits 64
-    bits (gated by the caller, which passes the full sorted vocabulary):
-    token w gets bit position index(w) in the sorted vocab — a literal
-    array_position lookup, no join, no window — each doc's set folds to
-    ONE int64 mask, and the quadratic work runs over DISTINCT masks with
-    popcount arithmetic, never over doc-level posting lists. Identical-
-    mask docs expand as intra-group pairs (jaccard exactly 1.0);
-    qualifying cross-mask pairs expand back to doc pairs through two
-    equi-joins on the mask."""
+# Mask-count ceiling for the bitmap path's broadcast pair join (advisor,
+# r12): distinct masks are bounded by 2^|vocab| — up to 2^64 — NOT by the
+# vocabulary size, so a huge small-vocab corpus with near-unique masks
+# could OOM the forced broadcast of the full mask table before the
+# quadratic even bites. 1M masks ≈ 16 MB broadcast (safe on any executor)
+# and ≤ 5·10¹¹ codegen popcount comparisons — past that, the bitmap NLJ
+# is no longer the fast plan anyway, and the posting join degrades
+# gracefully (shuffles, never broadcasts an unbounded build side).
+_BITMAP_MASK_LIMIT = 1_000_000
+
+
+def _mask_expr(vocab: list):
+    """Strict token → 2^bit lookup column for the bitmap-Jaccard path."""
     # literal word → 2^bit map (bit 63 carried as the SIGNED -2^63 power,
     # the SimHash-assembly trick, so every mask stays in int64)
     power = F.create_map(
@@ -176,7 +179,7 @@ def _jaccard_pairs_bitmap(tok, cnt, vocab: list, threshold: float):
     # between the two jobs, a 65th token appearing at evaluation) must
     # fail LOUDLY — a plain map access would yield NULL, F.sum would
     # silently drop it, and the masks (hence jaccard) would be wrong
-    strict_power = F.coalesce(
+    return F.coalesce(
         power[F.col("w")],
         F.raise_error(
             F.concat(
@@ -187,12 +190,25 @@ def _jaccard_pairs_bitmap(tok, cnt, vocab: list, threshold: float):
             )
         ).cast("bigint"),
     )
+
+
+def _jaccard_pairs_bitmap(tok, cnt, vocab: list, threshold: float):
+    """Exact set-Jaccard pairs when the distinct-token universe fits 64
+    bits (gated by the caller, which passes the full sorted vocabulary
+    AND has verified the distinct-mask count fits _BITMAP_MASK_LIMIT):
+    token w gets bit position index(w) in the sorted vocab — a literal
+    array_position lookup, no join, no window — each doc's set folds to
+    ONE int64 mask, and the quadratic work runs over DISTINCT masks with
+    popcount arithmetic, never over doc-level posting lists. Identical-
+    mask docs expand as intra-group pairs (jaccard exactly 1.0);
+    qualifying cross-mask pairs expand back to doc pairs through two
+    equi-joins on the mask."""
     docmask = (
         tok.groupBy("doc_id")
         .agg(
             # distinct (doc_id, w) input → distinct bits, so SUM of the
             # per-bit powers IS the bitwise OR
-            F.sum(strict_power).alias("mask")
+            F.sum(_mask_expr(vocab)).alias("mask")
         )
         .join(cnt, "doc_id")
     )
@@ -250,8 +266,83 @@ def _jaccard_pairs_bitmap(tok, cnt, vocab: list, threshold: float):
     return cross.unionByName(intra).orderBy("d1", "d2")
 
 
+# Probe-decision cache for jaccard_pairs, keyed on (input semanticHash,
+# threshold) the way composite.py caches parquet footer counts (advisor,
+# r12): the plan probe runs bounded Spark jobs at DataFrame-CONSTRUCTION
+# time, and registry sweeps / partition-invariance suites construct the
+# same query repeatedly — without the cache each construction re-scans.
+# semanticHash is stable for file-backed plans (same path → same hash,
+# measured) and collision-safe for ad-hoc local frames (fresh expr IDs →
+# fresh hash → plain cache miss). Staleness (files overwritten in place
+# under an unchanged path) cannot produce wrong VALUES: a stale "bitmap"
+# vocabulary fails loudly through the strict raise_error lookup, and a
+# stale "posting" decision is merely the always-correct general plan.
+_JACCARD_PLAN_CACHE: dict = {}
+
+
+def _probe_jaccard_plan(tok, threshold: float):
+    """Measured plan choice for exact-Jaccard pair search: ``("bitmap",
+    vocab)`` when the corpus's whole distinct-token universe fits 64 bits
+    AND its distinct-mask count fits the broadcast bound, else
+    ``("posting", None)``. Runs up to three bounded eager jobs (two
+    LIMIT-65 token probes + one single-row mask-count aggregate)."""
+    # The gate needs 0 < threshold <= 1.0: at <= 0 the bitmap form would
+    # emit zero-overlap pairs the posting join structurally cannot
+    # produce (a pair row needs a shared token); at > 1.0 the posting
+    # join emits nothing (jaccard <= 1.0 always) while the bitmap
+    # intra-branch would still emit every identical-mask pair (advisor,
+    # r12 — it assumed jaccard=1.0 passes any threshold).
+    if not (0 < threshold <= 1.0):
+        return ("posting", None)
+    # Two-stage probe so the open-vocab case pays only a PARTIAL scan:
+    # stage 1 looks at a bounded token sample — ≥65 distinct there
+    # already proves open-vocab (sound: distinct-of-sample ⊆
+    # distinct-of-corpus) and skips stage 2, which is the full
+    # tokenize+distinct that both DECIDES the plan and supplies the bit
+    # assignment.
+    # bounded: both probes read AT MOST 65 rows (the LIMIT)
+    sample_probe = (
+        tok.select("w").limit(100_000).distinct().limit(65).collect()
+    )
+    if len(sample_probe) > 64:
+        return ("posting", None)
+    # bounded: full-vocab probe, ≤ 65 rows by the same LIMIT
+    vocab_probe = [
+        r.w for r in tok.select("w").distinct().limit(65).collect()
+    ]
+    if not (1 <= len(vocab_probe) <= 64):
+        return ("posting", None)
+    vocab = sorted(vocab_probe)
+    # Broadcast-safety gate (advisor, r12): the bitmap pair join
+    # force-broadcasts the full distinct-mask table, and distinct masks
+    # are bounded by 2^|vocab| — NOT by the 64-token vocabulary — so
+    # count them first (linear job, single-row output) and refuse the
+    # bitmap path when the mask table wouldn't be a safe broadcast.
+    # Same discipline as the Q8 footer gate: a bounded measurement
+    # decides the plan; refusal falls back to the shuffle-based posting
+    # join, which degrades gracefully instead of OOMing a broadcast.
+    # bounded: countDistinct aggregate returns exactly one row
+    n_masks = (
+        tok.groupBy("doc_id")
+        .agg(F.sum(_mask_expr(vocab)).alias("mask"))
+        .agg(F.countDistinct("mask"))
+        .collect()[0][0]
+    )
+    if not (0 < n_masks <= _BITMAP_MASK_LIMIT):
+        return ("posting", None)
+    return ("bitmap", vocab)
+
+
 def jaccard_pairs(docs, threshold: float = _JACCARD_THRESHOLD, max_token_df: int | None = None):
     """Exact word-set Jaccard pairs via token inverted index.
+
+    NOTE (construction-time jobs): with ``max_token_df=None`` the plan
+    gate runs up to three BOUNDED eager Spark jobs when the returned
+    DataFrame is merely built (see :func:`_probe_jaccard_plan`) — unlike
+    the rest of the package, which is construction-lazy. The decision is
+    cached per (input semanticHash, threshold), so repeated construction
+    over the same source (registry sweeps, explain-only tooling) probes
+    once per process.
 
     ``max_token_df=None`` (verification scale): single-pass posting-list
     self-join — every shared token produces a pair row, so a token
@@ -261,7 +352,9 @@ def jaccard_pairs(docs, threshold: float = _JACCARD_THRESHOLD, max_token_df: int
     probes the vocabulary with LIMIT 65: when the corpus's whole
     distinct-token universe fits 64 bits, the bitmap path
     (:func:`_jaccard_pairs_bitmap`) replaces the posting join with
-    popcount arithmetic over distinct set-masks — bitwise-identical
+    popcount arithmetic over distinct set-masks (itself gated on a
+    counted distinct-mask bound, since the mask pair join broadcasts the
+    mask table — see :func:`_probe_jaccard_plan`) — bitwise-identical
     output, measured 145.7 s → 13.8 s Spark-side at sf0.1 (10.6×),
     where the 31-word fixture vocabulary makes every posting list
     ~n-long and the join output Σ df² ≈ 435M rows.
@@ -292,27 +385,21 @@ def jaccard_pairs(docs, threshold: float = _JACCARD_THRESHOLD, max_token_df: int
         # shared-token count; jaccard is the same double division). Open
         # vocabularies (> 64 tokens — any real corpus) take the posting
         # join below, whose hot-token failure mode max_token_df handles.
-        # Two-stage probe so the open-vocab case pays only a PARTIAL
-        # scan: stage 1 looks at a bounded token sample — ≥65 distinct
-        # there already proves open-vocab (sound: distinct-of-sample ⊆
-        # distinct-of-corpus) and skips stage 2, which is the full
-        # tokenize+distinct that both DECIDES the plan and supplies the
-        # bit assignment. The gate needs threshold > 0: at ≤ 0 the
-        # bitmap form would emit zero-overlap pairs the posting join
-        # structurally cannot produce (a pair row needs a shared token).
-        # bounded: both probes read AT MOST 65 rows (the LIMIT)
-        sample_probe = (
-            tok.select("w").limit(100_000).distinct().limit(65).collect()
-        )
-        if threshold > 0 and len(sample_probe) <= 64:
-            # bounded: full-vocab probe, ≤ 65 rows by the same LIMIT
-            vocab_probe = [
-                r.w for r in tok.select("w").distinct().limit(65).collect()
-            ]
-            if 1 <= len(vocab_probe) <= 64:
-                return _jaccard_pairs_bitmap(
-                    tok, cnt, sorted(vocab_probe), threshold
-                )
+        # The probe result is cached per (semanticHash, threshold) — see
+        # _JACCARD_PLAN_CACHE; hash failure just means no caching.
+        try:
+            key = (docs.semanticHash(), float(threshold))
+        except Exception:  # noqa: BLE001 — hash is an optimization only
+            key = None
+        plan = _JACCARD_PLAN_CACHE.get(key) if key is not None else None
+        if plan is None:
+            plan = _probe_jaccard_plan(tok, threshold)
+            if key is not None:
+                if len(_JACCARD_PLAN_CACHE) >= 256:
+                    _JACCARD_PLAN_CACHE.clear()
+                _JACCARD_PLAN_CACHE[key] = plan
+        if plan[0] == "bitmap":
+            return _jaccard_pairs_bitmap(tok, cnt, plan[1], threshold)
         a, b = tok.alias("a"), tok.alias("b")
         pair = (
             a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))

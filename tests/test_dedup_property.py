@@ -119,3 +119,83 @@ def test_jaccard_bitmap_gate_edge_cases(spark):
         [(0, "a b"), (1, "c d")], ["doc_id", "text"]
     )
     assert jaccard_pairs(disjoint, threshold=0.0).count() == 0
+    # threshold > 1.0: jaccard <= 1.0 always, so the posting join emits
+    # nothing — the bitmap intra-branch used to emit every identical-mask
+    # pair unconditionally (advisor, r12); the gate must refuse
+    dups = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a b")], ["doc_id", "text"]
+    )
+    assert jaccard_pairs(dups, threshold=1.5).count() == 0
+    # ... while threshold exactly 1.0 still takes the bitmap path and
+    # emits the exact-duplicate pairs (boundary: jaccard == threshold)
+    assert jaccard_pairs(dups, threshold=1.0).count() == 3
+
+
+def test_jaccard_bitmap_mask_count_gate(spark, monkeypatch):
+    """ADVICE r12: the bitmap pair join force-broadcasts the full
+    distinct-mask table, and distinct masks are bounded by 2^|vocab|,
+    not by the 64-token vocabulary — the gate must count them and fall
+    back to the posting join above the bound, with identical output."""
+    import dask_xgboost_spark.operators.dedup as dd
+
+    texts = {0: "a b", 1: "a b c", 2: "a b c", 3: "c d", 4: "a d"}
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    want = _py_pairs(texts, 0.5)
+
+    def _run():
+        df = jaccard_pairs(sdf, threshold=0.5)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        rows = {
+            (r["d1"], r["d2"]): (r["inter"], r["jaccard"])
+            for r in df.collect()
+        }
+        return plan, rows
+
+    # 4 distinct masks > limit 3 → posting join (no popcount in the plan)
+    monkeypatch.setattr(dd, "_BITMAP_MASK_LIMIT", 3)
+    dd._JACCARD_PLAN_CACHE.clear()
+    plan_post, got_post = _run()
+    assert "bit_count" not in plan_post
+    # 4 distinct masks <= limit 4 → bitmap path fires
+    monkeypatch.setattr(dd, "_BITMAP_MASK_LIMIT", 4)
+    dd._JACCARD_PLAN_CACHE.clear()
+    plan_bit, got_bit = _run()
+    assert "bit_count" in plan_bit
+    # both branches match the reference exactly
+    for got in (got_post, got_bit):
+        assert set(got) == set(want), (got, want)
+        for k in want:
+            assert got[k][0] == want[k][0]
+            assert abs(got[k][1] - want[k][1]) < 1e-12
+    dd._JACCARD_PLAN_CACHE.clear()
+
+
+def test_jaccard_probe_cache_hits_per_path(spark, tmp_path, monkeypatch):
+    """ADVICE r12: the plan probe runs bounded eager jobs at DataFrame
+    construction; for file-backed input (stable semanticHash) the
+    decision must be cached so repeated construction doesn't re-scan."""
+    import dask_xgboost_spark.operators.dedup as dd
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "c d")], ["doc_id", "text"]
+    ).write.parquet(p)
+
+    dd._JACCARD_PLAN_CACHE.clear()
+    first = jaccard_pairs(spark.read.parquet(p), threshold=0.9)
+    assert len(dd._JACCARD_PLAN_CACHE) == 1
+    (cached_plan,) = dd._JACCARD_PLAN_CACHE.values()
+    assert cached_plan[0] == "bitmap"
+
+    # second construction over the same path must NOT re-probe
+    def _boom(tok, threshold):  # pragma: no cover - must not run
+        raise AssertionError("probe re-ran despite cache")
+
+    monkeypatch.setattr(dd, "_probe_jaccard_plan", _boom)
+    second = jaccard_pairs(spark.read.parquet(p), threshold=0.9)
+    assert sorted(map(tuple, second.collect())) == sorted(
+        map(tuple, first.collect())
+    )
+    dd._JACCARD_PLAN_CACHE.clear()

@@ -300,6 +300,28 @@ def test_tpch08_broadcast_gate_is_footer_stat_bounded(spark, sf_dir):
     assert "SortMergeJoin" not in p, p
 
 
+def test_parquet_footer_cache_does_not_pin_failures(tmp_path):
+    """ADVICE r12: a transient footer-probe failure (e.g. a replica dir
+    still being written) must not be cached — the old lru_cache pinned
+    None for the process lifetime, silently disabling the Q8 broadcast
+    gate for that path. Only SUCCESSFUL counts are cached now."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_xgboost_spark.operators.composite import _parquet_num_rows
+
+    d = tmp_path / "being_written"
+    d.mkdir()
+    # transient: directory exists but holds no part files yet
+    assert _parquet_num_rows(str(d)) is None
+    pq.write_table(pa.table({"x": [1, 2, 3]}), d / "part-0.parquet")
+    # re-probed on the next call instead of serving the pinned None
+    assert _parquet_num_rows(str(d)) == 3
+    # and the SUCCESS is cached: the count survives file removal
+    (d / "part-0.parquet").unlink()
+    assert _parquet_num_rows(str(d)) == 3
+
+
 def test_tpch19_disjunction_pushes_to_both_scans(spark, sf_dir):
     # from the 3-way OR mixing both sides' columns, Catalyst must derive
     # per-side filters and push them into BOTH parquet scans
@@ -572,9 +594,11 @@ def test_lint_sweep_headline_families(spark, sf_dir):
         "L-DEDUP-05": {"CARTESIAN_BNLJ"},
         # r12 bitmap Jaccard path (small-vocab gate in jaccard_pairs):
         # the mask-pair BNLJ runs over DISTINCT masks (m ≤ n docs, and
-        # the declared semantic is all-pairs exact anyway — the bitmap
-        # gate strictly SHRINKS the quadratic input vs the posting join
-        # it replaces); 07 inherits 03's edges
+        # since r13 the probe COUNTS the distinct masks and refuses the
+        # path above _BITMAP_MASK_LIMIT — the BNLJ's broadcast side is
+        # measured ≤ 1M rows, and the bitmap gate strictly SHRINKS the
+        # quadratic input vs the posting join it replaces); 07 inherits
+        # 03's edges
         "L-DEDUP-03": {"CARTESIAN_BNLJ"},
         "L-DEDUP-07": {"CARTESIAN_BNLJ"},
         # containment join against a 6-row broadcast zone table — BNLJ is
