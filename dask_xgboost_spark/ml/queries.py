@@ -751,7 +751,9 @@ def m_prep_09(spark, sf):
     Scale shape: one shuffle on the label; the in-partition rank is
     linear. The label is a LOW-cardinality partition key, so a single
     giant class serializes through one task — at fact scale either
-    pre-salt the rank (Q-WIN-14's two-stage shape, accepting ±salts
+    pre-salt the rank (windows.py::salted_top_k's two-stage shape —
+    an UNFILTERED full rank gets no WindowGroupLimit pushdown, so
+    manual salting still applies here, accepting ±salts
     imbalance per cell) or fall back to the map-only hashed split
     (M-PREP-07), whose fold sizes are binomial-approximate rather than
     exact. The exact window form here is the right tool up to

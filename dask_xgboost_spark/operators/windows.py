@@ -435,38 +435,64 @@ def q_win_13(spark, sf):
     " FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk",
 )
 def q_win_14(spark, sf):
-    """Skew-safe top-k per group: identical OUTPUT to the plain
-    row_number window (the oracle), different physical strategy — the
-    plan that survives a hot key at 100 TB.
-
-    A single window PARTITION BY custkey funnels every hot customer's
-    rows through one task (AQE cannot split a window partition the way
-    it splits a join). Two-stage salted execution bounds it: stage 1
-    ranks within (custkey, salt = orderkey % 8) — each salt sees ~1/8 of
-    a hot key — and keeps its local top-3; stage 2 re-ranks the ≤ 24
-    survivors per customer. Correct because the global top-3 is a subset
-    of the union of per-salt top-3s (every kept row beats all dropped
-    rows of its own salt; a globally-top row is top in its salt).
-    Deterministic (price DESC, orderkey) tie-break end-to-end. The salt
-    count is the knob: worst per-task group shrinks k-fold for one extra
-    (cheap, pre-filtered) shuffle."""
+    """Skew-safe top-k per group — declared as the PLAIN row_number
+    window, on measurement (r13 A/B, BASELINE.md §5): Spark ≥ 3.5
+    plants ``WindowGroupLimit(Partial)`` BELOW the exchange for a
+    rank-function filter, i.e. every map task keeps only its local
+    top-k per key before shuffling, so (a) a hot key's reduce input is
+    bounded by k × map_tasks rows — the plan is skew-safe natively —
+    and (b) the exchange carries ~groups × k × map_tasks rows instead
+    of the full fact. The hand-salted two-stage plan this entry
+    declared through r12 (:func:`salted_top_k`, kept as the fallback
+    for engines without rank-limit pushdown) duplicates that
+    protection and pays for it: measured fresh-session on shared 100×
+    replicas (15M orders), plain = 1.53 s / 1.48M shuffled rows
+    (uniform) and 1.63 s (30%-hot-key skew) vs salted = 2.31 s / 7.6M
+    rows and 2.66 s — the salted form loses ~1.5× on BOTH
+    distributions because its stage-1 exchange hashes on (key, salt),
+    multiplying the per-task group count the partial limit must keep.
+    Identical output proven at 1× and 100×, both distributions;
+    tests/test_plans.py pins the WindowGroupLimit shape."""
     price_c = cents("o_totalprice").cast("bigint")
     o = load(spark, sf, "orders").select(
-        "o_custkey", "o_orderkey", price_c.alias("price_c"),
-        (F.col("o_orderkey") % 8).alias("salt"),
+        "o_custkey", "o_orderkey", price_c.alias("price_c")
     )
-    w1 = Window.partitionBy("o_custkey", "salt").orderBy(
-        F.col("price_c").desc(), F.col("o_orderkey")
-    )
-    stage1 = o.withColumn("lrk", F.row_number().over(w1)).filter(F.col("lrk") <= 3)
-    w2 = Window.partitionBy("o_custkey").orderBy(
+    w = Window.partitionBy("o_custkey").orderBy(
         F.col("price_c").desc(), F.col("o_orderkey")
     )
     return (
-        stage1.withColumn("rk", F.row_number().over(w2))
+        o.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "price_c", "rk")
         .orderBy("o_custkey", "rk")
+    )
+
+
+def salted_top_k(df, part_cols, order_cols, k: int, salt_expr, salts: int = 8):
+    """Two-stage salted top-k per group: stage 1 ranks within
+    (part_cols, salt) and keeps each salt's local top-k; stage 2
+    re-ranks the ≤ k·salts survivors per group. Correct because the
+    global top-k is a subset of the union of per-salt top-k's (every
+    kept row beats all dropped rows of its own salt). ``order_cols``
+    must be a deterministic total order (include a unique tie-break).
+
+    FALLBACK path, not the default: the r13 A/B (BASELINE.md §5)
+    measured Spark 4.1's ``WindowGroupLimit`` partial pushdown making
+    the plain window both cheaper (5.1× less shuffle at 100×) and
+    skew-safe, so :func:`q_win_14` declares the plain form. Use this
+    only on engines without rank-limit pushdown (Spark < 3.5), where a
+    single window PARTITION BY would funnel a hot key's full row count
+    through one task."""
+    salted = df.withColumn("__salt", salt_expr % salts)
+    w1 = Window.partitionBy(*part_cols, "__salt").orderBy(*order_cols)
+    stage1 = (
+        salted.withColumn("__lrk", F.row_number().over(w1))
+        .filter(F.col("__lrk") <= k)
+        .drop("__salt", "__lrk")
+    )
+    w2 = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return stage1.withColumn("rk", F.row_number().over(w2)).filter(
+        F.col("rk") <= k
     )
 
 

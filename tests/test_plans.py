@@ -365,6 +365,61 @@ def test_tpch21_decorrelates_to_codegen_self_joins(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
 
 
+def test_win14_plain_window_gets_group_limit_pushdown(spark, sf_dir):
+    # r13 MEASURED decision (BASELINE.md §5): the plain rank-filtered
+    # window IS the skew-safe top-k plan on Spark >= 3.5 — the engine
+    # plants WindowGroupLimit(Partial) BELOW the exchange, so each map
+    # task keeps only its local top-3 per customer and a hot key's
+    # reduce input is bounded by k x map_tasks rows. Fresh-session
+    # 100x A/B: plain 1.53 s / 1.48M shuffled rows vs the previously
+    # declared hand-salted two-stage plan 2.31 s / 7.6M rows (uniform;
+    # skewed 30%-hot-key 1.63 s vs 2.66 s). Pin the pushdown shape so
+    # an engine/conf regression that silently drops the partial limit
+    # (reintroducing the unbounded hot-key funnel) shows here.
+    p = plan(spark, sf_dir, "Q-WIN-14")
+    # partial (map-side, below the exchange) AND final group limits
+    assert "WindowGroupLimit" in p, p
+    assert "Partial" in p and "Final" in p, p
+    # exactly one hash exchange (the window) + the presentation sort's
+    # range exchange — the salted form's second hash exchange must not
+    # creep back
+    assert p.count("hashpartitioning") == 1, p
+    assert "salt" not in p, p
+
+
+def test_salted_top_k_fallback_matches_plain_window(spark, sf_dir):
+    # the documented fallback for engines WITHOUT rank-limit pushdown
+    # (windows.py::salted_top_k) must stay output-identical to the
+    # declared plain-window plan — global top-k is a subset of the
+    # union of per-salt top-k's
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.functions import cents
+    from dask_xgboost_spark.operators.windows import salted_top_k
+    from dask_xgboost_spark.sources import load
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        cents("o_totalprice").cast("bigint").alias("price_c"),
+    )
+    fallback = (
+        salted_top_k(
+            o,
+            ["o_custkey"],
+            [F.col("price_c").desc(), F.col("o_orderkey")],
+            3,
+            F.col("o_orderkey"),
+        )
+        .select("o_custkey", "o_orderkey", "price_c", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+    declared = SPECS["Q-WIN-14"].fn(spark, sf_dir)
+    assert [tuple(r) for r in fallback.collect()] == [
+        tuple(r) for r in declared.collect()
+    ]
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     # 100 TB lever: when the dim side of a shuffled join is selectively
     # filtered, Spark injects a bloom filter built from the dim keys into
