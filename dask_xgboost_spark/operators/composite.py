@@ -229,6 +229,17 @@ def _parquet_num_rows_ok(path: str) -> int:
         files = _glob.glob(_os.path.join(path, "*.parquet"))
         if not files:
             raise FileNotFoundError(f"no parquet part files under {path}")
+        # a Spark-written directory is complete only once the _SUCCESS
+        # marker lands; before that the listing may be a PARTIAL
+        # task-commit set and the footer sum an UNDERCOUNT — which must
+        # not be cached (it would bias the broadcast gate toward
+        # granting an over-threshold broadcast; r13 review finding).
+        # Raising keeps it transient: uncached None now, re-probed once
+        # the writer finishes.
+        if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+            raise FileNotFoundError(
+                f"no _SUCCESS marker under {path} (write in progress?)"
+            )
         return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     return pq.ParquetFile(path).metadata.num_rows
 

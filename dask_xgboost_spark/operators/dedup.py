@@ -219,6 +219,40 @@ def _jaccard_pairs_bitmap(tok, cnt, vocab: list, threshold: float):
     masks = docmask.groupBy("mask").agg(
         F.min("n").alias("n")  # n = popcount(mask), constant per mask
     )
+    # Runtime twin of the probe's mask-count gate (r13 review finding):
+    # a CACHED "bitmap" decision can outlive the data it was probed on
+    # (same path overwritten in place with a same-vocab corpus of
+    # vastly more distinct masks), and the strict token lookup only
+    # catches NEW tokens — so re-assert the bound inside the plan
+    # itself. The 1-row count crossJoin is the provably-bounded scalar
+    # shape (lint BNLJ_SCALAR); if the bound no longer holds, the mask
+    # pair join's broadcast build fails LOUDLY on its first row instead
+    # of OOMing.
+    nm = masks.agg(F.count(F.lit(1)).alias("__nm"))
+    masks = (
+        masks.crossJoin(F.broadcast(nm))
+        .withColumn(
+            "mask",
+            F.when(
+                F.col("__nm") <= _BITMAP_MASK_LIMIT, F.col("mask")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "jaccard_pairs bitmap gate: distinct-mask "
+                            "count "
+                        ),
+                        F.col("__nm").cast("string"),
+                        F.lit(
+                            " exceeds the broadcast bound (input "
+                            "changed between probe and evaluation?)"
+                        ),
+                    )
+                ).cast("bigint")
+            ),
+        )
+        .drop("__nm")
+    )
     ma = masks.select(F.col("mask").alias("m1"), F.col("n").alias("n1"))
     mb = masks.select(F.col("mask").alias("m2"), F.col("n").alias("n2"))
     mpairs = (
@@ -274,9 +308,12 @@ def _jaccard_pairs_bitmap(tok, cnt, vocab: list, threshold: float):
 # semanticHash is stable for file-backed plans (same path → same hash,
 # measured) and collision-safe for ad-hoc local frames (fresh expr IDs →
 # fresh hash → plain cache miss). Staleness (files overwritten in place
-# under an unchanged path) cannot produce wrong VALUES: a stale "bitmap"
-# vocabulary fails loudly through the strict raise_error lookup, and a
-# stale "posting" decision is merely the always-correct general plan.
+# under an unchanged path) cannot produce wrong VALUES or a silent OOM:
+# a stale "bitmap" vocabulary fails loudly through the strict
+# raise_error lookup, a same-vocab corpus grown past the mask bound
+# fails loudly through the runtime mask-count guard inside
+# _jaccard_pairs_bitmap, and a stale "posting" decision is merely the
+# always-correct general plan.
 _JACCARD_PLAN_CACHE: dict = {}
 
 
@@ -321,14 +358,18 @@ def _probe_jaccard_plan(tok, threshold: float):
     # Same discipline as the Q8 footer gate: a bounded measurement
     # decides the plan; refusal falls back to the shuffle-based posting
     # join, which degrades gracefully instead of OOMing a broadcast.
-    # bounded: countDistinct aggregate returns exactly one row
-    n_masks = (
-        tok.groupBy("doc_id")
-        .agg(F.sum(_mask_expr(vocab)).alias("mask"))
-        .agg(F.countDistinct("mask"))
-        .collect()[0][0]
+    # The per-doc mask aggregate is PERSISTED before counting so the
+    # bitmap evaluation plan — which builds the canonically identical
+    # aggregate — picks it up through Spark's cache manager: the heavy
+    # tokenize+distinct+groupBy runs ONCE across probe and evaluation
+    # (r13 review finding), not twice.
+    premask = persist_rollup(
+        tok.groupBy("doc_id").agg(F.sum(_mask_expr(vocab)).alias("mask"))
     )
+    # bounded: countDistinct aggregate returns exactly one row
+    n_masks = premask.agg(F.countDistinct("mask")).collect()[0][0]
     if not (0 < n_masks <= _BITMAP_MASK_LIMIT):
+        premask.unpersist()
         return ("posting", None)
     return ("bitmap", vocab)
 

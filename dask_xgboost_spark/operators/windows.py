@@ -482,7 +482,17 @@ def salted_top_k(df, part_cols, order_cols, k: int, salt_expr, salts: int = 8):
     skew-safe, so :func:`q_win_14` declares the plain form. Use this
     only on engines without rank-limit pushdown (Spark < 3.5), where a
     single window PARTITION BY would funnel a hot key's full row count
-    through one task."""
+    through one task.
+
+    Reserved output/work column names: ``rk`` (the emitted rank) and
+    the internals ``__salt``/``__lrk`` — refused up front rather than
+    silently clobbered."""
+    clash = {"rk", "__salt", "__lrk"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"salted_top_k reserves column names {sorted(clash)}; "
+            "rename them on the input first"
+        )
     salted = df.withColumn("__salt", salt_expr % salts)
     w1 = Window.partitionBy(*part_cols, "__salt").orderBy(*order_cols)
     stage1 = (

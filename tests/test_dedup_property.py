@@ -172,6 +172,36 @@ def test_jaccard_bitmap_mask_count_gate(spark, monkeypatch):
     dd._JACCARD_PLAN_CACHE.clear()
 
 
+def test_jaccard_runtime_mask_guard_fails_loudly_on_stale_cache(
+    spark, monkeypatch
+):
+    """r13 review: a cached "bitmap" decision can outlive the data it
+    was probed on (same path overwritten in place), and the strict
+    token lookup only catches NEW tokens — the evaluation plan itself
+    re-asserts the mask bound and must fail loudly instead of
+    force-broadcasting an unbounded mask table."""
+    import pytest
+
+    import dask_xgboost_spark.operators.dedup as dd
+
+    # 5 distinct masks: {a,b} {a,c} {b,c} {a} {c}
+    texts = {0: "a b", 1: "a c", 2: "b c", 3: "a", 4: "c"}
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    monkeypatch.setattr(dd, "_BITMAP_MASK_LIMIT", 3)
+    # seed a stale "bitmap" decision, as if probed on a smaller corpus
+    dd._JACCARD_PLAN_CACHE.clear()
+    dd._JACCARD_PLAN_CACHE[(sdf.semanticHash(), 0.5)] = (
+        "bitmap",
+        ["a", "b", "c"],
+    )
+    df = jaccard_pairs(sdf, threshold=0.5)  # cached: no probe runs
+    with pytest.raises(Exception, match="distinct-mask count"):
+        df.collect()
+    dd._JACCARD_PLAN_CACHE.clear()
+
+
 def test_jaccard_probe_cache_hits_per_path(spark, tmp_path, monkeypatch):
     """ADVICE r12: the plan probe runs bounded eager jobs at DataFrame
     construction; for file-backed input (stable semanticHash) the

@@ -315,11 +315,18 @@ def test_parquet_footer_cache_does_not_pin_failures(tmp_path):
     # transient: directory exists but holds no part files yet
     assert _parquet_num_rows(str(d)) is None
     pq.write_table(pa.table({"x": [1, 2, 3]}), d / "part-0.parquet")
-    # re-probed on the next call instead of serving the pinned None
-    assert _parquet_num_rows(str(d)) == 3
+    # still transient: part files but no _SUCCESS marker — the listing
+    # may be a partial task-commit set, so the UNDERCOUNT must neither
+    # be returned nor cached (it would bias the Q8 gate toward an
+    # over-threshold broadcast)
+    assert _parquet_num_rows(str(d)) is None
+    pq.write_table(pa.table({"x": [4, 5]}), d / "part-1.parquet")
+    (d / "_SUCCESS").touch()
+    # re-probed on the next call instead of serving a pinned value
+    assert _parquet_num_rows(str(d)) == 5
     # and the SUCCESS is cached: the count survives file removal
     (d / "part-0.parquet").unlink()
-    assert _parquet_num_rows(str(d)) == 3
+    assert _parquet_num_rows(str(d)) == 5
 
 
 def test_tpch19_disjunction_pushes_to_both_scans(spark, sf_dir):

@@ -146,16 +146,16 @@ def check(orders_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    mode = sys.argv[1]
+    mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "build":
         build(
             sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
             int(sys.argv[3]) if len(sys.argv) > 3 else 100,
             int(sys.argv[4]) if len(sys.argv) > 4 else 30,
         )
-    elif mode == "run":
+    elif mode == "run" and len(sys.argv) > 3 and sys.argv[3] in PLANS:
         run(sys.argv[2], sys.argv[3], int(sys.argv[4]) if len(sys.argv) > 4 else 3)
-    elif mode == "check":
+    elif mode == "check" and len(sys.argv) > 2:
         check(sys.argv[2])
     else:
         raise SystemExit(__doc__)
