@@ -50,7 +50,23 @@ def events_stream(
     if n_files == 1 and not duplicate and not late_rows and not future_sentinels:
         # file-stream sources require a directory
         stream_dir = scratch_mkdtemp("dxs_stream_")
-        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+        if os.path.isdir(src):
+            # a Spark-WRITTEN events.parquet is itself a directory of
+            # part files (the ×N replicas tools build, vs the driver's
+            # single-file fixtures). Symlinking the directory whole
+            # would silently yield an EMPTY stream — the file source
+            # lists only plain files and does not descend into
+            # subdirectories (r13 measured footgun: 0 rows, 0 batches,
+            # no error). Link each part file instead.
+            import glob as _glob
+
+            parts = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+            if not parts:
+                raise FileNotFoundError(f"no parquet part files under {src}")
+            for i, p in enumerate(parts):
+                os.symlink(p, os.path.join(stream_dir, f"part-{i:04d}.parquet"))
+        else:
+            os.symlink(src, os.path.join(stream_dir, "events.parquet"))
         schema = spark.read.parquet(src).schema
     else:
         stream_dir = scratch_mkdtemp("dxs_stream_")

@@ -974,3 +974,31 @@ def test_compression_matrix_survives_empty_part_files(spark):
         assert len({r["qty_sum"] for r in rows}) == 1  # codecs agree
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_events_stream_directory_source_streams_all_rows(spark, sf_dir, tmp_path):
+    """A Spark-WRITTEN events.parquet is itself a DIRECTORY of part
+    files (the xN-replica layout the scale tools build), while the
+    driver fixtures are single files. events_stream's single-file fast
+    path used to symlink the directory whole into the stream dir, where
+    the file source — which lists only plain files and never descends
+    into subdirectories — silently produced an EMPTY stream: 0 rows,
+    0 batches, no error (r13 measured footgun, caught by the
+    ab_stream_batch K=1 run returning groups=0). The fix links each
+    part file; this pins the directory-source row count end to end."""
+    from dask_xgboost_spark.sources import load
+    from dask_xgboost_spark.streaming.core import events_stream, run_to_memory
+
+    rep_dir = tmp_path / "rep"
+    rep_dir.mkdir()
+    (
+        load(spark, sf_dir, "events")
+        .limit(200)
+        .repartition(3)
+        .write.parquet(str(rep_dir / "events.parquet"))
+    )
+    sev = events_stream(spark, str(rep_dir), n_files=1)
+    out = run_to_memory(
+        sev.groupBy().agg(F.count(F.lit(1)).alias("n")), "complete"
+    )
+    assert out.collect()[0]["n"] == 200
