@@ -22,7 +22,7 @@ counterpoint: exact wins at every measured scale (0.81/0.87/1.22 s at
 1×/10×/100× vs flat 2.12/1.75/1.75 s for HLL) because the Expand +
 two-phase HashAggregate runs in whole-stage codegen while HLL's
 register updates run in interpreted ObjectHashAggregate. Exact's wall
-grows linearly with cardinality, HLL's stays flat — the measured
+grows linearly with input volume, HLL's stays flat — the measured
 slopes cross around ~2×10⁸ rows on this box, and far earlier on a
 cluster where the 43× shuffle-byte cut prices in network/disk.
 Accuracy: worst per-group rel err 0.47% at 1× (1.5k distinct/group),
