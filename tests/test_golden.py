@@ -1002,3 +1002,42 @@ def test_events_stream_directory_source_streams_all_rows(spark, sf_dir, tmp_path
         sev.groupBy().agg(F.count(F.lit(1)).alias("n")), "complete"
     )
     assert out.collect()[0]["n"] == 200
+
+
+def test_events_stream_directory_source_partial_write_guard(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r13: the directory fast path must refuse a Spark-written
+    layout (part-* names) whose _SUCCESS marker is missing — the listing
+    may be a partial task-commit set, and symlinking it would stream an
+    UNDERCOUNTED row set with no error. Non-Spark layouts (no part-*
+    names, e.g. pyarrow-written) have no committer marker to wait for
+    and must still stream."""
+    import os
+
+    import pytest
+
+    from dask_xgboost_spark.sources import load
+    from dask_xgboost_spark.streaming.core import events_stream, run_to_memory
+
+    rep_dir = tmp_path / "rep"
+    rep_dir.mkdir()
+    src = rep_dir / "events.parquet"
+    load(spark, sf_dir, "events").limit(50).repartition(2).write.parquet(
+        str(src)
+    )
+    os.remove(src / "_SUCCESS")
+    with pytest.raises(FileNotFoundError, match="_SUCCESS"):
+        events_stream(spark, str(rep_dir), n_files=1)
+    # pyarrow-style layout: same rows, non-part file names, no marker
+    pa_dir = tmp_path / "pa"
+    pa_dir.mkdir()
+    pa_src = pa_dir / "events.parquet"
+    pa_src.mkdir()
+    for i, part in enumerate(sorted(src.glob("part-*.parquet"))):
+        os.symlink(part, pa_src / f"chunk_{i}.parquet")
+    sev = events_stream(spark, str(pa_dir), n_files=1)
+    out = run_to_memory(
+        sev.groupBy().agg(F.count(F.lit(1)).alias("n")), "complete"
+    )
+    assert out.collect()[0]["n"] == 50

@@ -327,6 +327,14 @@ def test_parquet_footer_cache_does_not_pin_failures(tmp_path):
     # and the SUCCESS is cached: the count survives file removal
     (d / "part-0.parquet").unlink()
     assert _parquet_num_rows(str(d)) == 5
+    # ADVICE r13: _SUCCESS is required only for Spark-written layouts
+    # (part-* names). A pyarrow-written multi-file dir has no committer
+    # marker and must not permanently lose the footer hint.
+    d2 = tmp_path / "pyarrow_written"
+    d2.mkdir()
+    pq.write_table(pa.table({"x": [1, 2]}), d2 / "chunk_a.parquet")
+    pq.write_table(pa.table({"x": [3, 4, 5, 6]}), d2 / "chunk_b.parquet")
+    assert _parquet_num_rows(str(d2)) == 6
 
 
 def test_tpch19_disjunction_pushes_to_both_scans(spark, sf_dir):
@@ -384,9 +392,19 @@ def test_win14_plain_window_gets_group_limit_pushdown(spark, sf_dir):
     # an engine/conf regression that silently drops the partial limit
     # (reintroducing the unbounded hot-key funnel) shows here.
     p = plan(spark, sf_dir, "Q-WIN-14")
-    # partial (map-side, below the exchange) AND final group limits
-    assert "WindowGroupLimit" in p, p
-    assert "Partial" in p and "Final" in p, p
+    # partial (map-side, below the exchange) AND final group limits —
+    # the mode must sit in the WindowGroupLimit node's OWN Arguments
+    # block (advisor, r13: bare substring "Partial" anywhere in the plan
+    # could be some other partial aggregate, silently weakening this
+    # tripwire). Formatted-explain node shape:
+    #   (4) WindowGroupLimit
+    #   Input [...]: [...]
+    #   Arguments: [...], row_number(), 3, Partial
+    import re
+
+    node = r"\(\d+\) WindowGroupLimit\nInput[^\n]*\nArguments:[^\n]*, {}\n"
+    assert re.search(node.format("Partial"), p), p
+    assert re.search(node.format("Final"), p), p
     # exactly one hash exchange (the window) + the presentation sort's
     # range exchange — the salted form's second hash exchange must not
     # creep back
