@@ -751,14 +751,20 @@ def m_prep_09(spark, sf):
     Scale shape: one shuffle on the label; the in-partition rank is
     linear. The label is a LOW-cardinality partition key, so a single
     giant class serializes through one task — at fact scale either
-    pre-salt the rank (windows.py::salted_top_k's two-stage shape —
-    an UNFILTERED full rank gets no WindowGroupLimit pushdown, so
-    manual salting still applies here, accepting ±salts
-    imbalance per cell) or fall back to the map-only hashed split
-    (M-PREP-07), whose fold sizes are binomial-approximate rather than
-    exact. The exact window form here is the right tool up to
-    hundreds-of-millions of rows per class; the docstring trade-off IS
-    the operator's contract."""
+    pre-salt the rank (windows.py::salted_top_k's two-stage shape) or
+    fall back to the map-only hashed split (M-PREP-07), whose fold
+    sizes are binomial-approximate rather than exact. The salting
+    claim is MEASURED, not asserted (r14 A/B, tools/ab_mprep09.py,
+    BASELINE.md §5): an UNFILTERED full rank gets no WindowGroupLimit
+    pushdown (plan-verified — the protection that refuted Q-WIN-14's
+    salting exists only for rank FILTERS), and on 10M-row fresh-JVM
+    replicas pre-salting with 8 salts wins 6.3× (uniform 5-label) to
+    7.9× (90%-hot-label) at identical shuffle rows, trading exactness
+    for a per-(label, fold) cell deviation ≤ 2·salts instead of ≤ 1.
+    Production rule from the A/B pair: salt the window iff the rank
+    survives unfiltered. The exact plain form here stays the
+    registered operator — oracle-checkable exactness at verification
+    scale; the docstring trade-off IS the operator's contract."""
     from pyspark.sql import Window
 
     ev = load(spark, sf, "events")
