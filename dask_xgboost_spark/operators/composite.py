@@ -13,6 +13,7 @@ import functools as _functools
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.functions import cents, sql_cents
+from dask_xgboost_spark.plans.scale import bounded_sort
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -153,13 +154,19 @@ def q_tpch_04(spark, sf):
     date-arithmetic predicate → semi join (Catalyst decorrelates)."""
     load(spark, sf, "orders").createOrReplaceTempView("orders")
     load(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
-        "WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' "
-        "AND o_orderdate < TIMESTAMP '1999-07-01 00:00:00' "
-        "AND EXISTS (SELECT 1 FROM lineitem "
-        "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
-        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    return bounded_sort(
+        spark.sql(
+            "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1999-07-01 00:00:00' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY o_orderpriority"
+        ),
+        # bounded grain (5 priorities): the ORDER BY moved out of the SQL
+        # into a narrow single-partition presentation sort (no range
+        # Exchange / sampling pass); the oracle SQL keeps its ORDER BY
+        "o_orderpriority",
     )
 
 
@@ -384,7 +391,9 @@ def q_tpch_08(spark, sf):
                 / F.sum(rev)
             ).alias("mkt_share")
         )
-        .orderBy("yr")
+        # bounded grain (order years): narrow presentation sort, no
+        # range Exchange (plans/scale.bounded_sort)
+        .transform(bounded_sort, "yr")
     )
 
 
@@ -500,7 +509,9 @@ def q_tpch_12(spark, sf):
             F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
         )
-        .orderBy("l_returnflag")
+        # bounded grain (3 return flags): narrow presentation sort, no
+        # range Exchange (plans/scale.bounded_sort)
+        .transform(bounded_sort, "l_returnflag")
     )
 
 
@@ -592,7 +603,9 @@ def q_tpch_05(spark, sf):
         )
         .groupBy("n_name")
         .agg((F.sum(rev) / 1e4).alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+        # bounded grain (one region's nations, ≤25): narrow presentation
+        # sort instead of a range Exchange (plans/scale.bounded_sort)
+        .transform(bounded_sort, F.desc("revenue"), "n_name")
     )
 
 
@@ -626,5 +639,8 @@ def q_tpch_13(spark, sf):
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
+        # bounded grain (distinct per-customer order counts — a small
+        # integer range at any SF): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort)
+        .transform(bounded_sort, F.desc("custdist"), F.desc("c_count"))
     )

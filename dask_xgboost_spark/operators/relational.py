@@ -34,6 +34,7 @@ from dask_xgboost_spark.functions import (
     sql_dec,
 )
 from dask_xgboost_spark.operators.asof import asof_join_backward
+from dask_xgboost_spark.plans.scale import bounded_sort
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.scratch import scratch_dir
 from dask_xgboost_spark.sources import load, read_csv, read_parquet
@@ -297,7 +298,9 @@ def _revenue_by_nation(spark, sf, hint_broadcast: bool):
         .join(nation, customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg((F.sum(rev) / 1e4).alias("revenue"))
-        .orderBy("n_name")
+        # bounded grain (≤25 nations): narrow single-partition
+        # presentation sort instead of a range Exchange + sampling pass
+        .transform(bounded_sort, "n_name")
     )
 
 
@@ -576,7 +579,9 @@ def q_agg_01(spark, sf):
             (F.sum(dc) / 1e2 / cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # bounded grain (3 flags × 2 statuses): narrow single-partition
+        # presentation sort instead of a range Exchange + sampling pass
+        .transform(bounded_sort, "l_returnflag", "l_linestatus")
     )
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.functions import EVENTS_US, cents, dec, sql_cents
+from dask_xgboost_spark.plans.scale import bounded_sort
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.scratch import scratch_dir
 from dask_xgboost_spark.sources import load
@@ -147,7 +148,10 @@ def q_date_02(spark, sf):
             F.count(F.lit(1)).alias("n"),
             (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 1e2).alias("sv"),
         )
-        .orderBy("h")
+        # bounded grain (hours in the data's time span, not its volume):
+        # narrow single-partition presentation sort instead of a range
+        # Exchange + sampling pass (plans/scale.bounded_sort)
+        .transform(bounded_sort, "h")
     )
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from dask_xgboost_spark.caching import persist_rollup
 from dask_xgboost_spark.functions import cents, sql_cents
+from dask_xgboost_spark.plans.scale import bounded_sort
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -95,7 +96,9 @@ def q_tpch_07(spark, sf):
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg((F.sum("rev") / 1e4).alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        # bounded grain (2 nation pairs × ship years): narrow
+        # presentation sort, no range Exchange (plans/scale.bounded_sort)
+        .transform(bounded_sort, "supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -138,7 +141,9 @@ def q_tpch_09(spark, sf):
         )
         .groupBy("nation", "o_year")
         .agg((F.sum("amount") / 1e4).alias("sum_profit"))
-        .orderBy("nation", F.desc("o_year"))
+        # bounded grain (≤25 nations × order years): narrow presentation
+        # sort, no range Exchange (plans/scale.bounded_sort)
+        .transform(bounded_sort, "nation", F.desc("o_year"))
     )
 
 
@@ -529,7 +534,10 @@ def q_tpch_20(spark, sf):
     )
 
 
-_Q22_SQL = (
+# body shared by the Spark side and the oracle; the Spark side appends a
+# narrow bounded_sort instead of the SQL ORDER BY (5 country codes — see
+# plans/scale.bounded_sort), the oracle keeps ORDER BY in its text
+_Q22_BODY = (
     "SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust, "
     "CAST(SUM(bal_c) AS BIGINT) / 1e2 AS totacctbal FROM ("
     "SELECT SUBSTRING(c_name, LENGTH(c_name) - 1, 2) AS cntrycode, "
@@ -543,8 +551,9 @@ _Q22_SQL = (
     "IN ('01', '13', '25', '31', '42')) "
     "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
     "AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')"
-    ") custsale GROUP BY cntrycode ORDER BY cntrycode"
+    ") custsale GROUP BY cntrycode"
 )
+_Q22_SQL = _Q22_BODY + " ORDER BY cntrycode"
 
 
 @register("Q-TPCH-22", sql=_Q22_SQL)
@@ -561,4 +570,4 @@ def q_tpch_22(spark, sf):
     which is the right plan at scale too)."""
     for t in ("customer", "orders"):
         load(spark, sf, t).createOrReplaceTempView(t)
-    return spark.sql(_Q22_SQL)
+    return bounded_sort(spark.sql(_Q22_BODY), "cntrycode")

@@ -942,3 +942,54 @@ def test_driver_materialization_sites_are_justified():
         "driver-side materialization without a 'bounded' justification "
         "comment:\n" + "\n".join(unjustified)
     )
+
+
+# r14 optimization: bounded-grain presentation sorts ----------------------
+
+_BOUNDED_SORT_QUERIES = [
+    "Q-AGG-01", "Q-JOIN-02", "Q-DATE-02", "Q-TPCH-04", "Q-TPCH-05",
+    "Q-TPCH-07", "Q-TPCH-08", "Q-TPCH-09", "Q-TPCH-12", "Q-TPCH-13",
+    "Q-TPCH-22",
+]
+
+
+def test_bounded_sorts_have_no_range_exchange(spark, sf_dir):
+    """r14: queries whose final grain is bounded by construction ship the
+    narrow coalesce(1)+sortWithinPartitions presentation sort — no range
+    Exchange (and no driver sampling pass) anywhere in the plan. Guard:
+    the Coalesce must sit ABOVE a HashAggregate/Exchange pair so it only
+    collapses the final-aggregate stage, never a join or scan."""
+    for name in _BOUNDED_SORT_QUERIES:
+        p = plan(spark, sf_dir, name)
+        assert "rangepartitioning" not in p, f"{name}: range sort came back"
+        assert "Coalesce" in p, f"{name}: bounded_sort missing"
+        tree = p.split("\n\n")[0]
+        coalesce_at = tree.index("Coalesce")
+        assert "HashAggregate" in tree[coalesce_at:], (
+            f"{name}: Coalesce must collapse only the final-aggregate "
+            "stage (no aggregate below it in the tree)"
+        )
+
+
+def test_bounded_sort_output_identical_to_order_by(spark, sf_dir):
+    """bounded_sort is a pure physical rewrite: same rows, same
+    presentation order as the global orderBy it replaces."""
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.plans.scale import bounded_sort
+    from dask_xgboost_spark.sources import load
+
+    body = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sq"))
+    )
+    a = body.orderBy("l_returnflag", "l_linestatus").toPandas()
+    b = bounded_sort(body, "l_returnflag", "l_linestatus").toPandas()
+    assert a.equals(b)
+    # descending + multi-key form too
+    a2 = body.orderBy(F.desc("n"), "l_returnflag", "l_linestatus").toPandas()
+    b2 = bounded_sort(
+        body, F.desc("n"), "l_returnflag", "l_linestatus"
+    ).toPandas()
+    assert a2.equals(b2)
