@@ -304,6 +304,23 @@ def _order_map_fits_broadcast(spark, sf: str) -> bool:
     building the Q8 plan does not un-bake an already-granted hint
     (queries here are constructed per run, so this is acceptable —
     advisor note, r11)."""
+    return _footer_rows_fit_broadcast(
+        spark, f"{sf}/orders.parquet", _Q8_MAP_ROW_BYTES
+    )
+
+
+def _footer_rows_fit_broadcast(spark, table_path: str, row_bytes: int) -> bool:
+    """Shared footer-stats broadcast bound (the Q8 gate's mechanism,
+    r14: generalized so other join-OUTPUT builds — Q7's nation-pruned
+    customer map — can use the same conservative arithmetic): hint
+    broadcast() exactly when footer_rows × row_bytes fits the session's
+    own autoBroadcastJoinThreshold. footer_rows is the UNFILTERED base
+    table count, an upper bound on any row-reducing join/filter output
+    built from it, so the estimate can only overshoot — the hint never
+    fires on a build the user's threshold wouldn't admit, and at 100 TB
+    it structurally cannot fire (the bound grows linearly with the
+    table). Refusal never regresses a plan: Catalyst still broadcasts
+    wherever its own estimates allow. Threshold -1 disables the hint."""
     try:
         thr = _size_conf_bytes(
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -312,8 +329,8 @@ def _order_map_fits_broadcast(spark, sf: str) -> bool:
         return False
     if thr <= 0:
         return False
-    rows = _parquet_num_rows(f"{sf}/orders.parquet")
-    return rows is not None and rows * _Q8_MAP_ROW_BYTES <= thr
+    rows = _parquet_num_rows(table_path)
+    return rows is not None and rows * row_bytes <= thr
 
 
 _Q8_SQL = (

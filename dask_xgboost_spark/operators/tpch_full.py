@@ -80,6 +80,22 @@ def q_tpch_07(spark, sf):
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
     supp_p = supp.join(n1, F.col("s_nationkey") == F.col("n1_key"))
     cust_p = cust.join(n2, F.col("c_nationkey") == F.col("n2_key"))
+    # r14: cust_p is a join OUTPUT (no scan stats), so under the default
+    # threshold the custkey join planned as SortMergeJoin — two
+    # exchanges + two sorts of the fact chain — even though the
+    # 2-nation customer slice genuinely fits a broadcast at bench SFs.
+    # Footer-stats gate (the pinned Q8 discipline, composite.py): hint
+    # broadcast() only when UNFILTERED customer rows × 64 B (strict
+    # upper bound on the (c_custkey, c_nationkey, cust_nation)
+    # HashedRelation row + long index) fit the session threshold; at
+    # 100 TB customer rows make the bound refuse and the shuffled join
+    # stands — which is the right plan there.
+    from dask_xgboost_spark.operators.composite import (
+        _footer_rows_fit_broadcast,
+    )
+
+    if _footer_rows_fit_broadcast(spark, f"{sf}/customer.parquet", 64):
+        cust_p = F.broadcast(cust_p)
     pair = (
         (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))

@@ -993,3 +993,26 @@ def test_bounded_sort_output_identical_to_order_by(spark, sf_dir):
         body, F.desc("n"), "l_returnflag", "l_linestatus"
     ).toPandas()
     assert a2.equals(b2)
+
+
+def test_tpch07_customer_side_broadcast_gated(spark, sf_dir):
+    """r14: Q7's nation-pruned customer map is a join output (no scan
+    stats) — the footer-stats gate (composite._footer_rows_fit_broadcast,
+    the Q8 discipline) hints it broadcast at fixture SFs, removing the
+    two custkey exchanges + sorts; with auto-broadcast disabled the gate
+    must refuse and the shuffled join stand."""
+    from dask_xgboost_spark.operators.composite import (
+        _footer_rows_fit_broadcast,
+    )
+
+    assert _footer_rows_fit_broadcast(spark, f"{sf_dir}/customer.parquet", 64)
+    p = plan(spark, sf_dir, "Q-TPCH-07")
+    assert "SortMergeJoin" not in p, p
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert not _footer_rows_fit_broadcast(
+            spark, f"{sf_dir}/customer.parquet", 64
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
