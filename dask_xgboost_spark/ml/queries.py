@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from dask_xgboost_spark.functions import cents, md5_poly, sql_cents
 from dask_xgboost_spark.ml.core import XGBClassifier, XGBRegressor, assemble_features
+from dask_xgboost_spark.plans.scale import bounded_sort
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -673,7 +674,8 @@ def m_eval_02(spark, sf):
             (tp.cast("double") / F.nullif(cnt(pos), F.lit(0))).alias("precision_"),
             (tp.cast("double") / F.nullif(F.sum("y"), F.lit(0))).alias("recall_"),
         )
-        .orderBy("slice")
+        # bounded grain (4 slices by construction): plans/scale.bounded_sort
+        .transform(bounded_sort, "slice")
     )
 
 

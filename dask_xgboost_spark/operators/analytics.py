@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from dask_xgboost_spark.caching import persist_rollup
 from dask_xgboost_spark.functions import EVENTS_US, cents, md5_poly, sql_cents
+from dask_xgboost_spark.plans.scale import bounded_sort
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -633,7 +634,8 @@ def q_scd_02(spark, sf):
     return (
         pit.groupBy("tier")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy(F.col("tier").asc_nulls_first())
+        # bounded grain (5 tiers + NULL): plans/scale.bounded_sort
+        .transform(bounded_sort, F.col("tier").asc_nulls_first())
     )
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dask_xgboost_spark.plans.scale import bounded_sort
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -120,7 +121,9 @@ def q_geo_01(spark, sf):
     return (
         pairs.groupBy(F.expr("ax div 20000").alias("band"))
         .agg(F.count(F.lit(1)).alias("pairs"))
-        .orderBy("band")
+        # bounded grain (fixed-width bands of a bounded coordinate
+        # domain): plans/scale.bounded_sort
+        .transform(bounded_sort, "band")
     )
 
 
@@ -165,7 +168,8 @@ def q_geo_02(spark, sf):
         )
         .groupBy("zone")
         .agg(F.count(F.col("id")).alias("n_points"))
-        .orderBy("zone")
+        # bounded grain (fixed zone enum): plans/scale.bounded_sort
+        .transform(bounded_sort, "zone")
     )
 
 

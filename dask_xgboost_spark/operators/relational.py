@@ -611,7 +611,8 @@ def q_agg_14(spark, sf):
             F.sum(charge()).cast("decimal(38,6)").cast("string").alias("sum_charge_str"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # bounded grain (3 flags × 2 statuses): plans/scale.bounded_sort
+        .transform(bounded_sort, "l_returnflag", "l_linestatus")
     )
 
 
@@ -641,7 +642,10 @@ def q_agg_15(spark, sf):
             F.grouping("n_name").cast("int").alias("g_n"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy(
+        # bounded grain (ROLLUP of ≤5 regions × ≤25 nations):
+        # plans/scale.bounded_sort
+        .transform(
+            bounded_sort,
             "g_r",
             "g_n",
             F.col("r_name").asc_nulls_last(),
@@ -1179,7 +1183,8 @@ def q_agg_19(spark, sf):
     return (
         exact_df.join(F.broadcast(est_df), "event_type")
         .select("event_type", "est", F.col("exact").cast("bigint").alias("exact"))
-        .orderBy("event_type")
+        # bounded grain (event-type enum): plans/scale.bounded_sort
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -1629,7 +1634,10 @@ def q_agg_22(spark, sf):
         .select(
             "l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "rev_cents"
         )
-        .orderBy(
+        # bounded grain (CUBE of 3 flags × 2 statuses + margins):
+        # plans/scale.bounded_sort
+        .transform(
+            bounded_sort,
             "g_rf",
             "g_ls",
             F.col("l_returnflag").asc_nulls_first(),
@@ -1768,7 +1776,11 @@ def q_agg_23(spark, sf):
     distinct counts over arbitrary slices without rescanning facts."""
     load(spark, sf, "events").createOrReplaceTempView("events")
     out = spark.sql(_BITMAP_SQL)
-    return out.select("event_type", F.col("n_users").cast("bigint")).orderBy("event_type")
+    return bounded_sort(
+        # bounded grain (event-type enum): plans/scale.bounded_sort
+        out.select("event_type", F.col("n_users").cast("bigint")),
+        "event_type",
+    )
 
 
 _BLOOM_M_BITS = 1 << 16   # 65536 bits = 1024 int64 words (8 KB broadcast)

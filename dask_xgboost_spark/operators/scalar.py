@@ -128,7 +128,9 @@ def q_date_01(spark, sf):
         load(spark, sf, "orders")
         .groupBy(F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("y", "m")
+        # bounded grain (calendar year × month of the data span):
+        # plans/scale.bounded_sort
+        .transform(bounded_sort, "y", "m")
     )
 
 

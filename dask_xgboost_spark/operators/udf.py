@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from dask_xgboost_spark.functions import EVENTS_US
+from dask_xgboost_spark.plans.scale import bounded_sort
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -70,6 +71,12 @@ def u_agg_01(spark, sf):
         load(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .agg(sum_qty_udf("l_quantity").alias("sum_qty"))
+        # NOT bounded_sort-eligible despite the 3-flag grain: a pandas
+        # UDAF (ArrowAggregatePython) has no partial/map-side phase, so
+        # the "final" aggregate stage consumes EVERY input row —
+        # coalesce(1) would funnel the whole table through one task
+        # (caught by test_bounded_sorts_have_no_range_exchange's stage
+        # guard in r14). The range sort stays.
         .orderBy("l_returnflag")
     )
 

@@ -950,6 +950,14 @@ _BOUNDED_SORT_QUERIES = [
     "Q-AGG-01", "Q-JOIN-02", "Q-DATE-02", "Q-TPCH-04", "Q-TPCH-05",
     "Q-TPCH-07", "Q-TPCH-08", "Q-TPCH-09", "Q-TPCH-12", "Q-TPCH-13",
     "Q-TPCH-22",
+    # second batch (registry tier, same rule: enum/calendar/rollup
+    # grains bounded by construction, applied directly above the final
+    # aggregate)
+    "Q-AGG-14", "Q-AGG-15", "Q-AGG-19", "Q-AGG-22", "Q-AGG-23",
+    "Q-DATE-01", "Q-GEO-01", "Q-GEO-02", "Q-SCD-02", "M-EVAL-02",
+    # U-AGG-01 deliberately NOT here: its pandas UDAF has no partial
+    # aggregation (ArrowAggregatePython consumes every row), so the
+    # stage guard below correctly rejects a coalesce(1) there
 ]
 
 
@@ -965,7 +973,11 @@ def test_bounded_sorts_have_no_range_exchange(spark, sf_dir):
         assert "Coalesce" in p, f"{name}: bounded_sort missing"
         tree = p.split("\n\n")[0]
         coalesce_at = tree.index("Coalesce")
-        assert "HashAggregate" in tree[coalesce_at:], (
+        below = tree[coalesce_at:]
+        assert any(
+            agg in below
+            for agg in ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+        ), (
             f"{name}: Coalesce must collapse only the final-aggregate "
             "stage (no aggregate below it in the tree)"
         )
