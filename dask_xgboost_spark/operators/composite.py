@@ -150,24 +150,55 @@ def q_tpch_03(spark, sf):
     "GROUP BY o_orderpriority ORDER BY o_orderpriority",
 )
 def q_tpch_04(spark, sf):
-    """Order-priority-checking shape (TPC-H Q4): correlated EXISTS with a
-    date-arithmetic predicate → semi join (Catalyst decorrelates)."""
-    load(spark, sf, "orders").createOrReplaceTempView("orders")
-    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
-    return bounded_sort(
-        spark.sql(
-            "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
-            "WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' "
-            "AND o_orderdate < TIMESTAMP '1999-07-01 00:00:00' "
-            "AND EXISTS (SELECT 1 FROM lineitem "
-            "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
-            "GROUP BY o_orderpriority"
-        ),
-        # bounded grain (5 priorities): the ORDER BY moved out of the SQL
-        # into a narrow single-partition presentation sort (no range
-        # Exchange / sampling pass); the oracle SQL keeps its ORDER BY
-        "o_orderpriority",
-    )
+    """Order-priority-checking shape (TPC-H Q4). The declared semantics
+    stay the oracle's correlated EXISTS; the physical plan avoids it
+    (r14 A/B, tools/ab_tpch04.py — Catalyst's decorrelated semi join
+    builds a hash relation over the LINEITEM side, i.e. a fact-sized
+    broadcast whose build cost grows linearly and dominated the wall:
+    0.74 s at sf0.1 and 2.95 s at 10× vs 0.33/0.43 s for the shape
+    below; above the threshold it degenerates to a fact-fact
+    sort-merge semi). Because ``o_orderdate`` is constant per order,
+    EXISTS(l_shipdate > o_orderdate + 60d) over an order's lineitems
+    is exactly: some joined row survives the row-level filter — so
+    join the 6-month ORDERS slice (the genuinely small, selective
+    side) to lineitem, filter, and COUNT(DISTINCT o_orderkey) per
+    priority (each qualifying order counted once, orders with no
+    lineitem rows drop from the inner join = EXISTS false; outputs
+    proven identical at 1×/10×).
+
+    Scale shape, footer-gated like Q8/Q7: when unfiltered orders rows
+    × 64 B fit the session broadcast threshold, hint the slice
+    broadcast — lineitem is never shuffled at all (one distinct-pair
+    exchange of qualifying (priority, orderkey) rows). Above the gate
+    (10× under the bench config, any real-cluster SF) fall back to the
+    aggregate-before-shuffle form: per-orderkey MAX(l_shipdate) —
+    map-side-combinable, one row per distinct orderkey — then an equi
+    join + residual filter. Measured at 10×: 0.84 s vs the semi
+    join's 2.95 s. Neither branch ever builds a fact-sized hash
+    relation."""
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-07-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    if _footer_rows_fit_broadcast(spark, f"{sf}/orders.parquet", 64):
+        counted = (
+            li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
+            .groupBy("o_orderpriority")
+            .agg(F.count_distinct("o_orderkey").alias("order_count"))
+        )
+    else:
+        li_max = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("max_ship"))
+        counted = (
+            orders.join(li_max, orders.o_orderkey == li_max.l_orderkey)
+            .filter(F.col("max_ship") > F.expr("o_orderdate + INTERVAL 60 DAY"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+        )
+    # bounded grain (5 priorities): plans/scale.bounded_sort; the
+    # oracle SQL keeps its ORDER BY
+    return bounded_sort(counted, "o_orderpriority")
 
 
 @register(

@@ -1028,3 +1028,35 @@ def test_tpch07_customer_side_broadcast_gated(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_tpch04_rewrite_branches_agree_and_avoid_fact_build(spark, sf_dir):
+    """r14 Q4 rewrite (tools/ab_tpch04.py): the EXISTS is executed as a
+    broadcast of the 6-month ORDERS slice + COUNT(DISTINCT) when the
+    footer gate admits it, else as the per-orderkey MAX aggregate join.
+    Both branches must (a) produce identical output and (b) never build
+    a hash relation over lineitem (the pre-r14 plan broadcast the fact
+    side — a linearly growing build). The oracle parity sweep already
+    pins the gated branch; this pins the fallback's equality."""
+    from dask_xgboost_spark.operators import composite as comp
+
+    fn = SPECS["Q-TPCH-04"].fn
+    gated = fn(spark, sf_dir).toPandas()
+    orig = comp._footer_rows_fit_broadcast
+    comp._footer_rows_fit_broadcast = lambda *a, **k: False
+    try:
+        fallback_df = fn(spark, sf_dir)
+        fallback = fallback_df.toPandas()
+        from dask_xgboost_spark.plans import explain_string
+
+        p = explain_string(fallback_df)
+    finally:
+        comp._footer_rows_fit_broadcast = orig
+    assert gated.values.tolist() == fallback.values.tolist()
+    assert list(gated.columns) == list(fallback.columns)
+    # the fallback aggregates lineitem BEFORE any join: the max_ship
+    # aggregate appears, and no broadcast build of the lineitem scan
+    assert "max_ship" in p or "max(l_shipdate" in p, p[:1500]
+    # the gated plan broadcasts orders, not lineitem
+    p2 = explain_string(fn(spark, sf_dir))
+    assert "count(distinct o_orderkey" in p2 or "count(o_orderkey" in p2, p2[:1500]
