@@ -671,7 +671,23 @@ def main() -> None:
     }
     _sh.rmtree(sg_dir, ignore_errors=True)
 
-    total = round(sum(results.values()), 4)
+    # ``value`` stays the sum of the FIVE headline queries (round-over-
+    # round comparable since r4); the probe is an ADDED entry (the
+    # contract allows additions), not a headline re-definition.
+    total = round(
+        sum(results[n.lower().replace("-", "_")] for n in BENCH_QUERIES), 4
+    )
+    # low-core scaling probe (VERDICT r14 item 2): the driver re-runs
+    # this bench at a lower $SPARK_GRAFT_CPUS and ratios the `queries`
+    # entries. At sf0.1 every headline wall is dominated by the ~0.1 s
+    # per-job floor and single-row-group scans (one task regardless of
+    # cores), so those ratios measure the floor, not parallelism —
+    # r14's scaling block flagged a false "cpus ignored". This entry
+    # re-reports the 10× Q1-shape wall (6M rows, 32 files → a genuinely
+    # parallel scan, measured above in scale_growth) under the same
+    # key space, so the driver's 8→32-core ratio has one entry where
+    # parallel work actually dominates.
+    results["q1_10x_scale_probe"] = sg_spark_10x
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Full detail blob goes to a SIDECAR FILE plus an early stdout line;
     # the compact line (headline + per-TPC-H times + shuffle totals)
@@ -725,6 +741,16 @@ def main() -> None:
     duck_total = round(sum(duck.values()), 4)
     tpch_total = round(sum(tpch_spark.values()), 4)
     tpch_duck_total = round(sum(tpch_duck.values()), 4)
+    # COMPACT contract line (VERDICT r14 item 2): r13's one-line JSON
+    # outgrew the driver's stdout-tail capture (BENCH_r13 parsed: null —
+    # the round-over-round PERF comparison was lost to truncation), so
+    # the final line now carries ONLY the headline `queries`, totals,
+    # same-run ratios, and the shuffle-tripwire TOTALS (≈0.6 KB). Every
+    # per-query tier dict (tpch_suite walls, same-run DuckDB walls,
+    # per-query shuffle rows/bytes at 1× and 10×) lives in
+    # bench_detail.json + the preceding stdout line, unchanged. No key
+    # the driver reads (metric/value/unit/queries/sf) is removed or
+    # renamed; per-TPC-H regression tracking reads bench_detail.json.
     print(
         json.dumps(
             {
@@ -735,38 +761,11 @@ def main() -> None:
                 "sf": float(sf),
                 "duckdb_total": duck_total,
                 "ratio_vs_duckdb": round(total / duck_total, 3) if duck_total else None,
-                # per-headline-query SAME-RUN DuckDB walls (r12, VERDICT
-                # r11 item 3): the r11 wall noise showed pinned-baseline
-                # ratios mix boxes — box speed moved both engines ~±40%
-                # round-over-round while same-run ratios barely moved.
-                # Round-over-round comparison should use these, not
-                # BASELINE.md's pinned walls; previously they lived only
-                # in the detail blob, which the driver's tail capture
-                # can truncate
-                "duckdb_same_run": duck,
-                "ratio_same_run": {
-                    k: round(results[k] / duck[k], 2) if duck.get(k) else None
-                    for k in results
-                },
                 "tpch_suite_total": tpch_total,
                 "tpch_suite_duckdb_total": tpch_duck_total,
                 "tpch_ratio": round(tpch_total / tpch_duck_total, 3)
                 if tpch_duck_total
                 else None,
-                # all 22 per-query wall times IN the final line — the
-                # only line guaranteed to survive the driver's tail
-                # capture (round-over-round regression tracking needs
-                # them; r7 had them only in the big blob and lost them)
-                "tpch_suite": tpch_spark,
-                "tpch_suite_duckdb": tpch_duck,
-                # per-query shuffle volume for the headline tier — the
-                # noise-immune plan metric (one full re-execution each;
-                # wall-clock moves ±35% run-to-run on this box, shuffled
-                # rows move only when the PLAN moves)
-                "shuffle_rows": {k: v["rows"] for k, v in shuffle_headline.items()},
-                "shuffle_bytes": {
-                    k: v["bytes"] for k, v in shuffle_headline.items()
-                },
                 "tpch_shuffle_rows_total": sum(
                     v["rows"] for v in shuffle_tpch.values()
                 ),
@@ -775,16 +774,11 @@ def main() -> None:
                 ),
                 # 10× tripwire totals (VERDICT r8 item 4): a plan
                 # regression that only manifests at scale shows as a
-                # rows jump here while the sf0.1 totals stay flat
-                "shuffle_rows_10x": {
-                    k: v["rows"] for k, v in shuffle_headline_10x.items()
-                },
-                # sum only successful queries: the rows=-1 failure
+                # rows jump here while the sf0.1 totals stay flat.
+                # Sum only successful queries: the rows=-1 failure
                 # sentinel must not DEFLATE the exact total the
-                # tripwire watches (a failing query would otherwise
-                # read as an improvement); failures are counted
-                # explicitly so a degraded run is visible here, not
-                # just on stderr
+                # tripwire watches; failures are counted explicitly so
+                # a degraded run is visible here, not just on stderr
                 "tpch_shuffle_rows_total_10x": sum(
                     v["rows"] for v in shuffle_tpch_10x.values()
                     if v["rows"] >= 0
@@ -799,7 +793,7 @@ def main() -> None:
                     for v in tier.values()
                     if v["rows"] < 0
                 ),
-                "detail": "full blob printed on the preceding line",
+                "detail": "bench_detail.json + the preceding stdout line",
             }
         )
     )
