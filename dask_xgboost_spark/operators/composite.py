@@ -175,13 +175,27 @@ def q_tpch_04(spark, sf):
     map-side-combinable, one row per distinct orderkey — then an equi
     join + residual filter. Measured at 10×: 0.84 s vs the semi
     join's 2.95 s. Neither branch ever builds a fact-sized hash
-    relation."""
+    relation.
+
+    Branch equality assumes o_orderkey is UNIQUE in orders (the TPC-H
+    primary key, and a fixture invariant): the gated branch counts
+    DISTINCT qualifying orderkeys per priority while the fallback (and
+    the oracle SQL) count qualifying order ROWS — identical exactly
+    when each orderkey appears once. Pinned by
+    test_tpch04_rewrite_branches_agree_and_avoid_fact_build (advisor
+    note, r14)."""
     orders = load(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1999-07-01 00:00:00").cast("timestamp"))
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
-    if _footer_rows_fit_broadcast(spark, f"{sf}/orders.parquet", 64):
+    # 96 B/row (not the fixed-width 64): the build row carries a
+    # ~15-char priority STRING + timestamp — 8 B bitset + 3×8 B words +
+    # 24 B string region ≈ 56 B UnsafeRow, + the LongHashedRelation's
+    # 8–16 B/row index and page slack ⇒ 96 B strictly bounds it
+    # (advisor note, r14: 64 B could admit a build slightly above the
+    # user's threshold — memory pressure, not wrong results)
+    if _footer_rows_fit_broadcast(spark, f"{sf}/orders.parquet", 96):
         counted = (
             li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
             .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
@@ -347,11 +361,18 @@ def _footer_rows_fit_broadcast(spark, table_path: str, row_bytes: int) -> bool:
     broadcast() exactly when footer_rows × row_bytes fits the session's
     own autoBroadcastJoinThreshold. footer_rows is the UNFILTERED base
     table count, an upper bound on any row-reducing join/filter output
-    built from it, so the estimate can only overshoot — the hint never
-    fires on a build the user's threshold wouldn't admit, and at 100 TB
-    it structurally cannot fire (the bound grows linearly with the
-    table). Refusal never regresses a plan: Catalyst still broadcasts
-    wherever its own estimates allow. Threshold -1 disables the hint."""
+    built from it, so the ROW estimate can only overshoot — the hint
+    never fires on a build the user's threshold wouldn't admit, and at
+    100 TB it structurally cannot fire (the bound grows linearly with
+    the table). The BYTE bound is only as honest as ``row_bytes``:
+    each call site must pass a value that upper-bounds its widest
+    build row as UnsafeRow + the HashedRelation's per-row index
+    (advisor note, r14) — 64 B covers fixed-width ≤3-column rows (Q8's
+    map), string-carrying rows use 96 B (Q4's priority, Q7's
+    cust_nation), 48 B covers 2-fixed-field rows (Q5's omap, Q13's
+    counts).
+    Refusal never regresses a plan: Catalyst still broadcasts wherever
+    its own estimates allow. Threshold -1 disables the hint."""
     try:
         thr = _size_conf_bytes(
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -613,42 +634,76 @@ def q_tpch_05(spark, sf):
     part.
 
     Join order matters more than Catalyst here (r5 verdict finding):
-    Catalyst does not reorder through the nationkey cycle, so writing
-    the region filter last sends 100% of customers through three
-    shuffle joins only to kill ~4/5 of the rows at the final broadcast
-    join. Instead the ASIA nation keyset (a handful of rows) is derived
-    FIRST and broadcast against both nation-keyed inputs: customers are
-    pruned (and pick up n_name) and suppliers are semi-joined down
-    before any fact join, so every downstream shuffle moves ~1/5 of the
-    bytes. At 100 TB that is the difference between shuffling the whole
-    customer×orders×lineitem chain and shuffling one region's slice."""
-    cust = load(spark, sf, "customer")
+    Catalyst does not reorder through the nationkey cycle, so the ASIA
+    nation keyset (a handful of rows) is derived FIRST and broadcast
+    against both nation-keyed inputs — customers are pruned (and pick
+    up n_name) and suppliers are semi-joined down before any fact join.
+
+    r15 (tools/ab_tpch05.py): the r5–r14 declared order made CUSTOMER
+    the streaming side (cust_a ⋈ orders ⋈ lineitem ⋈ supp_a), so under
+    any threshold that admits it Catalyst broadcast the FULL LINEITEM —
+    a fact-sized HashedRelation rebuilt every execution (the Q4
+    disease: build cost grows linearly and is invisible to the
+    shuffle-rows metric) — and above the threshold it shuffled the wide
+    customer⋈orders intermediate plus wide lineitem rows through SMJ.
+    This is the Q8 dims-first discipline instead: resolve
+    orders(year) ⋈ customer(ASIA-semi) into a NARROW fixed-width
+    order-grain map (o_orderkey, c_nationkey) FIRST, then stream
+    LINEITEM — projected to 4 columns — through one join on orderkey,
+    the supplier nation-cycle join, and a 25-row nation-name lookup,
+    all below the aggregate. Lineitem is never a build side. The omap
+    broadcast is footer-gated (join output → no scan stats, the Q7/Q8
+    gate): 48 B/row honestly bounds the 2-fixed-field UnsafeRow
+    (8 B bitset + 2×8 B words = 24 B) + the LongHashedRelation's
+    ≤16 B/row index, so the gate fires under the DEFAULT 10 MB
+    threshold at bench SFs too (keeping n_name in the map pushed the
+    bound past it and lost the hint exactly where it matters). Above
+    the gate the li⋈omap join shuffles narrow rows once — the
+    scale-correct plan. Inner joins commute and the grouping stays on
+    n_name, so the result is structurally identical; oracle parity
+    re-proven at 3 SFs and outputs asserted identical at 1×/10× in
+    the A/B."""
     orders = load(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
-    )
-    li = load(spark, sf, "lineitem")
-    supp = load(spark, sf, "supplier")
+    ).select("o_orderkey", "o_custkey")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
     nation = load(spark, sf, "nation")
     region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     asian = nation.join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     ).select("n_nationkey", "n_name")
-    cust_a = cust.join(F.broadcast(asian), cust.c_nationkey == asian.n_nationkey)
-    supp_a = supp.join(
+    cust_a = cust.join(
         F.broadcast(asian.select("n_nationkey")),
-        supp.s_nationkey == F.col("n_nationkey"),
+        cust.c_nationkey == F.col("n_nationkey"),
         "left_semi",
+    )
+    omap = orders.join(cust_a, orders.o_custkey == cust_a.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    if _footer_rows_fit_broadcast(spark, f"{sf}/orders.parquet", 48):
+        omap = F.broadcast(omap)
+    supp_a = (
+        load(spark, sf, "supplier")
+        .join(
+            F.broadcast(asian.select(F.col("n_nationkey").alias("sn_key"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_nationkey")
+    )
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
-        cust_a.join(orders, F.col("c_custkey") == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        li.join(omap, li.l_orderkey == omap.o_orderkey)
         .join(
             supp_a,
             (li.l_suppkey == supp_a.s_suppkey)
             & (F.col("c_nationkey") == supp_a.s_nationkey),
         )
+        .join(F.broadcast(asian), F.col("c_nationkey") == asian.n_nationkey)
         .groupBy("n_name")
         .agg((F.sum(rev) / 1e4).alias("revenue"))
         # bounded grain (one region's nations, ≤25): narrow presentation
@@ -670,20 +725,38 @@ def q_tpch_13(spark, sf):
     """Customer-distribution shape (TPC-H Q13): double aggregation — a
     per-customer order count (left join keeps zero-order customers, with
     a join-condition filter rather than a WHERE so the zeros survive)
-    re-aggregated into a histogram of counts. Two shuffles, the second
-    over the tiny count domain."""
-    cust = load(spark, sf, "customer")
-    orders = load(spark, sf, "orders")
-    per_cust = (
-        cust.join(
-            orders,
-            (cust.c_custkey == orders.o_custkey)
-            & (orders.o_orderpriority != "1-URGENT"),
-            "left",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    re-aggregated into a histogram of counts.
+
+    r15 (tools/ab_tpch13.py): the r1–r14 plan joined customer to RAW
+    orders rows and counted after the join — under any threshold that
+    admits it the LeftOuter build side is ORDERS, a fact-sized
+    HashedRelation rebuilt every execution (the Q4 disease); above the
+    threshold every wide orders row shuffles. This pushes the count
+    aggregate BELOW the join — an EXACT algebraic rewrite with no FK
+    assumption: o_custkey is unique in the aggregate (each customer
+    matches ≤ 1 row, no multiplication), COUNT(o_orderkey) over
+    matched rows equals the group's COUNT(*) (o_orderkey is never NULL
+    in orders), COALESCE(cnt, 0) reproduces COUNT over zero matches,
+    and orders rows whose custkey has no customer row drop in the join
+    in both forms. The aggregate is map-side combinable, so only ~one
+    narrow (custkey, cnt) row per distinct custkey per map task
+    shuffles, and the join side drops from |orders| wide rows to
+    ≤ |custkeys| 16-byte rows — footer-gated broadcast (join output →
+    no scan stats; 48 B/row bounds the 2-long build row + index,
+    orders' footer count bounds the distinct custkeys)."""
+    cust = load(spark, sf, "customer").select("c_custkey")
+    cnts = (
+        load(spark, sf, "orders")
+        .select("o_custkey", "o_orderpriority")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    if _footer_rows_fit_broadcast(spark, f"{sf}/orders.parquet", 48):
+        cnts = F.broadcast(cnts)
+    per_cust = cust.join(
+        cnts, cust.c_custkey == F.col("o_custkey"), "left"
+    ).select(F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("c_count"))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))

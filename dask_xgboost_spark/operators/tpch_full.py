@@ -85,16 +85,18 @@ def q_tpch_07(spark, sf):
     # exchanges + two sorts of the fact chain — even though the
     # 2-nation customer slice genuinely fits a broadcast at bench SFs.
     # Footer-stats gate (the pinned Q8 discipline, composite.py): hint
-    # broadcast() only when UNFILTERED customer rows × 64 B (strict
+    # broadcast() only when UNFILTERED customer rows × 96 B (strict
     # upper bound on the (c_custkey, c_nationkey, cust_nation)
-    # HashedRelation row + long index) fit the session threshold; at
+    # HashedRelation row — the cust_nation STRING pushes the UnsafeRow
+    # past the fixed-width 64 B budget; 96 B covers row + long index +
+    # page slack, advisor note r14) fit the session threshold; at
     # 100 TB customer rows make the bound refuse and the shuffled join
     # stands — which is the right plan there.
     from dask_xgboost_spark.operators.composite import (
         _footer_rows_fit_broadcast,
     )
 
-    if _footer_rows_fit_broadcast(spark, f"{sf}/customer.parquet", 64):
+    if _footer_rows_fit_broadcast(spark, f"{sf}/customer.parquet", 96):
         cust_p = F.broadcast(cust_p)
     pair = (
         (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")

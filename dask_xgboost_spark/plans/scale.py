@@ -74,13 +74,22 @@ def bounded_sort(df: DataFrame, *cols: Column | str) -> DataFrame:
     5 full re-executions): Q1-shape 0.459 → 0.247 s (−46%), hourly
     rollup 0.232 → 0.161 s (−31%), outputs pandas-identical.
 
-    USE ONLY directly above a final ``groupBy().agg()`` whose grain has
-    a compile-time cardinality bound (≲ 10^5 rows): ``coalesce(1)``
-    collapses the final-aggregate stage to one task, whose input is
-    then ≤ grain × #map-tasks partial rows — bounded. Applying it above
-    a join, scan, or unbounded grain would serialize THAT work through
-    one task instead (which is why q_tpch_15/16's tails keep their
-    range sort — see OPTIMIZATION_r14.md).
+    ELIGIBILITY (the real condition, advisor note r14): every operator
+    between the ``coalesce(1)`` and the nearest Exchange below it must
+    be NARROW and BOUNDED-CARDINALITY — a final aggregate with a
+    partial/map-side phase (its post-exchange input is ≤ grain ×
+    #map-tasks partial rows), projections/filters over it, and
+    broadcast joins whose build sides are bounded (dim lookups). The
+    grain itself must have a compile-time cardinality bound
+    (≲ 10^5 rows: enum/calendar/rollup grains, never per-key grains
+    that grow with the input). Applying it above a shuffled join, a
+    scan, an unbounded grain, or an aggregate WITHOUT a partial phase
+    (pandas UDAFs: ArrowAggregatePython consumes every input row)
+    serializes THAT work through one task instead — which is why
+    q_tpch_15/16's tails keep their range sort and U-AGG-01 is
+    excluded (see OPTIMIZATION_r14.md). The plan pin
+    (tests/test_plans.py::test_bounded_sorts_have_no_range_exchange)
+    enforces the coalesced-stage shape mechanically.
     """
     return df.coalesce(1).sortWithinPartitions(*cols)
 

@@ -947,12 +947,14 @@ def test_driver_materialization_sites_are_justified():
 # r14 optimization: bounded-grain presentation sorts ----------------------
 
 _BOUNDED_SORT_QUERIES = [
-    "Q-AGG-01", "Q-JOIN-02", "Q-DATE-02", "Q-TPCH-04", "Q-TPCH-05",
-    "Q-TPCH-07", "Q-TPCH-08", "Q-TPCH-09", "Q-TPCH-12", "Q-TPCH-13",
-    "Q-TPCH-22",
+    "Q-AGG-01", "Q-JOIN-02", "Q-JOIN-08", "Q-DATE-02", "Q-TPCH-04",
+    "Q-TPCH-05", "Q-TPCH-07", "Q-TPCH-08", "Q-TPCH-09", "Q-TPCH-12",
+    "Q-TPCH-13", "Q-TPCH-22",
     # second batch (registry tier, same rule: enum/calendar/rollup
     # grains bounded by construction, applied directly above the final
-    # aggregate)
+    # aggregate); Q-JOIN-08 above ships it via Q-JOIN-02's shared body
+    # (verdict r14 item 6: pin it so a future split of the shared body
+    # can't silently lose the plan)
     "Q-AGG-14", "Q-AGG-15", "Q-AGG-19", "Q-AGG-22", "Q-AGG-23",
     "Q-DATE-01", "Q-GEO-01", "Q-GEO-02", "Q-SCD-02", "M-EVAL-02",
     # U-AGG-01 deliberately NOT here: its pandas UDAF has no partial
@@ -960,26 +962,72 @@ _BOUNDED_SORT_QUERIES = [
     # stage guard below correctly rejects a coalesce(1) there
 ]
 
+# operators allowed INSIDE the coalesced stage (between the Coalesce and
+# the first shuffle Exchange below it): narrow, bounded-cardinality only
+# — the final aggregate (whose post-exchange input is grain-bounded),
+# projections/filters over it, and broadcast joins of bounded dim sides.
+# A Scan, SortMergeJoin, Window, or Generate here would mean coalesce(1)
+# serializes real work through one task (advisor finding, r14: the old
+# guard accepted ANY aggregate anywhere below the Coalesce).
+_COALESCED_STAGE_ALLOWED = {
+    "Coalesce",
+    "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+    "Project", "Filter",
+    "BroadcastHashJoin",
+    # a SortAggregate's required child Sort (Q-AGG-23's bitmap agg):
+    # it sorts only rows already inside the stage — no row source, so
+    # boundedness is still carried by the restricted sources above
+    "Sort",
+}
+
+
+def _tree_operator_names(tree: str) -> list[str]:
+    import re
+
+    ops = []
+    for line in tree.split("\n"):
+        m = re.match(r"^[\s:+|-]*([A-Z][A-Za-z]*)", line)
+        if m:
+            ops.append(m.group(1))
+    return ops
+
 
 def test_bounded_sorts_have_no_range_exchange(spark, sf_dir):
-    """r14: queries whose final grain is bounded by construction ship the
-    narrow coalesce(1)+sortWithinPartitions presentation sort — no range
-    Exchange (and no driver sampling pass) anywhere in the plan. Guard:
-    the Coalesce must sit ABOVE a HashAggregate/Exchange pair so it only
-    collapses the final-aggregate stage, never a join or scan."""
+    """r14/r15: queries whose final grain is bounded by construction ship
+    the narrow coalesce(1)+sortWithinPartitions presentation sort — no
+    range Exchange (and no driver sampling pass) anywhere in the plan.
+    Stage guard (strengthened per advisor r14): every operator between
+    the Coalesce and the first shuffle Exchange below it must be in the
+    narrow/bounded allowlist — the Coalesce may collapse ONLY the
+    final-aggregate stage, never a scan, shuffled-join, or
+    unbounded-generate stage. (The streaming-side subtree prints first
+    in formatted-plan order, so the segment up to the first `Exchange`
+    node is exactly the coalesced stage; a broadcast build subtree
+    prints after it and is a separate stage.)"""
     for name in _BOUNDED_SORT_QUERIES:
         p = plan(spark, sf_dir, name)
         assert "rangepartitioning" not in p, f"{name}: range sort came back"
         assert "Coalesce" in p, f"{name}: bounded_sort missing"
         tree = p.split("\n\n")[0]
-        coalesce_at = tree.index("Coalesce")
-        below = tree[coalesce_at:]
+        ops = _tree_operator_names(tree)
+        assert "Coalesce" in ops, f"{name}: no Coalesce node in tree:\n{tree}"
+        seg = ops[ops.index("Coalesce"):]
+        assert "Exchange" in seg, (
+            f"{name}: no shuffle Exchange below the Coalesce — the "
+            f"coalesced stage would swallow the whole plan:\n{tree}"
+        )
+        stage = seg[: seg.index("Exchange")]
+        bad = [o for o in stage if o not in _COALESCED_STAGE_ALLOWED]
+        assert not bad, (
+            f"{name}: non-narrow operator(s) {bad} inside the coalesced "
+            f"stage — coalesce(1) would serialize that work:\n{tree}"
+        )
         assert any(
-            agg in below
-            for agg in ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+            o in ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+            for o in stage
         ), (
-            f"{name}: Coalesce must collapse only the final-aggregate "
-            "stage (no aggregate below it in the tree)"
+            f"{name}: coalesced stage has no final aggregate — the "
+            f"grain bound is unproven:\n{tree}"
         )
 
 
@@ -1017,15 +1065,40 @@ def test_tpch07_customer_side_broadcast_gated(spark, sf_dir):
         _footer_rows_fit_broadcast,
     )
 
-    assert _footer_rows_fit_broadcast(spark, f"{sf_dir}/customer.parquet", 64)
+    assert _footer_rows_fit_broadcast(spark, f"{sf_dir}/customer.parquet", 96)
     p = plan(spark, sf_dir, "Q-TPCH-07")
     assert "SortMergeJoin" not in p, p
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         assert not _footer_rows_fit_broadcast(
-            spark, f"{sf_dir}/customer.parquet", 64
+            spark, f"{sf_dir}/customer.parquet", 96
         )
+        # advisor r14: also RE-PLAN the query under the disabled
+        # threshold — the gate function refusing is necessary but not
+        # sufficient (a regression that hints unconditionally would
+        # pass the function check). The custkey join must fall back to
+        # a shuffled join: no BroadcastHashJoin detail block may carry
+        # the custkey equi-keys (the nation dims keep their explicit
+        # broadcast hints — those are bounded 2-row builds — so a
+        # blanket no-BroadcastExchange check would be wrong), and a
+        # shuffled custkey join must be present instead.
+        p_off = plan(spark, sf_dir, "Q-TPCH-07")
+        cust_bhj = [
+            b for b in p_off.split("\n\n")
+            if "BroadcastHashJoin" in b.split("\n")[0] and "custkey" in b
+        ]
+        assert not cust_bhj, (
+            "custkey join broadcast although the gate must refuse:\n"
+            + "\n\n".join(cust_bhj)
+        )
+        cust_shuffled = [
+            b for b in p_off.split("\n\n")
+            if ("SortMergeJoin" in b.split("\n")[0]
+                or "ShuffledHashJoin" in b.split("\n")[0])
+            and "custkey" in b
+        ]
+        assert cust_shuffled, p_off
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
