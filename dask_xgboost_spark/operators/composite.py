@@ -166,29 +166,38 @@ def q_tpch_04(spark, sf):
     lineitem rows drop from the inner join = EXISTS false; outputs
     proven identical at 1×/10×).
 
-    Scale shape, footer-gated like Q8/Q7: when unfiltered orders rows
-    × 64 B fit the session broadcast threshold, hint the slice
-    broadcast — lineitem is never shuffled at all (one distinct-pair
-    exchange of qualifying (priority, orderkey) rows). Above the gate
-    (10× under the bench config, any real-cluster SF) fall back to the
-    aggregate-before-shuffle form: per-orderkey MAX(l_shipdate) —
-    map-side-combinable, one row per distinct orderkey — then an equi
-    join + residual filter. Measured at 10×: 0.84 s vs the semi
-    join's 2.95 s. Neither branch ever builds a fact-sized hash
-    relation.
+    r15 (tools/ab_tpch04_r15.py): ONE body now — join the 6-month
+    orders slice to lineitem, filter, COUNT(DISTINCT o_orderkey) per
+    priority — and the footer gate toggles ONLY the broadcast hint
+    (the r14 two-branch split, max-agg fallback vs gated count-
+    distinct, is gone; so is the branch-divergence risk the r14
+    advisor flagged). Above the gate Catalyst plans a shuffled join
+    whose both sides are narrow — lineitem is never a build side.
+    COUNT(DISTINCT o_orderkey) makes the join's row multiplicity
+    irrelevant (each qualifying order counts once however many of its
+    lineitems qualify), matching the oracle's EXISTS because
+    o_orderkey is unique in orders (TPC-H PK, fixture invariant).
 
-    Branch equality assumes o_orderkey is UNIQUE in orders (the TPC-H
-    primary key, and a fixture invariant): the gated branch counts
-    DISTINCT qualifying orderkeys per priority while the fallback (and
-    the oracle SQL) count qualifying order ROWS — identical exactly
-    when each orderkey appears once. Pinned by
-    test_tpch04_rewrite_branches_agree_and_avoid_fact_build (advisor
-    note, r14)."""
+    DERIVED CONSTANT BOUND (guide §6): qualifying rows need
+    l_shipdate > o_orderdate + 60 DAY with o_orderdate >=
+    1999-01-01, hence l_shipdate > 1999-03-02 — a compile-time
+    constant pushed to the parquet scan (PushedFilters), keeping 39%
+    of lineitem at sf0.1. Soundness: a row with l_shipdate <=
+    1999-03-02 cannot satisfy the join-level filter for ANY order in
+    the slice, so dropping it early never changes the result. A/B at
+    100× (no-broadcast regime, interleaved, outputs identical):
+    old fallback 7.32 s / 57.5M shuffle rows → this form + bound
+    2.13 s / 24.6M (3.4×); the r15 run-1 100× pin had Q4 at 11.2 s as
+    the worst absolute."""
     orders = load(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1999-07-01 00:00:00").cast("timestamp"))
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
-    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    li = (
+        load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .filter(F.col("l_shipdate") > F.lit("1999-03-02 00:00:00").cast("timestamp"))
+    )
     # 96 B/row (not the fixed-width 64): the build row carries a
     # ~15-char priority STRING + timestamp — 8 B bitset + 3×8 B words +
     # 24 B string region ≈ 56 B UnsafeRow, + the LongHashedRelation's
@@ -196,20 +205,13 @@ def q_tpch_04(spark, sf):
     # (advisor note, r14: 64 B could admit a build slightly above the
     # user's threshold — memory pressure, not wrong results)
     if _footer_rows_fit_broadcast(spark, f"{sf}/orders.parquet", 96):
-        counted = (
-            li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-            .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
-            .groupBy("o_orderpriority")
-            .agg(F.count_distinct("o_orderkey").alias("order_count"))
-        )
-    else:
-        li_max = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("max_ship"))
-        counted = (
-            orders.join(li_max, orders.o_orderkey == li_max.l_orderkey)
-            .filter(F.col("max_ship") > F.expr("o_orderdate + INTERVAL 60 DAY"))
-            .groupBy("o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("order_count"))
-        )
+        orders = F.broadcast(orders)
+    counted = (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
+        .groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_orderkey").alias("order_count"))
+    )
     # bounded grain (5 priorities): plans/scale.bounded_sort; the
     # oracle SQL keeps its ORDER BY
     return bounded_sort(counted, "o_orderpriority")

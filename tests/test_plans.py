@@ -1103,33 +1103,52 @@ def test_tpch07_customer_side_broadcast_gated(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_tpch04_rewrite_branches_agree_and_avoid_fact_build(spark, sf_dir):
-    """r14 Q4 rewrite (tools/ab_tpch04.py): the EXISTS is executed as a
-    broadcast of the 6-month ORDERS slice + COUNT(DISTINCT) when the
-    footer gate admits it, else as the per-orderkey MAX aggregate join.
-    Both branches must (a) produce identical output and (b) never build
-    a hash relation over lineitem (the pre-r14 plan broadcast the fact
-    side — a linearly growing build). The oracle parity sweep already
-    pins the gated branch; this pins the fallback's equality."""
+def test_tpch04_one_body_gate_toggles_hint_only(spark, sf_dir):
+    """r15 Q4 shape (tools/ab_tpch04_r15.py): ONE body — 6-month orders
+    slice joined to the shipdate-bounded lineitem, COUNT(DISTINCT
+    o_orderkey) per priority — where the footer gate toggles only the
+    broadcast HINT (the r14 two-branch split is gone, and with it the
+    advisor's branch-divergence risk). Pins: (a) gate-on and gate-off
+    outputs identical; (b) lineitem is NEVER a broadcast build side in
+    either plan (the pre-r14 decorrelated semi built its hash relation
+    over the fact); (c) the derived constant bound
+    l_shipdate > 1999-03-02 reaches the parquet scan as a pushed
+    filter in both plans (guide §6)."""
+    import re
+
     from dask_xgboost_spark.operators import composite as comp
+    from dask_xgboost_spark.plans import explain_string
 
     fn = SPECS["Q-TPCH-04"].fn
-    gated = fn(spark, sf_dir).toPandas()
+    gated_df = fn(spark, sf_dir)
+    gated = gated_df.toPandas()
+    p_on = explain_string(gated_df)
     orig = comp._footer_rows_fit_broadcast
     comp._footer_rows_fit_broadcast = lambda *a, **k: False
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        fallback_df = fn(spark, sf_dir)
-        fallback = fallback_df.toPandas()
-        from dask_xgboost_spark.plans import explain_string
-
-        p = explain_string(fallback_df)
+        # hint off AND thresholds off: at fixture SFs AQE would
+        # otherwise re-broadcast the tiny slice from its own runtime
+        # stats (legitimate — the gate only withholds the HINT); the
+        # 100 TB shape this pins is the shuffled join
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        off_df = fn(spark, sf_dir)
+        off = off_df.toPandas()
+        p_off = explain_string(off_df)
     finally:
         comp._footer_rows_fit_broadcast = orig
-    assert gated.values.tolist() == fallback.values.tolist()
-    assert list(gated.columns) == list(fallback.columns)
-    # the fallback aggregates lineitem BEFORE any join: the max_ship
-    # aggregate appears, and no broadcast build of the lineitem scan
-    assert "max_ship" in p or "max(l_shipdate" in p, p[:1500]
-    # the gated plan broadcasts orders, not lineitem
-    p2 = explain_string(fn(spark, sf_dir))
-    assert "count(distinct o_orderkey" in p2 or "count(o_orderkey" in p2, p2[:1500]
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert gated.values.tolist() == off.values.tolist()
+    assert list(gated.columns) == list(off.columns)
+    for p in (p_on, p_off):
+        # derived bound pushed to the lineitem scan
+        assert re.search(r"PushedFilters:.*GreaterThan\(l_shipdate", p), p[:1500]
+        assert "count(distinct o_orderkey" in p, p[:1500]
+        # lineitem must never be the build side of a broadcast join
+        for block in p.split("\n\n"):
+            if "BroadcastExchange" in block.split("\n")[0]:
+                assert "lineitem" not in block, block[:800]
+    # with the hint off the join must shuffle, not broadcast
+    assert "SortMergeJoin" in p_off or "ShuffledHashJoin" in p_off, p_off[:1500]
