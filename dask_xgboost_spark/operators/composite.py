@@ -12,6 +12,7 @@ import functools as _functools
 
 from pyspark.sql import functions as F
 
+from dask_xgboost_spark.caching import persist_rollup
 from dask_xgboost_spark.functions import cents, sql_cents
 from dask_xgboost_spark.plans.scale import bounded_sort
 from dask_xgboost_spark.registry import register
@@ -58,7 +59,27 @@ def q_tpch_02(spark, sf):
     above it — run at the filtered grain. DISTINCT guards duplicate
     (part, supplier) offers at the min price; ORDER BY ends in unique
     (s_name, p_partkey) so the LIMIT is a deterministic top-k
-    (TakeOrderedAndProject)."""
+    (TakeOrderedAndProject).
+
+    r15 (tools/ab_tpch02.py, guide §2.3/§5): the r14 form referenced
+    the pruned offer list twice — once under the per-part MIN, once as
+    the equality probe — and Catalyst's exchange reuse does not fire
+    across the differently-pruned branches, so LINEITEM was scanned
+    TWICE per execution (plans/r15/q_tpch_02_before.txt nodes 1 and 24)
+    with the whole dim-broadcast chain built twice. This form collapses
+    both references onto ONE fact pass: aggregate the pruned offers to
+    the (part, supplier) grain first — min offer price per pair, narrow
+    int rows, map-side combinable — persist that rollup (the Q11/Q15
+    multi-reference discipline; a pair-grain rollup, orders of
+    magnitude smaller than the fact table), and derive BOTH the
+    per-part min (min over pair mins ≡ min over offers) and the
+    equality probe (a pair qualifies iff its own min equals the part
+    min — pair min ≥ part min always, equality iff some offer sits at
+    the part min) from it. Supplier/part display attributes re-attach
+    ABOVE the pair grain via the same broadcasts (§8: decide on keys,
+    attach payload once). The trailing DISTINCT keeps the exact output
+    contract: the SQL dedups the 6 visible columns, which collapses
+    pairs only where every visible attribute coincides."""
     pk = (
         load(spark, sf, "part")
         .filter((F.col("p_size") <= 15) & (F.col("p_type") == "PROMO"))
@@ -78,28 +99,40 @@ def q_tpch_02(spark, sf):
         )
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    offers = (
+    pairs = persist_rollup(
         load(spark, sf, "lineitem")
         .select("l_partkey", "l_suppkey", "l_extendedprice")
-        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(pk.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(eur.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("sp_min"))
     )
-    minp = offers.groupBy(F.col("l_partkey").alias("mk")).agg(
-        F.min("l_extendedprice").alias("min_price")
+    minp = pairs.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("sp_min").alias("min_price")
     )
     return (
-        offers.join(
+        pairs.join(
             F.broadcast(minp),
             (F.col("l_partkey") == F.col("mk"))
-            & (F.col("l_extendedprice") == F.col("min_price")),
+            & (F.col("sp_min") == F.col("min_price")),
         )
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_acctbal",
             "s_name",
             "n_name",
             "p_partkey",
             "p_type",
-            F.col("l_extendedprice").alias("price"),
+            F.col("sp_min").alias("price"),
         )
         .distinct()
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
@@ -387,6 +420,29 @@ def _footer_rows_fit_broadcast(spark, table_path: str, row_bytes: int) -> bool:
     return rows is not None and rows * row_bytes <= thr
 
 
+def _gate_build_or_pin_shuffle(spark, table_path: str, row_bytes: int, build):
+    """Footer gate for a join-OUTPUT build whose join streams a raw
+    FACT table: broadcast() when the bound fits the session threshold;
+    otherwise pin that join to a shuffled sort-merge with a `merge`
+    hint instead of leaving Catalyst free (r15 defect, measured at 10×
+    under the bench's 64 MB threshold on Q5/Q8/Q-JOIN-02: the build is
+    a join output with no scan stats, so its propagated estimate
+    OVERSHOOTS — on refusal Catalyst's relative-size comparison flips
+    and it picked the LINEITEM scan as the broadcast build, a
+    fact-sized HashedRelation rebuilt every execution, exactly the
+    disease the dims-first rewrites exist to remove; q_join_02's 10×
+    full re-execution read 8.7 s with that plan vs 1.0 s shuffled).
+    Above the gate both join sides are narrow by construction at these
+    call sites, so the shuffled merge join is the scale-correct plan —
+    it is what the 100 TB regime runs anyway, and AQE's skew handling
+    still applies to it. The hint binds only the join that consumes
+    this build side; the refusal can no longer regress into a fact
+    build."""
+    if _footer_rows_fit_broadcast(spark, table_path, row_bytes):
+        return F.broadcast(build)
+    return build.hint("merge")
+
+
 _Q8_SQL = (
     "SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, "
     f"CAST(SUM(CASE WHEN n_name = 'NATION_1' THEN {_REV} ELSE 0 END) AS BIGINT) "
@@ -447,8 +503,13 @@ def q_tpch_08(spark, sf):
             (F.col("n_name") == "NATION_1").alias("is_target"),
         )
     )
-    if _order_map_fits_broadcast(spark, sf):
-        omap = F.broadcast(omap)
+    # r15: on refusal the join is PINNED to a shuffled merge join — a
+    # free Catalyst was measured (10× under a 64 MB threshold) flipping
+    # the build side onto LINEITEM because the omap's join-output
+    # estimate overshoots (_gate_build_or_pin_shuffle)
+    omap = _gate_build_or_pin_shuffle(
+        spark, f"{sf}/orders.parquet", _Q8_MAP_ROW_BYTES, omap
+    )
     li = load(spark, sf, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -533,18 +594,55 @@ def q_tpch_21(spark, sf):
 )
 def q_tpch_10(spark, sf):
     """Returned-item-reporting shape (TPC-H Q10): 4-way join on returns →
-    per-customer lost revenue → top-20 (broadcast dim)."""
-    cust = load(spark, sf, "customer")
-    orders = load(spark, sf, "orders")
-    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
-    nation = F.broadcast(load(spark, sf, "nation"))
+    per-customer lost revenue → top-20.
+
+    r15 (tools/ab_tpch10.py): the r1–r15 plan joined customer⋈orders
+    first and aggregated AFTER the lineitem join, so under any admitting
+    threshold the R-filtered LINEITEM itself became the broadcast build
+    side — a fact-sized HashedRelation rebuilt every execution (the Q4
+    disease; plans/r15/q_tpch_10_before.txt node 11) — and above the
+    threshold the customer-wide intermediate (c_name strings) shuffled
+    through the fact join and the aggregation. This plan pushes the
+    revenue aggregate BELOW the customer join (the Q13 discipline):
+    lineitem(R, 3 columns) joins a narrow (o_orderkey, o_custkey) order
+    map — footer-gated broadcast at 48 B/row, shuffled narrow above the
+    gate — and aggregates rev per o_custkey FIRST (map-side combinable,
+    ≤ |custkeys| 16-byte rows cross the exchange); customer and the
+    25-row nation dim attach AFTER the aggregate, at customer grain.
+    Exactness rests on c_custkey being unique in customer (TPC-H PK,
+    fixture invariant): grouping by o_custkey then attaching (c_name,
+    n_name) is then identical to grouping by (c_custkey, c_name,
+    n_name); orders whose custkey has no customer row drop at the
+    customer join in both forms, and the revenue int64 cents² sums are
+    over the same row multisets. ORDER BY ends in the unique c_custkey →
+    deterministic top-20 (TakeOrderedAndProject)."""
+    omap = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    if _footer_rows_fit_broadcast(spark, f"{sf}/orders.parquet", 48):
+        omap = F.broadcast(omap)
+    li = (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
     rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    per_cust = (
+        li.join(omap, li.l_orderkey == omap.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("rev_c"))
+    )
+    cust = load(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = F.broadcast(load(spark, sf, "nation"))
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg((F.sum(rev) / 1e4).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("rev_c") / 1e4).alias("revenue"),
+        )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -566,13 +664,30 @@ def q_tpch_12(spark, sf):
     """Shipping-priority class shape (TPC-H Q12, adapted: the fixture has
     no l_shipmode, so return flag is the grouping column): fact-fact join
     + conditional counting via CASE inside SUM — one pass, partial
-    aggregation on both class counters."""
+    aggregation on both class counters.
+
+    r15 (guide §2.3 "narrower types"): the priority STRING is consumed
+    only as `IN ('1-URGENT','2-HIGH')`, so the boolean is computed
+    BELOW the join — the orders side of the fact-fact join carries
+    (o_orderkey, urgent) at 17 B instead of a ~15-char string (≈2.4×
+    fewer build/shuffle bytes; Catalyst keeps the string until the
+    post-join CASE otherwise). Exact: `urgent` is a pure function of
+    o_orderpriority, and both CASE arms map a NULL priority to 0 in
+    both forms (NULL IN / NOT IN → NULL → ELSE 0; F.when(NULL)/
+    F.when(~NULL) → otherwise 0). The build is footer-gated at 48 B/row
+    (2-field fixed-width UnsafeRow + HashedRelation index); above the
+    gate both shuffled sides are narrow — the scale-correct plan."""
     li = load(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("urgent"),
     )
-    orders = load(spark, sf, "orders")
-    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    if _footer_rows_fit_broadcast(spark, f"{sf}/orders.parquet", 48):
+        orders = F.broadcast(orders)
+    urgent = F.col("urgent")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_returnflag")
@@ -683,8 +798,10 @@ def q_tpch_05(spark, sf):
     omap = orders.join(cust_a, orders.o_custkey == cust_a.c_custkey).select(
         "o_orderkey", "c_nationkey"
     )
-    if _footer_rows_fit_broadcast(spark, f"{sf}/orders.parquet", 48):
-        omap = F.broadcast(omap)
+    # r15: on refusal the li⋈omap join is PINNED to a shuffled merge
+    # join — a free Catalyst was measured (10× under a 64 MB threshold)
+    # flipping the build side onto LINEITEM (_gate_build_or_pin_shuffle)
+    omap = _gate_build_or_pin_shuffle(spark, f"{sf}/orders.parquet", 48, omap)
     supp_a = (
         load(spark, sf, "supplier")
         .join(

@@ -284,18 +284,48 @@ _REVENUE_BY_NATION_SQL = (
 
 
 def _revenue_by_nation(spark, sf, hint_broadcast: bool):
-    li = load(spark, sf, "lineitem")
-    orders = load(spark, sf, "orders")
-    customer = load(spark, sf, "customer")
+    """r15 dims-first body (the Q5/Q8 discipline, tools/ab_join02.py):
+    the r1–r14 fact-first order (li ⋈ orders ⋈ customer ⋈ nation) made
+    the order-grain ORDERS scan a broadcast build at bench SFs (linear
+    growth) and, above any admitting threshold, re-shuffled the
+    fact-wide joined intermediate — revenue columns and all — on
+    custkey. Here orders(2 cols) ⋈ customer(2 cols) resolve into a
+    NARROW fixed-width order-grain map (o_orderkey, c_nationkey) FIRST;
+    lineitem (3 columns) then streams through ONE join on orderkey and
+    the 25-row nation lookup below the aggregate, so above the gate the
+    fact table shuffles exactly once, on orderkey, in 24 B rows. The
+    omap broadcast is footer-gated at 48 B/row (join output → no scan
+    stats; 2-fixed-field UnsafeRow + LongHashedRelation index), firing
+    under the default 10 MB threshold at bench SFs and structurally
+    refusing at 100 TB. Inner joins commute and the grouping stays on
+    n_name, so the result is structurally identical (oracle parity at
+    3 SFs; outputs asserted identical in the A/B at 1×/10×)."""
+    from dask_xgboost_spark.operators.composite import (
+        _gate_build_or_pin_shuffle,
+    )
+
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    customer = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
     nation = load(spark, sf, "nation")
     if hint_broadcast:
         nation = F.broadcast(nation)
         customer = F.broadcast(customer)
+    omap = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "c_nationkey")
+    # on refusal the li⋈omap join is PINNED to a shuffled merge join —
+    # a free Catalyst was measured (10× under a 64 MB threshold)
+    # flipping the build side onto LINEITEM, a fact-sized
+    # HashedRelation rebuilt per execution (8.7 s vs 1.0 s shuffled at
+    # 10×; composite._gate_build_or_pin_shuffle)
+    omap = _gate_build_or_pin_shuffle(spark, f"{sf}/orders.parquet", 48, omap)
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
     rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        li.join(omap, li.l_orderkey == omap.o_orderkey)
+        .join(nation, F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("n_name")
         .agg((F.sum(rev) / 1e4).alias("revenue"))
         # bounded grain (≤25 nations): narrow single-partition

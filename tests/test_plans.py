@@ -1152,3 +1152,124 @@ def test_tpch04_one_body_gate_toggles_hint_only(spark, sf_dir):
                 assert "lineitem" not in block, block[:800]
     # with the hint off the join must shuffle, not broadcast
     assert "SortMergeJoin" in p_off or "ShuffledHashJoin" in p_off, p_off[:1500]
+
+
+def _no_fact_broadcast_build(p: str, fact: str = "lineitem") -> None:
+    """The house invariant: the fact table may stream through joins but
+    must never be a broadcast BUILD side (a fact-sized HashedRelation
+    rebuilt every execution — the Q4/Q10 disease)."""
+    for block in p.split("\n\n"):
+        if "BroadcastExchange" in block.split("\n")[0]:
+            assert fact not in block, block[:800]
+
+
+def test_tpch02_single_fact_pass(spark, sf_dir):
+    """r15 Q2 rewrite (tools/ab_tpch02.py): the pruned offer list is
+    aggregated ONCE to the (part, supplier) min grain and persisted
+    (the Q11/Q15 multi-reference discipline) — Catalyst's exchange
+    reuse does not fire across the differently-pruned references, so
+    the r14 form scanned LINEITEM twice per execution. Pins: one
+    lineitem scan, the pair-grain rollup alias present, both
+    derivations read the shared InMemoryRelation, and the top-k
+    specialization survives."""
+    p = plan(spark, sf_dir, "Q-TPCH-02")
+    assert p.count("lineitem.parquet") == 1, (
+        "lineitem must be scanned exactly once:\n" + p[:2000]
+    )
+    assert "sp_min" in p  # the (part, supplier) rollup grain
+    assert p.count("InMemoryTableScan") >= 2, (
+        "both the per-part min and the probe must read the shared rollup"
+    )
+    assert "TakeOrderedAndProject" in p
+    _no_fact_broadcast_build(p)
+
+
+def test_tpch10_aggregate_below_customer_join(spark, sf_dir):
+    """r15 Q10 rewrite (tools/ab_tpch10.py, guide §2.3): revenue
+    aggregates per o_custkey BELOW the customer join (the Q13
+    discipline) — `rev_c` exists only in that form; the r14 fact-first
+    plan instead broadcast the R-filtered LINEITEM as a build side
+    (plans/r15/q_tpch_10_before.txt node 11) and carried c_name through
+    the fact join. Pinned with the gate both on and (monkeypatched)
+    off: lineitem is never a broadcast build, outputs identical."""
+    from dask_xgboost_spark.operators import composite as comp
+    from dask_xgboost_spark.plans import explain_string
+
+    fn = SPECS["Q-TPCH-10"].fn
+    df_on = fn(spark, sf_dir)
+    p_on = explain_string(df_on)
+    assert "rev_c" in p_on, p_on[:1500]
+    _no_fact_broadcast_build(p_on)
+    out_on = df_on.toPandas()
+    orig = comp._footer_rows_fit_broadcast
+    comp._footer_rows_fit_broadcast = lambda *a, **k: False
+    try:
+        df_off = fn(spark, sf_dir)
+        p_off = explain_string(df_off)
+        out_off = df_off.toPandas()
+    finally:
+        comp._footer_rows_fit_broadcast = orig
+    _no_fact_broadcast_build(p_off)
+    assert out_on.values.tolist() == out_off.values.tolist()
+
+
+def test_tpch12_urgent_bool_computed_below_join(spark, sf_dir):
+    """r15 Q12 (guide §2.3 narrower types): the o_orderpriority string
+    is consumed only as IN ('1-URGENT','2-HIGH'), so the orders side of
+    the fact-fact join carries a boolean computed below the join — the
+    `urgent` projection inside the orders-side subtree is the rewrite's
+    signature (the r14 form kept the ~15-char string until a post-join
+    CASE)."""
+    p = plan(spark, sf_dir, "Q-TPCH-12")
+    assert "AS urgent" in p, p[:1500]
+    # the orders scan reads exactly the two columns the bool needs
+    schema_lines = [
+        seg.split("\n", 1)[0] for seg in p.split("ReadSchema: ")[1:]
+    ]
+    o_schemas = [s for s in schema_lines if "o_orderkey" in s]
+    assert o_schemas, p[:1500]
+    for s in o_schemas:
+        assert "o_orderpriority" in s and "o_custkey" not in s
+        assert "o_orderdate" not in s
+    _no_fact_broadcast_build(p)
+
+
+def test_gate_refusal_pins_shuffled_merge_join(spark, sf_dir):
+    """r15 `_gate_build_or_pin_shuffle`: when the footer gate refuses a
+    join-OUTPUT build (no scan stats — its propagated estimate
+    OVERSHOOTS), Catalyst left free was measured (10x under the bench's
+    64 MB threshold) flipping the build side onto LINEITEM — a
+    fact-sized HashedRelation rebuilt every execution
+    (plans/r15/q_tpch_08_10x64m_before.txt: BroadcastExchange (3) over
+    the lineitem scan). On refusal the join must now carry a `merge`
+    hint: re-plan Q5/Q8/Q-JOIN-02 with the gate monkeypatched to refuse
+    while the session threshold stays at its default (the exact defect
+    regime) and assert the fact join shuffles — lineitem never a
+    broadcast build — and Q8's output is unchanged."""
+    from dask_xgboost_spark.operators import composite as comp
+    from dask_xgboost_spark.plans import explain_string
+
+    # unit behavior: fits -> broadcast hint; refuses -> merge hint
+    from pyspark.sql import functions as F
+
+    from dask_xgboost_spark.sources import load
+
+    build = load(spark, sf_dir, "orders").select("o_orderkey")
+    hinted = comp._gate_build_or_pin_shuffle(
+        spark, f"{sf_dir}/orders.parquet", 48, build
+    )
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+    base = SPECS["Q-TPCH-08"].fn(spark, sf_dir).toPandas()
+    orig = comp._footer_rows_fit_broadcast
+    comp._footer_rows_fit_broadcast = lambda *a, **k: False
+    try:
+        for name in ("Q-TPCH-05", "Q-TPCH-08", "Q-JOIN-02"):
+            df = SPECS[name].fn(spark, sf_dir)
+            p = explain_string(df)
+            _no_fact_broadcast_build(p)
+            assert "SortMergeJoin" in p, f"{name}: merge pin missing\n{p[:1500]}"
+        refused = SPECS["Q-TPCH-08"].fn(spark, sf_dir).toPandas()
+    finally:
+        comp._footer_rows_fit_broadcast = orig
+    assert base.values.tolist() == refused.values.tolist()
