@@ -265,7 +265,9 @@ def m_prep_01(spark, sf):
 def m_prep_02(spark, sf):
     """Class discovery (reference core.py:561-566: distributed unique) —
     hash-checked distinct over the label column."""
-    return load(spark, sf, "embeddings").select("label").distinct().orderBy("label")
+    # enum grain (class labels): narrow presentation sort, no range
+    # Exchange (plans/scale.bounded_sort, r15 rescreen)
+    return load(spark, sf, "embeddings").select("label").distinct().transform(bounded_sort, "label")
 
 
 @register("G-GEN-01", sql=None, mode="golden")
@@ -825,7 +827,9 @@ def m_eval_04(spark, sf):
             (F.sum("score").cast("double") / (F.lit(100.0) * F.count(F.lit(1))))
             .alias("mean_score"),
         )
-        .orderBy("decile")
+        # bounded grain (10 deciles): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "decile")
     )
 
 
@@ -1122,7 +1126,9 @@ def m_prep_12(spark, sf):
             F.sum("event_id").cast("bigint").alias("id_sum"),
             F.count_distinct("user_id").cast("bigint").alias("n_users"),
         )
-        .orderBy("split")
+        # enum grain (3 split labels): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "split")
     )
 
 
@@ -1273,7 +1279,9 @@ def m_prep_13(spark, sf):
             .cast("bigint")
             .alias("n_clipped"),
         )
-        .orderBy("split")
+        # enum grain (split labels): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "split")
     )
 
 
@@ -1576,7 +1584,9 @@ def m_eval_09(spark, sf):
             F.sum("spm").cast("long").alias("sum_score_pm"),
             F.sum("y").cast("long").alias("n_pos"),
         )
-        .orderBy("bin")
+        # bounded grain (10 calibration bins): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "bin")
     )
 
 
@@ -1992,7 +2002,10 @@ def ranking_metrics(ranked, groups, k: int = 5):
             .alias("n_hit_at_k"),
             F.sum("n_rel").cast("long").alias("n_rel_total"),
         )
-        .orderBy("segment")
+        # enum grain (segments — sole caller M-EVAL-11 passes customer
+        # market segments): narrow presentation sort, no range Exchange
+        # (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "segment")
     )
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.functions import cents, sql_cents, sql_dec
+from dask_xgboost_spark.plans.scale import bounded_sort
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -112,9 +113,11 @@ def q_sql_01(spark, sf):
         "|> AGGREGATE COUNT(*) AS n, "
         "   SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev_c "
         "   GROUP BY l_returnflag "
-        "|> SELECT l_returnflag, n, rev_c "
-        "|> ORDER BY l_returnflag"
-    )
+        "|> SELECT l_returnflag, n, rev_c"
+        # enum grain (return flags): narrow presentation sort instead of
+        # the |> ORDER BY stage's range Exchange (plans/scale.bounded_sort,
+        # r15 rescreen); oracle SQL unchanged
+    ).transform(bounded_sort, "l_returnflag")
 
 
 @register(
@@ -219,7 +222,9 @@ def q_sample_02(spark, sf):
             F.min("c_custkey").cast("long").alias("min_key"),
             F.sum("c_custkey").cast("long").alias("key_sum"),
         )
-        .orderBy("c_mktsegment")
+        # enum grain (market segments): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "c_mktsegment")
     )
 
 
@@ -502,7 +507,12 @@ def q_cte_03(spark, sf):
     depth bound — recursion without one is a correctness review item,
     not a style choice)."""
     load(spark, sf, "customer").createOrReplaceTempView("customer")
-    return spark.sql(_CTE3_SQL)
+    # bounded grain (depth ≤ log₃(keyspace), ~dozens at any SF): the
+    # Spark side runs the body without the trailing ORDER BY and sorts
+    # narrow (plans/scale.bounded_sort, r15 rescreen); oracle SQL
+    # unchanged
+    body = _CTE3_SQL.rsplit(" ORDER BY depth", 1)[0]
+    return bounded_sort(spark.sql(body), "depth")
 
 
 _SUBQ8_SQL = """
@@ -661,7 +671,9 @@ def q_date_09(spark, sf):
             F.sum(F.datediff("dl", "od")).cast("bigint").alias("cal_days_sum"),
             F.max(F.datediff("dl", "od")).cast("bigint").alias("max_span"),
         )
-        .orderBy("m")
+        # calendar grain (months): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "m")
     )
 
 
@@ -696,7 +708,10 @@ def q_sql_02(spark, sf):
         "  AS rev_c "
         "FROM {orders} "
         "WHERE o_orderdate >= :lo AND o_orderdate < :hi "
-        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        "GROUP BY o_orderpriority",
         args={"lo": "1995-01-01 00:00:00", "hi": "1996-01-01 00:00:00"},
         orders=orders,
-    )
+        # enum grain (order priorities): narrow presentation sort, no
+        # range Exchange (plans/scale.bounded_sort, r15 rescreen);
+        # oracle SQL unchanged
+    ).transform(bounded_sort, "o_orderpriority")

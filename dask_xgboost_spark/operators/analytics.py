@@ -160,7 +160,9 @@ def q_cohort_01(spark, sf):
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
-        .orderBy("cohort_week", "week_offset")
+        # calendar grain (cohort weeks x offsets): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "cohort_week", "week_offset")
     )
 
 
@@ -368,7 +370,9 @@ def observed_balance_gate(spark, sf):
     out = (
         c.groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_pass"))
-        .orderBy("c_mktsegment")
+        # enum grain (market segments): narrow presentation sort, no
+        # range Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "c_mktsegment")
     )
     return out, obs
 
@@ -911,7 +915,9 @@ def q_graph_03(spark, sf):
             F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
             F.sum("k").cast("bigint").alias("sum_nodes"),
         )
-        .orderBy("dist")
+        # bounded grain (unrolled hop count + 1): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "dist")
     )
 
 
@@ -1200,7 +1206,9 @@ def q_attr_01(spark, sf):
             F.sum(F.expr("1000000 div n_t")).cast("bigint").alias("linear_micro"),
             F.count(F.lit(1)).cast("bigint").alias("n_touches"),
         )
-        .orderBy("channel")
+        # enum grain (channels ⊂ event types): narrow presentation sort,
+        # no range Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "channel")
     )
 
 
@@ -1351,7 +1359,9 @@ def q_rfm_01(spark, sf):
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
             F.sum("mon_c").cast("bigint").alias("sum_mon_c"),
         )
-        .orderBy("segment")
+        # enum grain (6 fixed segment labels): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "segment")
     )
 
 
@@ -1439,7 +1449,9 @@ def q_funnel_02(spark, sf):
             .cast("bigint")
             .alias("n_conv_clean"),
         )
-        .orderBy("cohort_week")
+        # calendar grain (cohort weeks): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "cohort_week")
     )
 
 

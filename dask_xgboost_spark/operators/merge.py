@@ -54,6 +54,7 @@ def merge_into(
 
 
 from dask_xgboost_spark.functions import EVENTS_US
+from dask_xgboost_spark.plans.scale import bounded_sort
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.scratch import scratch_dir
 from dask_xgboost_spark.sources import load
@@ -388,7 +389,9 @@ def g_backfill_01(spark, sf):
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("o_orderkey").cast("long").alias("key_sum"),
         )
-        .orderBy("day")
+        # calendar grain (days): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "day")
     )
 
 
@@ -540,7 +543,9 @@ def g_delete_01(spark, sf):
         survived.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .withColumn("n_erased", F.lit(n_erased).cast("bigint"))
-        .orderBy("event_type")
+        # enum grain (event types): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -700,7 +705,9 @@ def g_mask_01(spark, sf):
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.count_distinct("uid_pseud").cast("bigint").alias("n_subjects"),
         )
-        .orderBy("event_type", F.col("day_bucket").asc_nulls_first())
+        # enum x calendar grain (event types x day buckets): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "event_type", F.col("day_bucket").asc_nulls_first())
     )
 
 

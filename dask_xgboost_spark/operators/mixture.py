@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from dask_xgboost_spark.plans.scale import bounded_sort
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -70,7 +71,9 @@ def l_mix_01(spark, sf):
             F.sum("doc_id").cast("long").alias("id_sum"),
             F.sum("n_chars").cast("long").alias("chars_kept"),
         )
-        .orderBy("source")
+        # enum grain (sources): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "source")
     )
 
 
@@ -181,7 +184,9 @@ def l_mix_03(spark, sf):
             .cast("long")
             .alias("id_sum_kept"),
         )
-        .orderBy("bin")
+        # enum grain (3 quality bins): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "bin")
     )
 
 

@@ -121,7 +121,9 @@ def q_scan_05(spark, sf):
         back.filter(F.col("d") == "2024-01-02")
         .groupBy("d", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("d", "event_type")
+        # calendar grain (days x event types): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "d", "event_type")
     )
 
 
@@ -207,7 +209,9 @@ def q_fil_02(spark, sf):
         .filter(F.col("l_returnflag").isin("A", "R"))
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("l_returnflag")
+        # enum grain (return flags): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "l_returnflag")
     )
 
 
@@ -555,7 +559,9 @@ def q_join_11(spark, sf):
         ev.join(dim, ev.band.eqNullSafe(dim.bband))
         .groupBy("band", "band_name")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("band").asc_nulls_first())
+        # enum grain (5-member band dim): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, F.col("band").asc_nulls_first())
     )
 
 
@@ -731,7 +737,9 @@ def q_agg_16(spark, sf):
     )
     return m.select(
         "l_returnflag", (num / den).alias("corr_qd"), "n"
-    ).orderBy("l_returnflag")
+    # enum grain (return flags): narrow presentation sort, no range
+    # Exchange (plans/scale.bounded_sort, r15 rescreen)
+    ).transform(bounded_sort, "l_returnflag")
 
 
 @register(
@@ -745,7 +753,9 @@ def q_agg_02(spark, sf):
         load(spark, sf, "orders")
         .groupBy("o_orderpriority")
         .agg(F.countDistinct("o_custkey").alias("n_cust"))
-        .orderBy("o_orderpriority")
+        # enum grain (order priorities): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "o_orderpriority")
     )
 
 
@@ -773,12 +783,17 @@ def q_agg_03(spark, sf):
 )
 def q_agg_04(spark, sf):
     """GROUPING SETS (via Spark SQL — the DataFrame API exposes only
-    rollup/cube)."""
+    rollup/cube). ORDER BY lives Spark-side as a bounded_sort (enum
+    grain: priorities × statuses grouping sets); oracle SQL unchanged."""
     load(spark, sf, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders "
-        "GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ()) "
-        "ORDER BY o_orderpriority NULLS LAST, o_orderstatus NULLS LAST, n"
+        "GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())"
+    ).transform(
+        bounded_sort,
+        F.col("o_orderpriority").asc_nulls_last(),
+        F.col("o_orderstatus").asc_nulls_last(),
+        "n",
     )
 
 
@@ -807,7 +822,9 @@ def q_agg_05(spark, sf):
         .join(region, nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(bal_cents.alias("bal_cents"), (bal_cents / 1e2).alias("bal"))
-        .orderBy(F.col("r_name").asc_nulls_last(), F.col("n_name").asc_nulls_last())
+        # enum grain (regions x nations): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, F.col("r_name").asc_nulls_last(), F.col("n_name").asc_nulls_last())
     )
 
 
@@ -823,7 +840,9 @@ def q_agg_06(spark, sf):
         load(spark, sf, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("l_returnflag").asc_nulls_last(), F.col("l_linestatus").asc_nulls_last())
+        # enum grain (returnflag x linestatus): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, F.col("l_returnflag").asc_nulls_last(), F.col("l_linestatus").asc_nulls_last())
     )
 
 
@@ -844,7 +863,9 @@ def q_agg_07(spark, sf):
             F.min("o_orderpriority").alias("min_p"),
             F.max("o_orderpriority").alias("max_p"),
         )
-        .orderBy("o_orderstatus")
+        # enum grain (order statuses): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "o_orderstatus")
     )
 
 
@@ -861,7 +882,9 @@ def q_agg_08(spark, sf):
             F.approx_count_distinct("o_custkey", rsd=0.015).alias("approx_cust"),
             F.countDistinct("o_custkey").alias("exact_cust"),
         )
-        .orderBy("o_orderpriority")
+        # enum grain (order priorities): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "o_orderpriority")
     )
 
 
@@ -893,7 +916,9 @@ def q_agg_09(spark, sf):
     var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
     return g.select(
         "l_returnflag", "s", "ss", "n", var.alias("var_samp"), F.sqrt(var).alias("stddev_samp")
-    ).orderBy("l_returnflag")
+    # enum grain (return flags): narrow presentation sort, no range
+    # Exchange (plans/scale.bounded_sort, r15 rescreen)
+    ).transform(bounded_sort, "l_returnflag")
 
 
 @register(
@@ -942,7 +967,9 @@ def q_agg_12(spark, sf):
 )
 def q_agg_10(spark, sf):
     """DISTINCT rows (reference: class discovery, core.py:561-566)."""
-    return load(spark, sf, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+    # enum grain (market segments): narrow presentation sort, no range
+    # Exchange (plans/scale.bounded_sort, r15 rescreen)
+    return load(spark, sf, "customer").select("c_mktsegment").distinct().transform(bounded_sort, "c_mktsegment")
 
 
 @register(
@@ -1027,7 +1054,9 @@ def q_set_01(spark, sf):
     """UNION ALL of tagged key sets."""
     c = load(spark, sf, "customer").select(F.lit("c").alias("src"), F.col("c_nationkey").alias("nk"))
     s = load(spark, sf, "supplier").select(F.lit("s").alias("src"), F.col("s_nationkey").alias("nk"))
-    return c.unionAll(s).groupBy("src", "nk").agg(F.count(F.lit(1)).alias("n")).orderBy("src", "nk")
+    # enum grain (2 sources x nations): narrow presentation sort, no range
+    # Exchange (plans/scale.bounded_sort, r15 rescreen)
+    return c.unionAll(s).groupBy("src", "nk").agg(F.count(F.lit(1)).alias("n")).transform(bounded_sort, "src", "nk")
 
 
 @register(
@@ -1038,7 +1067,9 @@ def q_set_02(spark, sf):
     """UNION (distinct)."""
     c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
     s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.union(s).distinct().orderBy("nk")
+    # enum grain (nation keys): narrow presentation sort, no range
+    # Exchange (plans/scale.bounded_sort, r15 rescreen)
+    return c.union(s).distinct().transform(bounded_sort, "nk")
 
 
 @register(
@@ -1048,7 +1079,9 @@ def q_set_02(spark, sf):
 def q_set_03(spark, sf):
     """INTERSECT (distinct semantics) over partially-overlapping sets."""
     cn, sn = _rich_nation_sets(spark, sf)
-    return cn.intersect(sn).orderBy("nk")
+    # enum grain (nation keys): narrow presentation sort, no range
+    # Exchange (plans/scale.bounded_sort, r15 rescreen)
+    return cn.intersect(sn).transform(bounded_sort, "nk")
 
 
 @register(
@@ -1058,7 +1091,9 @@ def q_set_03(spark, sf):
 def q_set_04(spark, sf):
     """EXCEPT (distinct semantics) over partially-overlapping sets."""
     cn, sn = _rich_nation_sets(spark, sf)
-    return cn.subtract(sn).orderBy("nk")
+    # enum grain (nation keys): narrow presentation sort, no range
+    # Exchange (plans/scale.bounded_sort, r15 rescreen)
+    return cn.subtract(sn).transform(bounded_sort, "nk")
 
 
 @register(
@@ -1262,7 +1297,9 @@ def q_scan_07(spark, sf):
             F.max("o_orderkey").alias("max_key"),
             F.max("od_us").alias("max_od_us"),
         )
-        .orderBy("o_orderstatus")
+        # enum grain (order statuses): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "o_orderstatus")
     )
 
 
@@ -1300,7 +1337,9 @@ def q_scan_08(spark, sf):
             F.max("c_custkey").alias("max_key"),
             F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")).alias("bal_c"),
         )
-        .orderBy("c_mktsegment")
+        # enum grain (market segments): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "c_mktsegment")
     )
 
 
@@ -1334,7 +1373,9 @@ def q_scan_09(spark, sf):
             F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")).alias("qty_c"),
             F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")).alias("price_c"),
         )
-        .orderBy("l_returnflag")
+        # enum grain (return flags): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "l_returnflag")
     )
 
 
@@ -1506,7 +1547,9 @@ def q_agg_20(spark, sf):
             "bottom_cust",
             "max_ord",
         )
-        .orderBy("nation")
+        # enum grain (nation keys): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "nation")
     )
 
 
@@ -1567,7 +1610,9 @@ def q_agg_21(spark, sf):
             F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
             F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_disc"),
         )
-        .orderBy("l_returnflag")
+        # enum grain (return flags): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "l_returnflag")
     )
 
 
@@ -1889,7 +1934,9 @@ def q_join_13(spark, sf):
             .cast("bigint")
             .alias("rev_c"),
         )
-        .orderBy("o_orderpriority")
+        # enum grain (order priorities): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "o_orderpriority")
     )
 
 
@@ -2018,7 +2065,9 @@ def q_join_14(spark, sf):
             .cast("bigint")
             .alias("val_c"),
         )
-        .orderBy("d")
+        # calendar grain (days): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "d")
     )
 
 
@@ -2140,7 +2189,9 @@ def q_join_15(spark, sf):
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(F.col("v_c") * F.col("weight")).cast("bigint").alias("weighted_c"),
         )
-        .orderBy("event_type")
+        # enum grain (event types): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "event_type")
     )
 
 

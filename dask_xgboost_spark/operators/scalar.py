@@ -608,7 +608,9 @@ def q_json_01(spark, sf):
         load(spark, sf, "events")
         .groupBy("event_type")
         .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n"))
-        .orderBy("event_type")
+        # enum grain (event types): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "event_type")
     )
 
 
@@ -763,7 +765,9 @@ def q_str_08(spark, sf):
             F.sum("p_partkey").cast("long").alias("key_sum"),
         )
         .select(F.lower("bk").alias("brand"), "n", "key_sum")
-        .orderBy("brand")
+        # enum grain (brand vocabulary): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "brand")
     )
 
 

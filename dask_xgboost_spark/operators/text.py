@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.caching import persist_rollup
+from dask_xgboost_spark.plans.scale import bounded_sort
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.scratch import scratch_dir
 from dask_xgboost_spark.sources import load
@@ -87,7 +88,9 @@ def l_text_03(spark, sf):
         .filter(F.col("lang").isin("en", "de") & F.col("n_chars").between(100, 400))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
-        .orderBy("lang")
+        # enum grain (languages): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "lang")
     )
 
 
@@ -294,7 +297,9 @@ def l_pipe_01(spark, sf):
         .filter((F.col("n_tok") >= 20) & (F.col("stop_ratio") < 0.5))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_toks"))
-        .orderBy("lang")
+        # enum grain (languages): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "lang")
     )
 
 
@@ -644,7 +649,9 @@ def l_text_14(spark, sf):
             F.max("n_chars").cast("long").alias("max_chars"),
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
-        .orderBy("len_bucket")
+        # bounded grain (bit-length buckets <= 64): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "len_bucket")
     )
 
 
@@ -739,7 +746,9 @@ def l_text_16(spark, sf):
             .alias("hapax"),
             F.sum("c").cast("long").alias("tokens"),
         )
-        .orderBy("source")
+        # enum grain (sources): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "source")
     )
 
 

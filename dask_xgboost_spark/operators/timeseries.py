@@ -24,6 +24,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.functions import EVENTS_US, cents, sql_cents
+from dask_xgboost_spark.plans.scale import bounded_sort
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -355,7 +356,9 @@ def q_ts_04(spark, sf):
             cents(F.max(tick)["value"]).alias("close_c"),
             F.count(F.lit(1)).alias("n_ticks"),
         )
-        .orderBy("bucket")
+        # calendar grain (hourly buckets): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "bucket")
     )
 
 

@@ -325,7 +325,19 @@ def q_tpch_16(spark, sf):
     supplier count per (brand, type, size) excluding flagged suppliers.
     NOT IN over a nullable-free key column → Catalyst plans a
     broadcast anti join (null-aware); COUNT(DISTINCT) expands to a
-    two-stage partial/final aggregate."""
+    two-stage partial/final aggregate.
+
+    r15 (tools/ab_tpch16.py): the trailing ORDER BY grain is the part
+    ATTRIBUTE DOMAIN — |brands| × |types| × |sizes|, generator-fixed
+    vocabularies (25 × 6 × 50 at every fixture SF; 25 × 150 × 50 in
+    full TPC-H), invariant in fact volume — so the presentation sort is
+    bounded_sort-eligible. The r14 screen rejected it as "distinct-pair
+    volume scales with suppliers", but that volume flows through the
+    dedup/count exchanges BELOW the coalesce point and stays parallel;
+    the coalesced segment contains only the final count aggregate,
+    whose post-exchange input is ≤ domain-combos × #map-tasks partial
+    rows (960 × tasks after the filter here). Measured cardinalities at
+    sf0.1: 76,284 filtered rows → 893 output groups."""
     part = F.broadcast(
         load(spark, sf, "part").filter(
             (F.col("p_brand") != "Brand#5")
@@ -346,7 +358,11 @@ def q_tpch_16(spark, sf):
         )
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        # bounded grain (part attribute domain, not part count): narrow
+        # presentation sort, no range Exchange (plans/scale.bounded_sort)
+        .transform(
+            bounded_sort, F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
     )
 
 
@@ -583,9 +599,17 @@ def q_tpch_22(spark, sf):
     customers in selected codes with no recent orders — an uncorrelated
     scalar AVG subquery plus a filtered NOT EXISTS anti join.
     The average threshold is derived from an exact int64 cents sum in
-    both engines, so boundary rows never flip; the anti join broadcasts
-    nothing (orders is the big side → shuffled anti join on custkey,
-    which is the right plan at scale too)."""
+    both engines, so boundary rows never flip. The anti join's build
+    side is the DATE-FILTERED orders keyset (8.8% of orders at sf0.1 —
+    13,227 keys), whose estimate is scan-accurate (pushed filter on a
+    scan), so Catalyst broadcasts it at bench SFs and degrades safely
+    to a shuffled anti join when the filtered slice outgrows the
+    threshold — the scale-adaptive plan with no gate needed (the §11
+    estimate-overshoot flip cannot occur on a scan-sourced build).
+    Examined r15, REFUSED: deduping o_custkey below the anti join
+    (guide §2.3) would cut the build/shuffle rows only 1.5×
+    (13,227 filtered rows → 8,844 distinct custkeys, measured) while
+    adding an aggregate exchange and a job at every scale."""
     for t in ("customer", "orders"):
         load(spark, sf, t).createOrReplaceTempView(t)
     return bounded_sort(spark.sql(_Q22_BODY), "cntrycode")

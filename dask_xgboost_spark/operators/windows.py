@@ -12,6 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_xgboost_spark.functions import EVENTS_US, cents, sql_cents
+from dask_xgboost_spark.plans.scale import bounded_sort
 from dask_xgboost_spark.registry import register
 from dask_xgboost_spark.sources import load
 
@@ -649,7 +650,9 @@ def q_win_17(spark, sf):
         )
         .groupBy("report_day")
         .agg(F.count_distinct("user_id").cast("bigint").alias("active_7d"))
-        .orderBy("report_day")
+        # calendar grain (report days): narrow presentation sort, no range
+        # Exchange (plans/scale.bounded_sort, r15 rescreen)
+        .transform(bounded_sort, "report_day")
     )
 
 

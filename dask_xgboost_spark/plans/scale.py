@@ -86,8 +86,14 @@ def bounded_sort(df: DataFrame, *cols: Column | str) -> DataFrame:
     scan, an unbounded grain, or an aggregate WITHOUT a partial phase
     (pandas UDAFs: ArrowAggregatePython consumes every input row)
     serializes THAT work through one task instead — which is why
-    q_tpch_15/16's tails keep their range sort and U-AGG-01 is
-    excluded (see OPTIMIZATION_r14.md). The plan pin
+    q_tpch_15's tail keeps its range sort (the node above it is a
+    join whose streaming side is a supplier SCAN — no exchange between
+    the coalesce point and unbounded work) and U-AGG-01 is excluded
+    (see OPTIMIZATION_r14.md). Note the condition is about the
+    COALESCED SEGMENT, not the whole query: q_tpch_16's distinct-pair
+    machinery scales with suppliers, but it runs below the final count
+    exchange and stays parallel — its domain-bounded output grain
+    qualifies (r15, tools/ab_tpch16.py). The plan pin
     (tests/test_plans.py::test_bounded_sorts_have_no_range_exchange)
     enforces the coalesced-stage shape mechanically.
     """

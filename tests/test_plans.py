@@ -957,6 +957,28 @@ _BOUNDED_SORT_QUERIES = [
     # can't silently lose the plan)
     "Q-AGG-14", "Q-AGG-15", "Q-AGG-19", "Q-AGG-22", "Q-AGG-23",
     "Q-DATE-01", "Q-GEO-01", "Q-GEO-02", "Q-SCD-02", "M-EVAL-02",
+    # r15 continuation: Q-TPCH-16's output grain is the part ATTRIBUTE
+    # DOMAIN (brands × types × sizes — generator-fixed vocabularies,
+    # invariant in fact volume); the distinct-pair volume the r14
+    # screen worried about flows through the exchanges BELOW the
+    # coalesce point and stays parallel (tools/ab_tpch16.py: 1.56×/1.51×
+    # at 1×/10×, outputs identical)
+    "Q-TPCH-16",
+    # r15 continuation batch (tools/bounded_sort_rescreen.py — the
+    # mechanical re-screen with the segment-based eligibility condition;
+    # every grain below is an enum/calendar/bucket domain bounded by
+    # construction, verified SF-invariant where data-derived):
+    "Q-AGG-02", "Q-AGG-04", "Q-AGG-05", "Q-AGG-06", "Q-AGG-07",
+    "Q-AGG-08", "Q-AGG-09", "Q-AGG-10", "Q-AGG-16", "Q-AGG-20",
+    "Q-AGG-21", "Q-FIL-02", "Q-SCAN-05", "Q-SCAN-07", "Q-SCAN-08",
+    "Q-SCAN-09", "Q-SET-01", "Q-SET-02", "Q-SET-03", "Q-SET-04",
+    "Q-JOIN-11", "Q-JOIN-13", "Q-JOIN-14", "Q-JOIN-15", "Q-JSON-01",
+    "Q-SAMPLE-02", "Q-SQL-01", "Q-SQL-02", "Q-DATE-09", "Q-STR-08",
+    "Q-TS-04", "Q-CTE-03", "Q-COHORT-01", "Q-FUNNEL-02", "Q-ATTR-01",
+    "Q-RFM-01", "Q-GRAPH-03", "Q-WIN-17", "G-BACKFILL-01",
+    "G-DELETE-01", "G-MASK-01", "G-OBS-01", "L-PIPE-01", "L-TEXT-03",
+    "L-TEXT-14", "L-TEXT-16", "L-MIX-01", "L-MIX-03", "M-EVAL-04",
+    "M-EVAL-09", "M-EVAL-11", "M-PREP-02", "M-PREP-12", "M-PREP-13",
     # U-AGG-01 deliberately NOT here: its pandas UDAF has no partial
     # aggregation (ArrowAggregatePython consumes every row), so the
     # stage guard below correctly rejects a coalesce(1) there
